@@ -1,0 +1,98 @@
+"""U1/U2 date normalization (reference: parse_fields.py:33-38,
+excel_lob_consolidator.py:31-36, mock_storage.py:63-85).
+
+The reference calls ``dateutil.parse(..., fuzzy=True)`` per value. The Spark
+plan keeps the hot path native: a ``coalesce(to_date(...fmt_i))`` ladder over
+the observed format corpus (FIXTURES.md §dates) compiled into whole-stage
+codegen; only values the ladder misses fall into a small Arrow-batched
+residue UDF that calls dateutil — so the slow path executes for ~0% of rows
+at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Observed date formats (FIXTURES.md date corpus). Java DateTimeFormatter
+# patterns for the Spark ladder; strptime equivalents for the python helper.
+_JAVA_FORMATS = [
+    # month-first wins (dateutil dayfirst=False); day-first formats follow so
+    # they only fire when the month slot is invalid (e.g. '21-02-2024') —
+    # exactly dateutil's fallback behavior.
+    "M/d/yyyy", "M-d-yyyy", "d/M/yyyy", "d-M-yyyy", "M/d/yy", "M-d-yy",
+    "MMMM d, yyyy", "MMM d, yyyy", "yyyy-M-d", "yyyy/M/d",
+]
+_PY_FORMATS = ["%m/%d/%Y", "%m-%d-%Y", "%d/%m/%Y", "%d-%m-%Y", "%m/%d/%y", "%m-%d-%y",
+               "%B %d, %Y", "%b %d, %Y", "%Y-%m-%d", "%Y/%m/%d"]
+
+
+def normalize_date_py(raw: str | None) -> str | None:
+    """Python-side twin of the ladder (used inside the extraction UDF to
+    validate date-span candidates, and by the residue UDF)."""
+    if not raw:
+        return None
+    from datetime import datetime
+
+    s = raw.strip()
+    for fmt in _PY_FORMATS:
+        try:
+            return datetime.strptime(s, fmt).strftime("%Y-%m-%d")
+        except ValueError:
+            continue
+    try:
+        from dateutil import parser as date_parser
+
+        return date_parser.parse(s, dayfirst=False, yearfirst=False, fuzzy=True).strftime(
+            "%Y-%m-%d"
+        )
+    except Exception:
+        return None
+
+
+def _fuzzy_residue_udf():
+    @F.pandas_udf("string")
+    def fuzzy_parse(raw: pd.Series) -> pd.Series:
+        from dateutil import parser as date_parser
+
+        def one(v):
+            if v is None or not str(v).strip():
+                return None
+            try:
+                return date_parser.parse(
+                    str(v), dayfirst=False, yearfirst=False, fuzzy=True
+                ).strftime("%Y-%m-%d")
+            except Exception:
+                return None
+
+        return raw.map(one)
+
+    return fuzzy_parse
+
+
+def normalize_date_col(col: Column, with_fuzzy_residue: bool = False) -> Column:
+    """``yyyy-MM-dd`` string or NULL. Ladder is pure codegen; the optional
+    dateutil residue only fires where every format misses."""
+    trimmed = F.trim(col)
+    ladder = F.coalesce(
+        *[F.try_to_timestamp(trimmed, F.lit(fmt)).cast("date") for fmt in _JAVA_FORMATS]
+    )
+    out = F.date_format(ladder, "yyyy-MM-dd")
+    if with_fuzzy_residue:
+        fuzzy = _fuzzy_residue_udf()
+        out = F.coalesce(out, F.when(trimmed.isNotNull() & (trimmed != ""), fuzzy(trimmed)))
+    return out
+
+
+def date_to_folder_format(col: Column) -> Column:
+    """U2 — any supported format → DDMMYYYY (mock_storage.py:63-85)."""
+    clean = F.regexp_replace(col.cast("string"), r"[-/.\s]", "")
+    parsed = F.coalesce(
+        F.try_to_timestamp(clean, F.lit("ddMMyyyy")),
+        F.try_to_timestamp(F.trim(col.cast("string")), F.lit("d-M-yyyy")),
+        F.try_to_timestamp(F.trim(col.cast("string")), F.lit("d/M/yyyy")),
+        F.try_to_timestamp(F.trim(col.cast("string")), F.lit("yyyy-M-d")),
+        F.try_to_timestamp(clean, F.lit("yyyyMMdd")),
+    )
+    return F.coalesce(F.date_format(parsed, "ddMMyyyy"), clean)

@@ -1,0 +1,266 @@
+"""`extract_turn_batch` — the engine's single heavy stage, as a vectorized
+Arrow pandas UDF (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs,
+no per-row Python").
+
+Independent, batch-vectorized implementation of the extraction SPEC
+(``..spec``); the golden tests compare it bit-for-bit against the
+row-at-a-time oracle in ``..oracle.reference_extractor``.
+
+Per batch:
+- payload sniff (pseudo-PDF header / HTML / plain) — numpy select
+- HTML boilerplate strip — pandas str ops over exploded block lines
+  (tag strip, entity unescape, link-density + text-length scoring)
+- pseudo-PDF layout parse — extractall → y-cluster via sorted groupby
+  diff/cumsum → reading-order sort → page markers, needs_ocr flag
+- span extraction — compiled-regex scan per record chunk (the only
+  per-element loop; regex time dominates and runs in C)
+
+Reference semantics citations: extract_text.py:39-66 (candidate/OCR),
+fitzTest3.py:92-95 (markers), regex_extractor.py:7-19 (patterns/split),
+claude_text_extractor.py:63-84 (pagewise extraction).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import spec
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("field", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("value", StringType()),
+        ]
+    )
+)
+
+EXTRACT_RESULT_TYPE = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("needs_ocr", BooleanType()),
+        StructField("payload_kind", StringType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# HTML branch (fully vectorized)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = r"<[^>]+>"
+_LINK_RE = r"<a\s[^>]*>(.*?)</a>"
+
+
+def _extract_html_batch(s: pd.Series) -> pd.Series:
+    """Boilerplate strip over a batch of HTML payloads (one block per line,
+    per the generator/SPEC contract; scoring matches the oracle's DOM-node
+    scoring on that grammar)."""
+    if s.empty:
+        return pd.Series([], dtype=object)
+    lines = s.str.split("\n").explode()
+    # link text chars per line
+    link_chars = (
+        lines.str.findall(_LINK_RE, flags=re.S)
+        .map(lambda l: sum(len(x) for x in l) if isinstance(l, list) else 0)
+        .astype("int64")
+    )
+    # strip tags, unescape the generator's entity set, collapse whitespace
+    text = lines.str.replace(_TAG_RE, "", regex=True)
+    text = (
+        text.str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
+    )
+    text = text.str.replace(r"\s+", " ", regex=True).str.strip()
+    tlen = text.str.len()
+    keep = (tlen >= spec.HTML_MIN_TEXT_LEN) & (link_chars / tlen.clip(lower=1) <= spec.HTML_MAX_LINK_DENSITY)
+    kept = text[keep]
+    joined = kept.groupby(level=0).agg(spec.HTML_BLOCK_JOINER.join)
+    return joined.reindex(s.index, fill_value="")
+
+
+# ---------------------------------------------------------------------------
+# pseudo-PDF branch (vectorized layout parse)
+# ---------------------------------------------------------------------------
+
+_PAGE_EXTRACT = r"^%%PAGE (\d+)$"
+_RUN_EXTRACT = r"^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$"
+
+
+def _extract_pdf_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Returns (extracted_text, needs_ocr) for a batch of pseudo-PDF payloads."""
+    if s.empty:
+        return pd.Series([], dtype=object), pd.Series([], dtype=bool)
+    lines = s.str.split("\n").explode()
+    df = pd.DataFrame({"doc": lines.index, "line": lines.values})
+    page = df["line"].str.extract(_PAGE_EXTRACT, expand=False)
+    runs = df["line"].str.extract(_RUN_EXTRACT)
+    df["page"] = pd.to_numeric(page, errors="coerce").groupby(df["doc"]).ffill()
+    df["x"] = pd.to_numeric(runs[0], errors="coerce")
+    df["y"] = pd.to_numeric(runs[1], errors="coerce")
+    df["txt"] = runs[2]
+    rdf = df.dropna(subset=["x", "y", "page"])[["doc", "page", "x", "y", "txt"]].copy()
+
+    # needs_ocr: total stripped run chars per doc < OCR_MIN_CHARS
+    chars = rdf["txt"].str.strip().str.len().groupby(rdf["doc"]).sum()
+    needs_ocr = chars.reindex(s.index, fill_value=0) < spec.OCR_MIN_CHARS
+
+    # y-cluster: sort (doc, page, -y), new line when gap > PDF_Y_TOL
+    rdf = rdf.sort_values(["doc", "page", "y"], ascending=[True, True, False], kind="mergesort")
+    grp = rdf.groupby(["doc", "page"], sort=False)
+    gap = grp["y"].diff().fillna(0.0) * -1.0  # positive gaps going down
+    rdf["cluster"] = (gap > spec.PDF_Y_TOL).cumsum()
+
+    # within a cluster: x ascending, join with spaces; line_y = max y
+    rdf = rdf.sort_values(["doc", "page", "cluster", "x"], kind="mergesort")
+    cl = rdf.groupby(["doc", "page", "cluster"], sort=False).agg(
+        text=("txt", " ".join), line_y=("y", "max")
+    ).reset_index()
+
+    # paragraph blank line when vertical gap >= PDF_PARA_GAP
+    prev_y = cl.groupby(["doc", "page"], sort=False)["line_y"].shift()
+    para_break = (prev_y - cl["line_y"]) >= spec.PDF_PARA_GAP
+    cl["text"] = np.where(para_break, "\n" + cl["text"], cl["text"])
+
+    # page body, then '--- PAGE n ---' headers, then doc assembly
+    pages = cl.groupby(["doc", "page"], sort=False)["text"].agg("\n".join).reset_index()
+    pages["body"] = pages["text"].str.strip()
+
+    # docs may contain page markers with zero runs (near-empty last pages are
+    # not emitted by the generator, but handle marker-only pages anyway)
+    markers = df.dropna(subset=["page"])[["doc", "page"]].drop_duplicates()
+    pages = markers.merge(pages[["doc", "page", "body"]], on=["doc", "page"], how="left")
+    pages["body"] = pages["body"].fillna("")
+    pages = pages.sort_values(["doc", "page"], kind="mergesort")
+    pages["rendered"] = (
+        "--- PAGE " + pages["page"].astype(np.int64).astype(str) + " ---\n" + pages["body"]
+    )
+    text = pages.groupby("doc", sort=False)["rendered"].agg("\n".join).str.strip()
+    return text.reindex(s.index, fill_value=""), needs_ocr
+
+
+# ---------------------------------------------------------------------------
+# span extraction (compiled regex; per-chunk loop, C-dominated)
+# ---------------------------------------------------------------------------
+
+_CLAIM_NO = re.compile(spec.CLAIM_NO_PAT)
+_AMOUNT = re.compile(spec.AMOUNT_PAT)
+_REASON = re.compile(spec.REASON_PAT)
+_NAME = re.compile(spec.NAME_PATTERNS[0])
+_DATES = [re.compile(p) for p in spec.DATE_PATTERNS]
+_RECORD_SPLIT = re.compile(spec.RECORD_SPLIT_PAT)
+
+# field scan order within a record == spec.SPAN_FIELD_ORDER (date handled
+# separately because it needs normalization-validation of candidates)
+_FIELD_RES = [("claim_number", _CLAIM_NO), ("name", _NAME), ("amount", _AMOUNT), ("reason", _REASON)]
+
+from ..functions.dates import normalize_date_py  # noqa: E402
+
+
+def _spans_batch(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        recs: list[dict] = []
+        start = 0
+        n = len(t)
+        while start <= n:
+            m = _RECORD_SPLIT.search(t, start)
+            end = m.start() if m else n
+            chunk = t[start:end]
+            if chunk:
+                for field, rex in _FIELD_RES:
+                    fm = rex.search(chunk)
+                    if fm:
+                        recs.append(
+                            {"field": field, "start": start + fm.start(1),
+                             "end": start + fm.end(1), "value": fm.group(1).strip()}
+                        )
+                for pat in _DATES:
+                    cand = pat.search(chunk)
+                    if cand and normalize_date_py(cand.group(1)):
+                        recs.append(
+                            {"field": "date", "start": start + cand.start(1),
+                             "end": start + cand.end(1), "value": cand.group(1).strip()}
+                        )
+                        break
+            if m is None:
+                break
+            start = m.end()
+        out.append(recs)
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# the UDF
+# ---------------------------------------------------------------------------
+
+
+def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    """Pure-pandas batch kernel (also unit-testable off-Spark)."""
+    text = text.fillna("")
+    is_pdf = text.str.startswith(spec.PDF_HEADER)
+    lstripped = text.str.lstrip()
+    is_html = (~is_pdf) & (
+        lstripped.str.startswith("<html")
+        | lstripped.str.startswith("<!DOCTYPE")
+        | (tool.fillna("") == "html_paste")
+    )
+    is_plain = ~is_pdf & ~is_html
+
+    extracted = pd.Series("", index=text.index, dtype=object)
+    needs_ocr = pd.Series(False, index=text.index)
+
+    if is_plain.any():
+        extracted[is_plain] = text[is_plain].str.strip()
+    if is_html.any():
+        extracted[is_html] = _extract_html_batch(text[is_html])
+    if is_pdf.any():
+        pdf_text, pdf_ocr = _extract_pdf_batch(text[is_pdf])
+        extracted[is_pdf] = pdf_text
+        needs_ocr[is_pdf] = pdf_ocr.astype(bool)
+
+    spans = _spans_batch(extracted)
+    kind = pd.Series(
+        np.select([is_pdf, is_html], ["pdf", "html"], default="plain"), index=text.index
+    )
+    return pd.DataFrame(
+        {
+            "extracted_text": extracted,
+            "spans": spans,
+            "needs_ocr": needs_ocr,
+            "payload_kind": kind,
+        }
+    )
+
+
+def with_extraction(df, text_col: str = "text", tool_col: str = "tool"):
+    """Append extraction columns to a transcripts DataFrame.
+
+    Declarative so Catalyst keeps column pruning/pushdown around the UDF;
+    only (text, tool) cross the Arrow boundary.
+    """
+    udf = F.pandas_udf(extract_turn_batch, EXTRACT_RESULT_TYPE)
+    res = udf(F.col(text_col), F.col(tool_col))
+    return (
+        df.withColumn("_ex", res)
+        .withColumn("extracted_text", F.col("_ex.extracted_text"))
+        .withColumn("spans", F.col("_ex.spans"))
+        .withColumn("needs_ocr", F.col("_ex.needs_ocr"))
+        .withColumn("payload_kind", F.col("_ex.payload_kind"))
+        .drop("_ex")
+    )

@@ -1,0 +1,395 @@
+"""Vendored reference-semantics extractor — the GOLDEN ORACLE.
+
+A deliberately row-at-a-time, readable reimplementation of the reference
+repo's deterministic extraction semantics (SURVEY §7 step 1). It is used
+ONLY to produce expected outputs for tests; the Spark engine implements the
+same SPEC independently (vectorized), and golden tests assert bit-exact
+equality between the two on thousands of generated turns.
+
+Reference citations (paths under /root/reference):
+- candidate selection / OCR threshold   src/claim_extractor/extract_text.py:39-66
+- page markers                          fitzTest3.py:92-95
+- blank-line record split               src/claim_extractor/regex_extractor.py:19
+- field regexes                         regex_extractor.py:7-9, parse_fields.py:9-22
+- date normalization                    parse_fields.py:33-38 (dateutil fuzzy)
+- confidence                            parse_fields.py:41-49
+- LOB classification                    claude_pdf_extractor.py:92-132,
+                                        text_lob_llm_extractor.py:231-244
+
+The HTML path implements the north-star DOM-tree + text-density/link-density
+node scoring with a real HTMLParser-built tree.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .. import spec
+
+# ---------------------------------------------------------------------------
+# HTML: DOM tree + boilerplate node scoring
+# ---------------------------------------------------------------------------
+
+_BLOCK_TAGS = {
+    "p", "div", "nav", "header", "footer", "main", "article", "section",
+    "aside", "ul", "ol", "li", "table", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre",
+}
+
+
+class _Node:
+    __slots__ = ("tag", "content", "link_chars")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        # document-order interleaving of text fragments and child nodes
+        self.content: list[object] = []
+        self.link_chars = 0
+
+
+class _DomBuilder(HTMLParser):
+    """Builds a minimal DOM tree; block-level nodes become scoring units."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+        self.blocks: list[_Node] = []  # document-order block nodes
+        self._in_a = 0
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag)
+        self.stack[-1].content.append(node)
+        self.stack.append(node)
+        if tag in _BLOCK_TAGS:
+            self.blocks.append(node)
+        if tag == "a":
+            self._in_a += 1
+
+    def handle_endtag(self, tag):
+        # tolerant pop: unwind to the matching open tag if present
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+        if tag == "a" and self._in_a:
+            self._in_a -= 1
+
+    def handle_data(self, data):
+        if not data:
+            return
+        self.stack[-1].content.append(data)
+        if self._in_a:
+            self.stack[-1].link_chars += len(data)
+
+
+def _collect(node: _Node) -> tuple[str, int]:
+    """Concatenated subtree text (document order) and link-char count."""
+    parts: list[str] = []
+    links = node.link_chars
+    for item in node.content:
+        if isinstance(item, str):
+            parts.append(item)
+        else:
+            t, l = _collect(item)
+            parts.append(t)
+            links += l
+    return "".join(parts), links
+
+
+def extract_html_main_content(html: str) -> str:
+    """Boilerplate strip: score each top-level block by text length and link
+    density; keep blocks with len(text) >= HTML_MIN_TEXT_LEN and
+    link_density <= HTML_MAX_LINK_DENSITY; join with a blank line."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    # Score only OUTERMOST blocks (a block nested in another block is part
+    # of its parent's scoring unit, not its own).
+    outer: list[_Node] = []
+    seen_inner: set[int] = set()
+
+    def mark_inner(n: _Node):
+        for ch in n.content:
+            if isinstance(ch, _Node):
+                if ch.tag in _BLOCK_TAGS:
+                    seen_inner.add(id(ch))
+                mark_inner(ch)
+
+    for b in builder.blocks:
+        mark_inner(b)
+    for b in builder.blocks:
+        if id(b) not in seen_inner:
+            outer.append(b)
+
+    kept: list[str] = []
+    for b in outer:
+        raw, link_chars = _collect(b)
+        text = " ".join(raw.split())  # collapse whitespace runs
+        if len(text) < spec.HTML_MIN_TEXT_LEN:
+            continue
+        if link_chars / len(text) > spec.HTML_MAX_LINK_DENSITY:
+            continue
+        kept.append(text)
+    return spec.HTML_BLOCK_JOINER.join(kept)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-PDF: tokenize → y-cluster → reading-order sort → page markers
+# ---------------------------------------------------------------------------
+
+_PAGE_RE = re.compile(spec.PDF_PAGE_RE)
+_RUN_RE = re.compile(spec.PDF_RUN_RE)
+
+
+def extract_pdf_stream(payload: str) -> tuple[str, bool]:
+    """Returns (page-marked text, needs_ocr).
+
+    Mirrors the reference's pagewise extraction (claude_text_extractor.py:63-84)
+    on the spec's deterministic content-stream grammar: per page, text runs
+    are clustered into lines by y (tolerance PDF_Y_TOL), lines ordered by
+    descending y, runs within a line by ascending x, joined with single
+    spaces; a vertical gap >= PDF_PARA_GAP emits one blank line. Pages carry
+    '--- PAGE n ---' markers (fitzTest3.py:92-95). needs_ocr is True when
+    the total stripped run text is under OCR_MIN_CHARS (extract_text.py:60-64).
+    """
+    pages: list[tuple[int, list[tuple[float, float, str]]]] = []
+    current: list[tuple[float, float, str]] | None = None
+    for line in payload.split("\n"):
+        m = _PAGE_RE.match(line)
+        if m:
+            current = []
+            pages.append((int(m.group(1)), current))
+            continue
+        m = _RUN_RE.match(line)
+        if m and current is not None:
+            current.append((float(m.group(1)), float(m.group(2)), m.group(3)))
+
+    total_chars = 0
+    out_pages: list[str] = []
+    for page_no, runs in pages:
+        total_chars += sum(len(t.strip()) for _, _, t in runs)
+        # sort by y desc, then x asc
+        runs_sorted = sorted(runs, key=lambda r: (-r[1], r[0]))
+        lines: list[list[tuple[float, float, str]]] = []
+        prev_y: float | None = None
+        for run in runs_sorted:
+            if prev_y is None or (prev_y - run[1]) > spec.PDF_Y_TOL:
+                lines.append([run])
+            else:
+                lines[-1].append(run)
+            prev_y = run[1]
+        rendered: list[str] = []
+        prev_line_y: float | None = None
+        for line_runs in lines:
+            line_y = line_runs[0][1]  # max y in cluster (sorted desc)
+            if prev_line_y is not None and (prev_line_y - line_y) >= spec.PDF_PARA_GAP:
+                rendered.append("")
+            rendered.append(" ".join(t for _, _, t in sorted(line_runs, key=lambda r: r[0])))
+            prev_line_y = line_y
+        body = "\n".join(rendered).strip()
+        out_pages.append(spec.PAGE_MARKER_FMT.format(n=page_no) + "\n" + body)
+    text = "\n".join(out_pages).strip()
+    needs_ocr = total_chars < spec.OCR_MIN_CHARS
+    return text, needs_ocr
+
+
+# ---------------------------------------------------------------------------
+# Spans + field parsing (regex_extractor.py / parse_fields.py semantics)
+# ---------------------------------------------------------------------------
+
+_CLAIM_NO = re.compile(spec.CLAIM_NO_PAT)
+_AMOUNT = re.compile(spec.AMOUNT_PAT)
+_REASON = re.compile(spec.REASON_PAT)
+_NAME = re.compile(spec.NAME_PATTERNS[0])
+_DATES = [re.compile(p) for p in spec.DATE_PATTERNS]
+_RECORD_SPLIT = re.compile(spec.RECORD_SPLIT_PAT)
+
+# Known date formats emitted by the fixture generator; normalization is a
+# strict strptime ladder reproducing dateutil(fuzzy=True) results on them
+# (parse_fields.py:33-38). Anything else → None.
+_DATE_FORMATS = ["%m/%d/%Y", "%m-%d-%Y", "%d/%m/%Y", "%d-%m-%Y", "%m/%d/%y", "%m-%d-%y",
+                 "%B %d, %Y", "%b %d, %Y", "%Y-%m-%d", "%Y/%m/%d"]
+
+
+def normalize_date_oracle(raw: str | None) -> str | None:
+    if not raw:
+        return None
+    from datetime import datetime
+
+    s = raw.strip()
+    for fmt in _DATE_FORMATS:
+        try:
+            return datetime.strptime(s, fmt).strftime("%Y-%m-%d")
+        except ValueError:
+            continue
+    try:  # residue: dateutil fuzzy, exactly as parse_fields.py:35
+        from dateutil import parser as date_parser
+
+        return date_parser.parse(s, dayfirst=False, yearfirst=False, fuzzy=True).strftime("%Y-%m-%d")
+    except Exception:
+        return None
+
+
+def find_spans(extracted_text: str) -> list[dict]:
+    """Per-record field spans with ABSOLUTE offsets into extracted_text.
+
+    Records are blank-line chunks (X1); within each record the first match
+    of each field is emitted in SPAN_FIELD_ORDER. The date span is the first
+    DATE_PATTERN whose match normalizes (regex_extractor.py:40-46)."""
+    spans: list[dict] = []
+    text = extracted_text
+    pos = 0
+    # re.split with offsets: iterate separators manually
+    boundaries: list[tuple[int, int]] = []
+    start = 0
+    stripped = text.strip()
+    lead = len(text) - len(text.lstrip())
+    body = stripped
+    for m in _RECORD_SPLIT.finditer(body):
+        boundaries.append((start, m.start()))
+        start = m.end()
+    boundaries.append((start, len(body)))
+    for b_start, b_end in boundaries:
+        chunk = body[b_start:b_end]
+        if not chunk:
+            continue
+        abs_off = lead + b_start
+        for field in spec.SPAN_FIELD_ORDER:
+            if field == "claim_number":
+                m = _CLAIM_NO.search(chunk)
+            elif field == "name":
+                m = _NAME.search(chunk)
+            elif field == "amount":
+                m = _AMOUNT.search(chunk)
+            elif field == "reason":
+                m = _REASON.search(chunk)
+            else:  # date — first pattern that normalizes
+                m = None
+                for pat in _DATES:
+                    cand = pat.search(chunk)
+                    if cand and normalize_date_oracle(cand.group(1)):
+                        m = cand
+                        break
+            if m:
+                val = m.group(1)
+                # offsets of group(1), trailing-strip like the reference's
+                # .strip() on captured values (values here never have lead ws)
+                spans.append(
+                    {
+                        "field": field,
+                        "start": abs_off + m.start(1),
+                        "end": abs_off + m.end(1),
+                        "value": val.strip(),
+                    }
+                )
+    _ = pos
+    return spans
+
+
+def split_records_oracle(extracted_text: str) -> list[dict]:
+    """regex_extractor.extract_with_regex_unstructured semantics (:12-55)."""
+    results = []
+    for chunk in _RECORD_SPLIT.split(extracted_text.strip()):
+        claim_no = amount = reason = date = None
+        m = _CLAIM_NO.search(chunk)
+        if m:
+            claim_no = m.group(1).strip()
+        m = _AMOUNT.search(chunk)
+        if m:
+            amount = f"${m.group(1)}"
+        m = _REASON.search(chunk)
+        if m:
+            reason = m.group(1).strip()
+        for pat in _DATES:
+            d = pat.search(chunk)
+            if d:
+                normalized = normalize_date_oracle(d.group(1))
+                if normalized:
+                    date = normalized
+                    break
+        if any([claim_no, amount, reason, date]):
+            results.append(
+                {"claim_number": claim_no, "amount": amount, "reason": reason, "date": date}
+            )
+    return results
+
+
+def parse_fields_oracle(text: str) -> dict:
+    """parse_fields.py:52-67 semantics (first-match ladders + confidence)."""
+    text = text or ""
+    claim_number = None
+    for pat in spec.CLAIM_PATTERNS:
+        m = re.search(pat, text)
+        if m:
+            claim_number = m.group(1).strip()
+            break
+    name_m = _NAME.search(text)
+    name = name_m.group(1).strip() if name_m else None
+    raw_date = None
+    for pat in _DATES:
+        m = pat.search(text)
+        if m:
+            raw_date = m.group(1).strip()
+            break
+    date = normalize_date_oracle(raw_date) if raw_date else None
+    confidence = round(
+        (spec.CONFIDENCE_WEIGHTS["claim_number"] if claim_number else 0.0)
+        + (spec.CONFIDENCE_WEIGHTS["name"] if name else 0.0)
+        + (spec.CONFIDENCE_WEIGHTS["date"] if date else 0.0),
+        2,
+    )
+    return {"claim_number": claim_number, "name": name, "date": date, "confidence": confidence}
+
+
+# ---------------------------------------------------------------------------
+# Per-turn dispatch (payload sniff → extract)
+# ---------------------------------------------------------------------------
+
+
+def sniff_payload_kind(text: str, tool: str | None = None) -> str:
+    if text.startswith(spec.PDF_HEADER):
+        return "pdf"
+    lstripped = text.lstrip()
+    if lstripped.startswith("<html") or lstripped.startswith("<!DOCTYPE") or tool == "html_paste":
+        return "html"
+    return "plain"
+
+
+def extract_turn(text: str, tool: str | None = None) -> dict:
+    """Full per-turn extraction: (extracted_text, spans, needs_ocr, kind)."""
+    kind = sniff_payload_kind(text or "", tool)
+    needs_ocr = False
+    if kind == "pdf":
+        extracted, needs_ocr = extract_pdf_stream(text)
+    elif kind == "html":
+        extracted = extract_html_main_content(text)
+    else:
+        extracted = (text or "").strip()
+    return {
+        "extracted_text": extracted,
+        "spans": find_spans(extracted),
+        "needs_ocr": needs_ocr,
+        "payload_kind": kind,
+    }
+
+
+def extract_turn_frame(pdf):
+    """Apply extract_turn over a pandas transcripts frame → golden frame."""
+    import pandas as pd
+
+    out = []
+    for row in pdf.itertuples(index=False):
+        res = extract_turn(row.text, row.tool)
+        out.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": row.turn_idx,
+                "ts": row.ts,
+                "extracted_text": res["extracted_text"],
+                "spans": res["spans"],
+                "needs_ocr": res["needs_ocr"],
+                "payload_kind": res["payload_kind"],
+            }
+        )
+    return pd.DataFrame(out)

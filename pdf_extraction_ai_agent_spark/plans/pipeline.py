@@ -1,0 +1,71 @@
+"""The end-to-end extraction pipeline (reference lifecycles E1/E2/E3
+collapsed into one DataFrame program — SURVEY §3).
+
+Shape:
+
+    scan transcripts
+      → salted repartition  (hash(conv_id) ⊕ salt below conv granularity —
+                             a skewed multi-million-turn conversation is
+                             spread across S tasks for the map-only UDF
+                             stage; safe because extraction is per-turn
+                             independent, SURVEY §7 risk 5)
+      → extract_turn_batch  (Arrow pandas UDF: payload sniff, HTML
+                             boilerplate strip, pseudo-PDF layout parse,
+                             span extraction)
+      → stable ordering     (row_number over conv_id ordered by turn_idx,ts)
+      → field projections   (native regexp_extract ladders)
+      → classification      (native keyword scoring)
+
+The two shuffles are exactly the ones the north rule prescribes: the
+explicit pre-UDF repartition and the ordering window. Everything else is
+narrow and stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.classify import classify_lob_c1, classify_lobs_c2
+from ..operators.extract import with_extraction
+from ..operators.ordering import with_turn_pos
+from ..functions.fields import with_parsed_fields
+
+# Salt fan-out for the map stage. At cluster scale set ≈ (executor cores ×
+# 2-3) / distinct-heavy-convs; 8 is right-sized for local[32] fixtures.
+DEFAULT_SALT_BUCKETS = 8
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Explicit repartition before the heavy UDF stage (north rule):
+    hash(conv_id) + a turn-level salt so skewed conversations split."""
+    salt = F.pmod(F.hash("turn_idx", "ts"), F.lit(salt_buckets))
+    key = F.hash(F.col("conv_id"), salt)
+    if num_partitions:
+        return df.repartition(num_partitions, key)
+    return df.repartition(key)
+
+
+def extract_pipeline(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    with_fields: bool = True,
+    with_lob: bool = True,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Transcripts → per-turn extraction rows.
+
+    Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
+    needs_ocr, payload_kind [, claim_number, name, date, confidence]
+    [, lob, lobs]).
+    """
+    df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
+    df = salted_repartition(df, num_partitions, salt_buckets)
+    df = with_extraction(df).drop("text", "tool")
+    df = with_turn_pos(df)
+    if with_fields:
+        df = with_parsed_fields(df, "extracted_text")
+    if with_lob:
+        df = df.withColumn("lob", classify_lob_c1(F.col("extracted_text")))
+        df = df.withColumn("lobs", classify_lobs_c2(F.col("extracted_text")))
+    return df

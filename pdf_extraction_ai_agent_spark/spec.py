@@ -1,0 +1,149 @@
+"""The payload + extraction SPEC shared by the fixture generator, the
+row-at-a-time oracle (golden producer) and the vectorized Spark engine.
+
+Everything here is derived from the *deterministic* semantics of the
+reference repo (cited file:line below, paths relative to /root/reference):
+
+- blank-line record split      src/claim_extractor/regex_extractor.py:19
+- field regexes                src/claim_extractor/regex_extractor.py:7-9,
+                               src/claim_extractor/parse_fields.py:9-22
+- OCR-trigger threshold (<40)  src/claim_extractor/extract_text.py:60-64
+- page marker contract         fitzTest3.py:92-95 ("--- PAGE n ---")
+- confidence weights           src/claim_extractor/parse_fields.py:41-49
+- layout clustering tolerance  src/claim_extractor/extract_text.py:13
+                               (pdfplumber x_tolerance=2, y_tolerance=2)
+
+The HTML boilerplate-strip stage (text-density + link-density node scoring)
+is required by the build target (BASELINE.json north_star); thresholds below
+define its exact contract so two independent implementations can agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Field regexes (reference: regex_extractor.py:7-9, parse_fields.py:9-22).
+# Written in the common subset of Java-regex (Spark), RE2 (DuckDB) and
+# Python `re` so the same pattern string runs in all three engines.
+# ---------------------------------------------------------------------------
+
+CLAIM_NO_PAT = (
+    r"(?i)\b(?:claim\s*(?:no\.?|number|#|id)\s*[:\-]?|ref(?:erence)?\s*[:\-]?)"
+    r"\s*([A-Z0-9\-/]{5,})\b"
+)
+AMOUNT_PAT = r"\$\s*([0-9]{1,3}(?:,[0-9]{3})*(?:\.[0-9]{2})|[0-9]+(?:\.[0-9]{2}))"
+REASON_PAT = r"(?i)(?:reason|cause|description)\s*[:\-]?\s*([^.;\n]+)"
+
+# parse_fields.py:9-16 — single-document field parse patterns.
+CLAIM_PATTERNS = [
+    r"(?i)\bclaim\s*(?:no\.?|number|#|id)\s*[:\-]?\s*([A-Z0-9\-/]{5,})\b",
+    r"(?i)\bclaim\s*[:\-]?\s*([A-Z0-9\-/]{5,})\b",
+]
+NAME_PATTERNS = [
+    r"\b(?:claimant|insured|name|Claimant|Insured|Name|NAME|CLAIMANT|INSURED)"
+    r"\s*[:\-]\s*([A-Z][A-Za-z'\-]+(?:\s+[A-Z][A-Za-z'\-]+)+)\b",
+]
+DATE_PATTERNS = [
+    r"\b(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})\b",
+    r"\b([A-Za-z]{3,9}\s+\d{1,2},\s*\d{4})\b",
+    r"\b(\d{4}[/-]\d{1,2}[/-]\d{1,2})\b",
+]
+
+# Order in which spans are emitted within one record chunk.
+SPAN_FIELD_ORDER = ["claim_number", "name", "amount", "reason", "date"]
+
+# Blank-line record delimiter (regex_extractor.py:19).
+RECORD_SPLIT_PAT = r"\n\s*\n+"
+
+# ---------------------------------------------------------------------------
+# Extraction thresholds
+# ---------------------------------------------------------------------------
+
+# extract_text.py:60-64 — OCR fallback trigger: stripped raw text < 40 chars.
+OCR_MIN_CHARS = 40
+
+# Page marker contract (fitzTest3.py:92-95).
+PAGE_MARKER_FMT = "--- PAGE {n} ---"
+PAGE_MARKER_RE = r"^--- PAGE\s+(\d+)\s+---$"
+
+# HTML boilerplate scoring (north_star: Readability/Boilerpipe-style).
+# A block is MAIN CONTENT iff:
+#   len(text) >= HTML_MIN_TEXT_LEN  and  link_density <= HTML_MAX_LINK_DENSITY
+# where text = tag-stripped, entity-unescaped, stripped block text and
+# link_density = (total length of <a> inner text) / len(text).
+HTML_MIN_TEXT_LEN = 25
+HTML_MAX_LINK_DENSITY = 0.35
+# Kept blocks are joined with a blank line (so record-split X1 still works).
+HTML_BLOCK_JOINER = "\n\n"
+
+# Pseudo-PDF content-stream grammar (deterministic stand-in for a PDF page
+# stream; mirrors the text-box + reading-order model of pdfplumber/fitz):
+#   %PDF-SIM 1.0
+#   %%PAGE <n>
+#   BT <x> <y> Td (<run text>) Tj ET
+# Run text never contains parentheses, backslashes or newlines.
+PDF_HEADER = "%PDF-SIM 1.0"
+PDF_PAGE_RE = r"^%%PAGE (\d+)$"
+PDF_RUN_RE = r"^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$"
+# Reading order: lines = y-clusters (descending y, cluster break when the
+# gap to the previous run's y exceeds PDF_Y_TOL); within a line, runs sort
+# by x ascending and join with a single space. Mirrors pdfplumber
+# y_tolerance=2 (extract_text.py:13).
+PDF_Y_TOL = 2.0
+# A vertical gap >= PDF_PARA_GAP between consecutive lines emits one blank
+# line (paragraph / record boundary), preserving the blank-line split
+# contract of regex_extractor.py:19. Generator uses leading 16 / gap 32.
+PDF_PARA_GAP = 28.0
+PDF_LEADING = 16.0
+
+# ---------------------------------------------------------------------------
+# LOB classification keyword tables
+# ---------------------------------------------------------------------------
+
+# C1 — claude_pdf_extractor.py:92-132 (count occurrences, argmax, UNKNOWN).
+LOB_PATTERNS_C1 = {
+    "AUTO": [
+        "AUTO", "AUTOMOBILE", "VEHICLE", "CAR", "TRUCK", "MOTOR",
+        "AUTO LIABILITY", "AUTO PHYSICAL DAMAGE", "PERSONAL AUTO",
+        "COMMERCIAL AUTO", "GARAGE LIABILITY", "MOTOR CARRIER",
+    ],
+    "GENERAL LIABILITY": [
+        "GENERAL LIABILITY", "GL", "COMMERCIAL GENERAL LIABILITY",
+        "CGL", "PROPERTY", "LIABILITY", "BUSINESS LIABILITY",
+        "PROFESSIONAL LIABILITY", "PRODUCTS LIABILITY",
+    ],
+    "WC": [
+        "WORKERS COMPENSATION", "WORKER COMPENSATION", "WC",
+        "WORKERS COMP", "EMPLOYER LIABILITY", "WORK COMP",
+        "WORKERS COMPENSATION AND EMPLOYERS LIABILITY",
+    ],
+}
+# Deterministic tiebreak for the argmax (Python dict order in the reference):
+LOB_C1_ORDER = ["AUTO", "GENERAL LIABILITY", "WC"]
+
+# C2 — text_lob_llm_extractor.py:231-244 (padded-token membership, multi).
+LOB_HITS_C2 = {
+    "AUTO": [" AUTO ", " AUTOMOBILE", " VEHICLE", " VIN ", " COLLISION",
+             " COMPREHENSIVE", " LICENSE PLATE", " TOW ", " RENTAL",
+             " SUBROGATION"],
+    "GENERAL LIABILITY": [" GENERAL LIABILITY", " GL ", " PREMISES",
+                          " PRODUCTS LIABILITY", " CGL ", " COVERAGE A",
+                          " COVERAGE B", " COVERAGE C", " AGGREGATE LIMIT"],
+    "WC": [" WORKERS' COMP", " WORKERS COMP", " WC ", " TTD", " TPD",
+           " INDEMNITY", " MEDICAL ONLY", " LOST TIME", " OSHA ",
+           " EMPLOYEE ", " EMPLOYER "],
+}
+
+# Confidence weights (parse_fields.py:41-49).
+CONFIDENCE_WEIGHTS = {"claim_number": 0.4, "name": 0.3, "date": 0.3}
+
+# Registry LOB aliases (mock_storage.py:55-60).
+LOB_ALIASES = {
+    "work": "wc", "workers": "wc", "workers comp": "wc",
+    "workerscomp": "wc", "worker": "wc",
+    "vehicle": "auto", "car": "auto", "accident": "auto",
+    "automobile": "auto",
+    "house": "property", "home": "property", "fire": "property",
+    "building": "property",
+    "general": "gl", "liability": "gl", "general liability": "gl",
+}
