@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — wraps sf0.001 ``documents`` text into
+  boilerplate-laden HTML transcripts and runs the full extraction pipeline
+  (salted repartition → vectorized extract UDF → stable ordering → field
+  parse → LOB classify).
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+  SURVEY.md §2, with DuckDB oracle SQL (see
+  ``pdf_extraction_ai_agent_spark/entry_queries.py``).
 """
 
 from __future__ import annotations
@@ -12,27 +14,48 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → HTML transcript payloads → extraction pipeline."""
+    from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html>\n<body>\n"
+              '<nav><a href="/h">Home</a> <a href="/c">Claims</a> <a href="/r">Reports</a></nav>\n'),
+        F.lit("<p>"), F.col("text"), F.lit("</p>\n"),
+        F.lit('<footer><a href="/tos">Terms of service</a> <a href="/p">Privacy policy</a></footer>\n'
+              "</body>\n</html>"),
+    )
+    transcripts = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        html.alias("text"),
+        F.lit("html_paste").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    out = extract_pipeline(transcripts, with_fields=True, with_lob=True)
+    return out.select(
+        "conv_id", "turn_idx", "turn_pos", "extracted_text", "needs_ocr",
+        "payload_kind", "claim_number", "date", "confidence", "lob",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extraction_ai_agent_spark.entry_queries import CORE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(CORE_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extraction_ai_agent_spark.entry_queries import core_oracles
+
+    return core_oracles()
