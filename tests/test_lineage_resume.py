@@ -1,0 +1,67 @@
+"""Idempotent resume via the per-partition lineage table (north rule)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_ai_agent_spark.plans.lineage import (
+    LineageStore,
+    run_with_lineage,
+    with_part_id,
+)
+
+
+def _plan(df):
+    return df.select("part_id", "conv_id", "turn_idx", F.length("text").alias("n_chars"))
+
+
+def test_resume_skips_completed_partitions(spark, transcripts_df, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("lineage"))
+    out, lin = os.path.join(base, "out"), os.path.join(base, "lineage")
+
+    m1 = run_with_lineage(
+        spark, transcripts_df, _plan, out, lin, run_group="g1", n_buckets=8, bucket_group_size=3
+    )
+    assert m1["skipped_buckets"] == 0
+    n_expected = transcripts_df.count()
+    assert spark.read.parquet(out).count() == n_expected
+
+    # rerun: everything already committed → zero new groups
+    m2 = run_with_lineage(
+        spark, transcripts_df, _plan, out, lin, run_group="g1", n_buckets=8, bucket_group_size=3
+    )
+    assert m2["skipped_buckets"] == 8
+    assert m2["groups"] == []
+    assert spark.read.parquet(out).count() == n_expected  # idempotent
+
+    # lineage metrics recorded per partition
+    lineage_rows = spark.read.parquet(lin).collect()
+    assert {r.part_id for r in lineage_rows} == set(range(8))
+    assert all(r.turns_per_sec > 0 for r in lineage_rows)
+
+
+def test_partial_failure_resume(spark, transcripts_df, tmp_path_factory):
+    """Simulate a crash after the first bucket group: a rerun processes only
+    the remaining buckets and the final output equals a clean run."""
+    base = str(tmp_path_factory.mktemp("lineage2"))
+    out, lin = os.path.join(base, "out"), os.path.join(base, "lineage")
+
+    df = with_part_id(transcripts_df, n_buckets=4)
+    # "crashed" run: only buckets {0,1} committed + lineage written
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _plan(df.filter(F.col("part_id").isin([0, 1]))).write.mode("overwrite").partitionBy(
+        "part_id"
+    ).parquet(out)
+    store = LineageStore(spark, lin)
+    store.append(
+        [
+            {"run_group": "g2", "part_id": p, "n_rows": 0, "wall_ms": 1, "turns_per_sec": 1.0}
+            for p in (0, 1)
+        ]
+    )
+
+    m = run_with_lineage(
+        spark, transcripts_df, _plan, out, lin, run_group="g2", n_buckets=4, bucket_group_size=2
+    )
+    assert m["skipped_buckets"] == 2
+    assert spark.read.parquet(out).count() == transcripts_df.count()

@@ -1,0 +1,76 @@
+"""Multimodal binary plumbing + incremental (available-now) streaming."""
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_ai_agent_spark.operators.multimodal import (
+    decode_stub,
+    extract_media_meta,
+    frame_sample_plan,
+)
+from pdf_extraction_ai_agent_spark.streaming.incremental import (
+    run_available_now_stream,
+    windowed_event_counts,
+)
+
+
+def test_media_meta_roundtrip(spark):
+    payloads = [(1, b"fake-image-bytes", "image"), (2, b"fake-video-bytes" * 100, "video"),
+                (3, b"", "audio")]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary, kind string")
+    out = {r.media_id: r for r in extract_media_meta(df).collect()}
+    assert out[1].payload_bytes == len(b"fake-image-bytes")
+    assert out[1].digest == hashlib.md5(b"fake-image-bytes").hexdigest()
+    assert out[1].frame_count == 1  # images are single-frame
+    assert out[2].frame_count >= 1
+    assert out[3].payload_bytes == 0
+    # deterministic across invocations
+    again = {r.media_id: r for r in extract_media_meta(df).collect()}
+    assert all(out[k] == again[k] for k in out)
+
+
+def test_frame_sample_plan(spark):
+    meta = spark.createDataFrame(
+        [(1, "video", 95), (2, "image", 1)], "media_id long, kind string, frame_count int"
+    )
+    rows = frame_sample_plan(meta, every_n=30).collect()
+    v = sorted(r.frame_idx for r in rows if r.media_id == 1)
+    assert v == [0, 30, 60, 90]
+    assert [r.frame_idx for r in rows if r.media_id == 2] == [0]
+
+
+def test_available_now_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    src = os.path.join(base, "src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.write.parquet(src)
+
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    run_available_now_stream(spark, src, ckpt, out, schema, window="1 hour", watermark="2 hours")
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    exp = windowed_event_counts(events).select("window_start", "event_type", "n_events")
+
+    # append mode only emits windows fully below the final watermark
+    # (max_ts - 2h); trailing open windows stay in state — correct streaming
+    # semantics, so compare only closed windows.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    exp_closed = exp.filter(F.col("window_start") <= cutoff)
+    got_closed = got.filter(F.col("window_start") <= cutoff)
+    diff = got_closed.exceptAll(exp_closed).count() + exp_closed.exceptAll(got_closed).count()
+    assert diff == 0
+    assert got.exceptAll(exp).count() == 0  # nothing beyond batch truth
+
+    # rerun with the same checkpoint: no duplicate output (exactly-once)
+    n_before = spark.read.parquet(out).count()
+    run_available_now_stream(spark, src, ckpt, out, schema, window="1 hour", watermark="2 hours")
+    assert spark.read.parquet(out).count() == n_before
