@@ -1,0 +1,73 @@
+"""Cluster job entry point — the north rule's launch path:
+
+    spark-submit --py-files pdf_extraction_ai_agent_spark.zip \\
+        jobs/run_extraction.py \\
+        --input <iceberg-table-or-parquet-path> \\
+        --output <table-or-path> --lineage <table-or-path> \\
+        [--format iceberg|parquet] [--buckets 4096] [--run-group r1]
+
+Reads the transcript table, runs the extraction pipeline with per-partition
+lineage checkpointing (idempotent resume: rerunning after a failure
+processes only unfinished buckets), writes (conv_id, turn_idx, ts, turn_pos,
+extracted_text, spans, needs_ocr, payload_kind, fields…) partitioned by
+part_id.
+
+Packaging: `python jobs/package.py` produces the zip for --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts: iceberg table name or parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--buckets", type=int, default=256,
+                    help="lineage buckets = resume granularity; ~2-4× executor count")
+    ap.add_argument("--bucket-group-size", type=int, default=8)
+    ap.add_argument("--run-group", default="default")
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pdf_extraction_ai_agent_spark.plans.lineage import run_with_lineage
+    from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
+
+    # on a cluster, master/executors come from spark-submit; only engine
+    # defaults are set here
+    spark = (
+        SparkSession.builder.appName("transcript-extraction")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+    if args.format == "iceberg":
+        transcripts = spark.read.table(args.input)
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    metrics = run_with_lineage(
+        spark,
+        transcripts,
+        lambda df: extract_pipeline(df, salt_buckets=args.salt_buckets),
+        out_path=args.output,
+        lineage_path=args.lineage,
+        run_group=args.run_group,
+        n_buckets=args.buckets,
+        bucket_group_size=args.bucket_group_size,
+        fmt=args.format,
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

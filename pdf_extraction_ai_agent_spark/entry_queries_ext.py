@@ -51,13 +51,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread to all cores: the table ships as one small parquet
+    file (one input split), which would serialize every per-doc kernel —
+    the explicit pre-compute repartition is the same pattern the north rule
+    mandates before the extraction UDF."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # q11 — exact dedup
 # ---------------------------------------------------------------------------
 
 
 def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
 
 _Q11_SQL = f"""
@@ -75,7 +85,7 @@ GROUP BY 1
 
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = dedup.jaccard_pairs(docs, block_col="lang", threshold=0.8)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -106,7 +116,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
 
 
 def q13_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
 
 
 def _q13_sql() -> str:
@@ -127,7 +137,7 @@ GROUP BY doc_id
 
 
 def q14_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def _q14_sql() -> str:
@@ -172,7 +182,7 @@ WHERE CAST(({matches}) AS DOUBLE) / {NUM_PERMS} >= 0.5
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash(_docs(spark, sf_dir))
 
 
 def _q15_sql() -> str:
@@ -250,7 +260,7 @@ def q17_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", textstats.lang_id_col(F.col("text")).alias("lang_guess"))
 
 
@@ -274,7 +284,7 @@ FROM documents
 
 
 def q19_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+    return textstats.quality_scores(_docs(spark, sf_dir))
 
 
 def _q19_sql() -> str:
@@ -306,7 +316,7 @@ FROM ratios
 
 
 def q20_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return textstats.token_counts(_docs(spark, sf_dir))
 
 
 _Q20_SQL = f"""
@@ -319,7 +329,7 @@ FROM documents
 
 
 def q21_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprints(_docs(spark, sf_dir))
 
 
 def _q21_sql() -> str:
@@ -337,7 +347,7 @@ FROM (SELECT doc_id, text, {_WORDS_SQL.format(v='text')} AS w FROM documents)
 
 
 def q22_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),

@@ -261,6 +261,50 @@ def _pick_kind(rng: random.Random) -> str:
     return "plain"
 
 
+def conv_rows(i: int, rng: random.Random, skew: bool, skew_factor: int) -> list[dict]:
+    """All turns of conversation ``i`` from an already-seeded rng."""
+    conv_id = f"conv-{i:08d}"
+    r = rng.random()
+    if skew and i == 0:
+        n_turns = 30 * skew_factor
+    elif r < 0.70:
+        n_turns = rng.randint(1, 5)
+    elif r < 0.95:
+        n_turns = rng.randint(6, 20)
+    else:
+        n_turns = rng.randint(21, 60)
+    rows: list[dict] = []
+    turn_idx = 0
+    for t in range(n_turns):
+        kind = _pick_kind(rng)
+        if kind == "plain":
+            text, tool = _plain_payload(rng), ""
+        elif kind == "labeled":
+            text, tool = _labeled_payload(rng), ""
+        elif kind == "html":
+            text, tool = _html_payload(rng), "html_paste"
+        elif kind == "pdf":
+            text, tool = _pdf_payload(rng), "pdf_upload"
+        else:
+            text, tool = _pdf_payload(rng, near_empty=True), "pdf_upload"
+        ts = _BASE_TS + timedelta(minutes=i * 1000 + t, seconds=rng.randint(0, 30))
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "role": _ROLES[t % 3],
+                "text": text,
+                "tool": tool,
+                "ts": ts,
+            }
+        )
+        # occasional duplicate turn_idx with a later ts → exercises the
+        # (turn_idx, ts) tiebreak of the stable-ordering window (W1)
+        if rng.random() >= 0.03:
+            turn_idx += 1
+    return rows
+
+
 def generate_transcripts(
     n_convs: int = 40,
     seed: int = 42,
@@ -276,47 +320,37 @@ def generate_transcripts(
     rng = random.Random(seed)
     rows: list[dict] = []
     for i in range(n_convs):
-        conv_id = f"conv-{i:08d}"
-        r = rng.random()
-        if skew and i == 0:
-            n_turns = 30 * skew_factor
-        elif r < 0.70:
-            n_turns = rng.randint(1, 5)
-        elif r < 0.95:
-            n_turns = rng.randint(6, 20)
-        else:
-            n_turns = rng.randint(21, 60)
-        turn_idx = 0
-        for t in range(n_turns):
-            kind = _pick_kind(rng)
-            if kind == "plain":
-                text, tool = _plain_payload(rng), ""
-            elif kind == "labeled":
-                text, tool = _labeled_payload(rng), ""
-            elif kind == "html":
-                text, tool = _html_payload(rng), "html_paste"
-            elif kind == "pdf":
-                text, tool = _pdf_payload(rng), "pdf_upload"
-            else:
-                text, tool = _pdf_payload(rng, near_empty=True), "pdf_upload"
-            ts = _BASE_TS + timedelta(minutes=i * 1000 + t, seconds=rng.randint(0, 30))
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": turn_idx,
-                    "role": _ROLES[t % 3],
-                    "text": text,
-                    "tool": tool,
-                    "ts": ts,
-                }
-            )
-            # occasional duplicate turn_idx with a later ts → exercises the
-            # (turn_idx, ts) tiebreak of the stable-ordering window (W1)
-            if rng.random() >= 0.03:
-                turn_idx += 1
+        rows.extend(conv_rows(i, rng, skew, skew_factor))
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     df["turn_idx"] = df["turn_idx"].astype("int32")
     return df
+
+
+def distributed_transcripts(spark, n_convs: int, seed: int = 123,
+                            skew: bool = True, skew_factor: int = 20,
+                            partitions: int | None = None):
+    """Cluster-scale generator: conversations are seeded INDEPENDENTLY
+    (rng per conv keyed by (seed, conv index)), so generation parallelizes
+    over any partitioning while staying deterministic. Used to build large
+    bench corpora; the sequential generator above stays the pytest fixture.
+    """
+    import pandas as pd  # noqa: F811
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    ids = spark.range(0, n_convs, 1, parts)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rng = random.Random(seed * 1_000_003 + int(i))
+                rows.extend(conv_rows(int(i), rng, skew, skew_factor))
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            yield out
+
+    return ids.mapInPandas(kernel, schema=TRANSCRIPT_SCHEMA)
 
 
 def transcripts_spark_df(spark, n_convs: int = 40, seed: int = 42, **kw):

@@ -107,8 +107,13 @@ def run_with_lineage(
         group = todo[gstart : gstart + bucket_group_size]
         part = df.filter(F.col("part_id").isin(group))
         t0 = time.monotonic()
+        plan = build_plan(part)
+        if "part_id" not in plan.columns:
+            # plans are free to drop bookkeeping columns; part_id is a pure
+            # function of conv_id so re-derive it for the partitioned write
+            plan = with_part_id(plan, n_buckets=n_buckets)
         (
-            build_plan(part)
+            plan
             .write.format(fmt)
             .mode("overwrite")
             .partitionBy("part_id")

@@ -1,0 +1,68 @@
+"""Child process for the two-parallelism scaling measurement: runs the full
+extraction pipeline over a cached transcripts parquet on local[N] in a FRESH
+JVM and prints one JSON line {"cores": N, "turns": T, "wall_sec": S}.
+
+Launched by bench.py once per parallelism level so the JVM/session can't
+leak state between measurements (BASELINE.md sandbox evidence protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    cores = int(sys.argv[1])
+    src = sys.argv[2]
+
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
+    from pdf_extraction_ai_agent_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-extract-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+        # size the JVM's GC / netty / fork-join pools as a true N-core
+        # executor would be sized — otherwise every local[N] JVM on this
+        # 32-core box spawns 32-wide thread pools and the comparison
+        # measures pool-contention, not engine scaling
+        extra_conf={"spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"},
+    )
+    transcripts = spark.read.parquet(src)
+    n_turns = transcripts.count()
+
+    # warm-up: spin up a python worker on EVERY core (pandas/module import
+    # is ~1s per worker and must not pollute steady-state throughput), plus
+    # JVM codegen
+    warm = transcripts.limit(cores * 400).repartition(cores * 2)
+    extract_pipeline(warm).agg(F.count(F.lit(1))).collect()
+
+    def timed_run() -> float:
+        t0 = time.monotonic()
+        out = extract_pipeline(transcripts, num_partitions=cores * 2)
+        # force full materialization of every column incl. spans without
+        # shipping rows to the driver
+        out.agg(
+            F.sum(F.length("extracted_text")),
+            F.sum(F.size("spans")),
+            F.count(F.when(F.col("needs_ocr"), 1)),
+            F.count("claim_number"),
+            F.count("lob"),
+        ).collect()
+        return time.monotonic() - t0
+
+    wall = min(timed_run() for _ in range(2))  # steady-state (best of 2)
+
+    print(json.dumps({"cores": cores, "turns": n_turns, "wall_sec": round(wall, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
