@@ -53,13 +53,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries import CORE_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext import EXT_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import EXT2_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext3 import EXT3_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries import core_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext import ext_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import ext2_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext3 import ext3_oracles
 
-    return {**core_oracles(), **ext_oracles(), **ext2_oracles()}
+    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles()}

@@ -66,6 +66,46 @@ def claim_frequency(df: DataFrame, n: int = 20, claim_col: str = "claim_number")
     )
 
 
+def page_analysis(pages: DataFrame, doc_col: str = "conv_id",
+                  page_text_col: str = "page_text") -> DataFrame:
+    """A6 — per-document aggregates over per-page stats (avg chars/lines,
+    tabular-line ratio) with routing-threshold booleans
+    (table_type_detector.py:130-179 shape)."""
+    text = F.col(page_text_col)
+    n_lines = F.size(F.split(text, "\n"))
+    tabular_lines = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^.*\S {2,}\S.*$"), 0))
+    per_page = pages.select(
+        F.col(doc_col).alias("doc"),
+        F.length(text).alias("chars"),
+        n_lines.alias("lines"),
+        tabular_lines.alias("tab_lines"),
+    )
+    agg = per_page.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.round(F.avg("chars"), 2).alias("avg_chars"),
+        F.round(F.avg("lines"), 2).alias("avg_lines"),
+        F.sum("tab_lines").alias("total_tab_lines"),
+        F.round(
+            F.sum("tab_lines").cast("double") / F.greatest(F.sum("lines"), F.lit(1)), 6
+        ).alias("tabular_ratio"),
+    )
+    return agg.withColumn("looks_tabular", F.col("tabular_ratio") > 0.3)
+
+
+def strategy_counters(df: DataFrame, strategy_col: str = "strategy",
+                      success_col: str = "success") -> DataFrame:
+    """A9 — knowledge-base counters: per-strategy attempt/success counts
+    (agentic_processor.py:353-378), as a metrics-table aggregation."""
+    return df.groupBy(F.col(strategy_col).alias("strategy")).agg(
+        F.count(F.lit(1)).alias("attempts"),
+        F.count(F.when(F.col(success_col), 1)).alias("successes"),
+        F.round(
+            F.count(F.when(F.col(success_col), 1)).cast("double")
+            / F.count(F.lit(1)), 6
+        ).alias("success_rate"),
+    )
+
+
 def field_accuracy(paired: DataFrame, fields: list[tuple[str, str, str]]) -> DataFrame:
     """A5 — per-field exact-match ratios over a positional pairing
     (compare_models.py:46-66). ``fields`` = (name, pred_col, truth_col)."""

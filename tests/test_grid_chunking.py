@@ -1,0 +1,75 @@
+"""X7 grid reconstruction, S9 pipe-text, X3 chunking, C4 router,
+A6 page analysis, A9 counters."""
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_ai_agent_spark.operators import aggregate, chunking, grid, pages
+
+
+def test_cells_to_grid_with_merge(spark):
+    cells = [
+        (1, 1, 1, "Claim"), (1, 1, 2, "Paid"),
+        (1, 2, 1, "A-1"), (1, 2, 2, "$10"),
+        (1, 3, 1, "B-2"), (1, 3, 2, "part1"), (1, 3, 2, "part2"),  # merged cell
+    ]
+    df = spark.createDataFrame(cells, "table_id long, row_idx int, col_idx int, cell_text string")
+    g = grid.cells_to_grid(df).collect()[0]
+    assert g.headers == ["Claim", "Paid"]
+    assert g.data == [["A-1", "$10"], ["B-2", "part1 part2"]]
+
+    pt = grid.grid_to_pipe_text(grid.cells_to_grid(df)).collect()[0]
+    assert pt.pipe_text == "SHEET: 1\nClaim | Paid\nA-1 | $10\nB-2 | part1 part2"
+
+
+def test_chunk_text_overlap_and_snap(spark):
+    # 3 lines of 40 chars; window 100 with overlap 20 → snap to newline
+    line = "x" * 39
+    text = "\n".join([line, line, line, line])
+    df = spark.createDataFrame([(1, 0, text)], "conv_id long, turn_idx int, extracted_text string")
+    out = chunking.chunk_text(df, max_chars=100, overlap_chars=20).orderBy("chunk_idx").collect()
+    assert [r.chunk_idx for r in out] == list(range(len(out)))
+    # full coverage: every char of the text appears in some chunk
+    assert out[0].start == 0 and out[-1].end == len(text)
+    # newline snap: first chunk ends at a newline boundary (pos 79), not 100
+    assert out[0].end == 79
+    # overlap: next chunk starts before previous end
+    assert out[1].start == out[0].end - 20
+
+
+def test_strategy_router(spark):
+    df = spark.createDataFrame(
+        [(1, 0.7, 0.25, 3.5), (5, 0.1, 0.0, 1.0), (40, 0.5, 0.1, 2.0)],
+        "page_count int, border_ratio double, merged_ratio double, avg_spacing double",
+    )
+    out = df.select(
+        chunking.complexity_score_col(
+            F.col("page_count"), F.col("border_ratio"), F.col("merged_ratio"), F.col("avg_spacing")
+        ).alias("score")
+    ).withColumn("strategy", chunking.route_strategy_col(F.col("score"))).collect()
+    assert out[0].score >= 7 and out[0].strategy == "claude_image"
+    assert out[1].score <= 3 and out[1].strategy == "camelot_tabula"
+    assert out[2].strategy in ("claude_text", "claude_image")
+
+
+def test_page_analysis(spark):
+    text = (
+        "--- PAGE 1 ---\ncol1    col2    col3\nv1    v2    v3\n"
+        "--- PAGE 2 ---\njust prose here\nmore prose"
+    )
+    df = spark.createDataFrame([(1, 0, text)], "conv_id long, turn_idx int, extracted_text string")
+    p = pages.split_pages(df)
+    out = aggregate.page_analysis(p).collect()[0]
+    assert out.n_pages == 2
+    assert out.total_tab_lines == 2
+    assert 0 < out.tabular_ratio <= 1
+
+
+def test_strategy_counters(spark):
+    df = spark.createDataFrame(
+        [("camelot", True), ("camelot", False), ("claude_text", True)],
+        "strategy string, success boolean",
+    )
+    out = {r.strategy: r for r in aggregate.strategy_counters(df).collect()}
+    assert out["camelot"].attempts == 2 and out["camelot"].successes == 1
+    assert out["camelot"].success_rate == 0.5
+    assert out["claude_text"].success_rate == 1.0
