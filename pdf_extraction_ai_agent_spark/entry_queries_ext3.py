@@ -196,11 +196,63 @@ GROUP BY strategy
 """
 
 
+# ---------------------------------------------------------------------------
+# q35 — C2 multi-LOB membership classification (array output, joined)
+# ---------------------------------------------------------------------------
+
+
+def q35_classify_lobs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import _LOB_SENT_BY_PRIORITY
+    from .operators.classify import classify_lobs_c2
+
+    o = _t(spark, sf_dir, "orders")
+    out = None
+    for k, v in _LOB_SENT_BY_PRIORITY.items():
+        cond = F.col("o_orderpriority") == k
+        out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+    docs = o.select(F.col("o_orderkey").alias("doc_key"), out.alias("text"))
+    return docs.select(
+        "doc_key",
+        F.array_join(classify_lobs_c2(F.col("text")), "|").alias("lobs"),
+    )
+
+
+def _q35_sql() -> str:
+    from . import spec
+    from .entry_queries import _LOB_SENT_BY_PRIORITY
+
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _LOB_SENT_BY_PRIORITY.items())
+
+    def hit(lob: str) -> str:
+        toks = " OR ".join(
+            "contains(up, '" + t.replace("'", "''") + "')" for t in spec.LOB_HITS_C2[lob]
+        )
+        return f"({toks})"
+
+    return f"""
+WITH docs AS (
+  SELECT o_orderkey AS doc_key, upper(CASE o_orderpriority {whens} END) AS up FROM orders
+),
+hits AS (
+  SELECT doc_key,
+         COALESCE(array_to_string(list_filter([
+           CASE WHEN {hit('AUTO')} THEN 'AUTO' END,
+           CASE WHEN {hit('GENERAL LIABILITY')} THEN 'GENERAL LIABILITY' END,
+           CASE WHEN {hit('WC')} THEN 'WC' END
+         ], x -> x IS NOT NULL), '|'), '') AS joined
+  FROM docs
+)
+SELECT doc_key, CASE WHEN joined = '' THEN 'AUTO' ELSE joined END AS lobs
+FROM hits
+"""
+
+
 EXT3_QUERIES = {
     "q31_grid_pipe_text": q31_grid_pipe_text,
     "q32_chunk_text": q32_chunk_text,
     "q33_page_analysis": q33_page_analysis,
     "q34_strategy_counters": q34_strategy_counters,
+    "q35_classify_lobs_multi": q35_classify_lobs_multi,
 }
 
 
@@ -210,4 +262,5 @@ def ext3_oracles() -> dict[str, str]:
         "q32_chunk_text": _Q32_SQL,
         "q33_page_analysis": _Q33_SQL,
         "q34_strategy_counters": _Q34_SQL,
+        "q35_classify_lobs_multi": _q35_sql(),
     }
