@@ -54,8 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext import EXT_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import EXT2_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import EXT3_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext4 import EXT4_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -63,5 +64,6 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext import ext_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import ext2_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import ext3_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext4 import ext4_oracles
 
-    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles()}
+    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(), **ext4_oracles()}

@@ -96,6 +96,119 @@ def rh_signature_col(vec: Column, planes: list[list[int]]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    cosine ≥ threshold.
+
+    Small corpora: blocked self-join (O(n²/blocks)). At scale set
+    ``n_blocks=0`` → use the sign-LSH bands from ``cosine_topk_lsh`` as the
+    blocking key instead of brute force; here the exact form doubles as the
+    verification stage. Exact integer arithmetic (see module docstring), so
+    the DuckDB oracle replays it bit-for-bit.
+    """
+    base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
+    l = base.select(F.col("vid").alias("id_a"), F.col("q").alias("qa"))
+    r = base.select(F.col("vid").alias("id_b"), F.col("q").alias("qb"))
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    cos = dot_int_col(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(norm2_int_col(F.col("qa")).cast("double"))
+        * F.sqrt(norm2_int_col(F.col("qb")).cast("double"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer, deterministic flavor: the centroids are the
+    first ``n_centroids`` vectors by id (a seeded/deterministic stand-in for
+    a k-means fit, which at cluster scale runs as a separate job); every
+    vector is assigned to its max-cosine centroid.
+
+    This is the scale path's partitioner: writing the corpus partitioned by
+    ``centroid_id`` makes ANN queries prune to nprobe partitions — no
+    shuffle at query time at all.
+    """
+    base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
+    cents = (
+        base.orderBy("vid").limit(n_centroids)
+        .select(F.col("vid").alias("centroid_id"), F.col("q").alias("cq"))
+    )
+    joined = base.join(F.broadcast(cents))
+    cos = dot_int_col(F.col("q"), F.col("cq")).cast("double") / (
+        F.sqrt(norm2_int_col(F.col("q")).cast("double"))
+        * F.sqrt(norm2_int_col(F.col("cq")).cast("double"))
+    )
+    scored = joined.select("vid", "centroid_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("vid").orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(F.col("vid").alias("vec_id"), "centroid_id", F.col("cosine").alias("centroid_cosine"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned ANN: score only vectors whose centroid is among the
+    query's ``nprobe`` closest centroids. Exact re-rank on the candidate
+    set; recall vs brute force asserted in tests."""
+    base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
+    assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    corpus = base.join(assign, base.vid == assign.vec_id).select("vid", "q", "centroid_id")
+
+    cents = (
+        base.orderBy("vid").limit(n_centroids)
+        .select(F.col("vid").alias("centroid_id"), F.col("q").alias("cq"))
+    )
+    queries = base.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("q").alias("qv")
+    )
+    qc = queries.join(F.broadcast(cents))
+    qc_cos = dot_int_col(F.col("qv"), F.col("cq")).cast("double") / (
+        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
+        * F.sqrt(norm2_int_col(F.col("cq")).cast("double"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.select("query_id", "qv", "centroid_id", qc_cos.alias("c"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = corpus.join(F.broadcast(probes), "centroid_id").filter(F.col("vid") != F.col("query_id"))
+    cos = dot_int_col(F.col("qv"), F.col("q")).cast("double") / (
+        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
+        * F.sqrt(norm2_int_col(F.col("q")).cast("double"))
+    )
+    scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), F.round(cos, 6).alias("cosine")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],
