@@ -28,6 +28,56 @@ _PY_FORMATS = ["%m/%d/%Y", "%m-%d-%Y", "%d/%m/%Y", "%d-%m-%Y", "%m/%d/%y", "%m-%
                "%B %d, %Y", "%b %d, %Y", "%Y-%m-%d", "%Y/%m/%d"]
 
 
+import re as _re
+from datetime import date as _date
+
+_NUMERIC_DATE = _re.compile(r"^(\d{1,2})([/-])(\d{1,2})\2(\d{2,4})$")
+_MONTHNAME_DATE = _re.compile(r"^([A-Za-z]{3,9})\s+(\d{1,2}),\s+(\d{4})$")
+_MONTHS = {}
+for _i, (_full, _abbr) in enumerate(
+    [("january", "jan"), ("february", "feb"), ("march", "mar"), ("april", "apr"),
+     ("may", "may"), ("june", "jun"), ("july", "jul"), ("august", "aug"),
+     ("september", "sep"), ("october", "oct"), ("november", "nov"), ("december", "dec")],
+    start=1,
+):
+    _MONTHS[_full] = _i
+    _MONTHS[_abbr] = _i
+
+
+def _ymd(y: int, m: int, d: int) -> str | None:
+    try:
+        return _date(y, m, d).isoformat()
+    except ValueError:
+        return None
+
+
+def _normalize_date_fast(s: str) -> str | None | bool:
+    """Exception-free fast path replicating the strptime ladder EXACTLY for
+    the common shapes (uniform-separator numerics, 'Month DD, YYYY').
+    Returns False when the shape is outside the fast path (caller falls back
+    to the full ladder + dateutil). Parity is enforced by a differential
+    hypothesis test."""
+    m = _NUMERIC_DATE.match(s)
+    if m:
+        a, _sep, b, y = int(m.group(1)), m.group(2), int(m.group(3)), m.group(4)
+        if len(y) == 4:
+            # ladder order: %m?%d?%Y then %d?%m?%Y
+            return _ymd(int(y), a, b) or _ymd(int(y), b, a) or False
+        if len(y) == 2:
+            # only month-first 2-digit formats exist in the ladder
+            yy = int(y)
+            year = 2000 + yy if yy <= 68 else 1900 + yy  # strptime %y pivot
+            return _ymd(year, a, b) or False  # else dateutil fallback
+        return False  # 3-digit years → slow path
+    m = _MONTHNAME_DATE.match(s)
+    if m:
+        mon = _MONTHS.get(m.group(1).lower())
+        if mon:
+            return _ymd(int(m.group(3)), mon, int(m.group(2))) or False
+        return False
+    return False
+
+
 def normalize_date_py(raw: str | None) -> str | None:
     """Python-side twin of the ladder (used inside the extraction UDF to
     validate date-span candidates, and by the residue UDF)."""
@@ -36,6 +86,9 @@ def normalize_date_py(raw: str | None) -> str | None:
     from datetime import datetime
 
     s = raw.strip()
+    fast = _normalize_date_fast(s)
+    if fast:  # str result — ladder-equivalent, no exceptions burned
+        return fast
     for fmt in _PY_FORMATS:
         try:
             return datetime.strptime(s, fmt).strftime("%Y-%m-%d")

@@ -232,7 +232,7 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     if is_pdf.any():
         pdf_text, pdf_ocr = _extract_pdf_batch(text[is_pdf])
         extracted[is_pdf] = pdf_text
-        needs_ocr[is_pdf] = pdf_ocr.astype(bool)
+        needs_ocr[is_pdf] = pdf_ocr.to_numpy(dtype=bool)
 
     spans = _spans_batch(extracted)
     kind = pd.Series(

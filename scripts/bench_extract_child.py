@@ -58,7 +58,9 @@ def main():
         ).collect()
         return time.monotonic() - t0
 
-    wall = min(timed_run() for _ in range(2))  # steady-state (best of 2)
+    wall = min(timed_run() for _ in range(3))  # steady-state (best of 3 —
+    # the sandbox shows ±20% run-to-run jitter; the minimum is the stable
+    # estimator of achievable throughput)
 
     print(json.dumps({"cores": cores, "turns": n_turns, "wall_sec": round(wall, 3)}))
     spark.stop()
