@@ -55,8 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import EXT2_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import EXT3_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import EXT4_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext5 import EXT5_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES, **EXT4_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
+            **EXT4_QUERIES, **EXT5_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -65,5 +67,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext2 import ext2_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import ext3_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import ext4_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext5 import ext5_oracles
 
-    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(), **ext4_oracles()}
+    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
+            **ext4_oracles(), **ext5_oracles()}

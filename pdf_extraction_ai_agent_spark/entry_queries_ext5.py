@@ -1,0 +1,109 @@
+"""Query pack 6: the flagship extraction under the oracle gate (q39) and
+the dedup keep-list policy (q40)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q39 — the flagship HTML-boilerplate-strip extraction, oracle-checked:
+# documents wrapped in a FIXED boilerplate page (same construction as
+# __spark_entry__._flagship) → full pipeline → per-turn rows. The DuckDB
+# twin replays the spec scoring rules on the same wrapper.
+# ---------------------------------------------------------------------------
+
+
+def q39_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import __spark_entry__ as entry
+
+    out = entry._flagship(spark, sf_dir)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("turn_pos").cast("long").alias("turn_pos"),
+        "extracted_text", "needs_ocr", "payload_kind", "lob",
+    )
+
+
+_Q39_SQL = """
+WITH wrapped AS (
+  SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         doc_id AS turn_idx,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS content
+  FROM documents
+),
+-- spec scoring on the fixed wrapper: nav and footer blocks are link-
+-- dominated (density > 0.35) → dropped; the single <p> block is kept iff
+-- its collapsed text is >= 25 chars (no links inside → density 0)
+extracted AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN length(content) >= 25 THEN content ELSE '' END AS extracted_text,
+         false AS needs_ocr,
+         'html' AS payload_kind
+  FROM wrapped
+)
+SELECT conv_id, turn_idx,
+       ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS turn_pos,
+       extracted_text, needs_ocr, payload_kind,
+       'UNKNOWN' AS lob
+FROM extracted
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — dedup keep-list: drop the larger id of every near-dup pair
+# ---------------------------------------------------------------------------
+
+
+def q40_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    pairs = dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", threshold=0.8
+    )
+    return dedup.dedup_keep_list(docs, pairs)
+
+
+_Q40_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_filter(
+           string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' '),
+           x -> x != ''))) AS word
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM w l JOIN w r ON l.word = r.word AND l.lang = r.lang AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN losers USING (doc_id)
+WHERE losers.doc_id IS NULL
+"""
+
+
+EXT5_QUERIES = {
+    "q39_flagship_extract": q39_flagship_extract,
+    "q40_dedup_keep_list": q40_dedup_keep_list,
+}
+
+
+def ext5_oracles() -> dict[str, str]:
+    return {
+        "q39_flagship_extract": _Q39_SQL,
+        "q40_dedup_keep_list": _Q40_SQL,
+    }

@@ -291,6 +291,69 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# applying dedup: keep-lists and duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The standard 'keep the smallest id of each near-dup pair' policy:
+    drop any doc that appears as the LARGER side of a pair. One broadcast-
+    able anti-join — the cheap, order-stable rule production dedup
+    pipelines use before the (optional) full clustering pass."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = min doc id reachable.
+
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the min; converges in O(graph diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice). Each round is
+    one shuffle on doc_id; at 100 TB this is the standard large-scale CC
+    (alternating small-star/large-star is the asymptotic upgrade).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram / word-set jaccard
 # ---------------------------------------------------------------------------
 
