@@ -55,6 +55,7 @@ EXTRACT_RESULT_TYPE = StructType(
         StructField("spans", SPAN_TYPE),
         StructField("needs_ocr", BooleanType()),
         StructField("payload_kind", StringType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -211,7 +212,15 @@ def _spans_batch(texts: pd.Series) -> pd.Series:
 
 
 def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
-    """Pure-pandas batch kernel (also unit-testable off-Spark)."""
+    """Pure-pandas batch kernel (also unit-testable off-Spark).
+
+    Error channel (reference cli.py:41-49 — exceptions become per-row
+    `error` values, never a job abort): if a vectorized branch raises, the
+    affected rows are retried ONE AT A TIME and only the truly poisoned
+    rows carry an error string. One pathological document in 10^12 turns
+    must not kill a multi-hour job; Spark task retries only cover infra
+    failures, not deterministic poison input.
+    """
     text = text.fillna("")
     is_pdf = text.str.startswith(spec.PDF_HEADER)
     lstripped = text.str.lstrip()
@@ -224,15 +233,51 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
 
     extracted = pd.Series("", index=text.index, dtype=object)
     needs_ocr = pd.Series(False, index=text.index)
+    error = pd.Series(None, index=text.index, dtype=object)
 
-    if is_plain.any():
-        extracted[is_plain] = text[is_plain].str.strip()
-    if is_html.any():
-        extracted[is_html] = _extract_html_batch(text[is_html])
-    if is_pdf.any():
-        pdf_text, pdf_ocr = _extract_pdf_batch(text[is_pdf])
-        extracted[is_pdf] = pdf_text
-        needs_ocr[is_pdf] = pdf_ocr.to_numpy(dtype=bool)
+    def _guarded(mask, batch_fn, row_fn):
+        """Run the vectorized branch; on failure, per-row fallback that
+        captures errors instead of raising."""
+        if not mask.any():
+            return
+        sub = text[mask]
+        try:
+            batch_fn(sub)
+            return
+        except Exception:
+            pass
+        for idx, val in sub.items():
+            try:
+                row_fn(idx, val)
+            except Exception as e:  # poison row → error channel
+                extracted.at[idx] = ""
+                error.at[idx] = f"{type(e).__name__}: {e}"[:500]
+
+    def plain_batch(sub):
+        extracted[sub.index] = sub.str.strip()
+
+    def plain_row(idx, val):
+        extracted.at[idx] = val.strip()
+
+    def html_batch(sub):
+        extracted[sub.index] = _extract_html_batch(sub)
+
+    def html_row(idx, val):
+        extracted.at[idx] = _extract_html_batch(pd.Series([val], index=[idx])).iloc[0]
+
+    def pdf_batch(sub):
+        pdf_text, pdf_ocr = _extract_pdf_batch(sub)
+        extracted[sub.index] = pdf_text
+        needs_ocr[sub.index] = pdf_ocr.to_numpy(dtype=bool)
+
+    def pdf_row(idx, val):
+        t, o = _extract_pdf_batch(pd.Series([val], index=[idx]))
+        extracted.at[idx] = t.iloc[0]
+        needs_ocr.at[idx] = bool(o.iloc[0])
+
+    _guarded(is_plain, plain_batch, plain_row)
+    _guarded(is_html, html_batch, html_row)
+    _guarded(is_pdf, pdf_batch, pdf_row)
 
     spans = _spans_batch(extracted)
     kind = pd.Series(
@@ -244,6 +289,7 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
             "spans": spans,
             "needs_ocr": needs_ocr,
             "payload_kind": kind,
+            "error": error,
         }
     )
 
@@ -262,5 +308,6 @@ def with_extraction(df, text_col: str = "text", tool_col: str = "tool"):
         .withColumn("spans", F.col("_ex.spans"))
         .withColumn("needs_ocr", F.col("_ex.needs_ocr"))
         .withColumn("payload_kind", F.col("_ex.payload_kind"))
+        .withColumn("error", F.col("_ex.error"))
         .drop("_ex")
     )

@@ -52,6 +52,7 @@ def extract_pipeline(
     with_fields: bool = True,
     with_lob: bool = True,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    observation=None,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -62,6 +63,16 @@ def extract_pipeline(
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
     df = with_extraction(df).drop("text", "tool")
+    # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
+    # pass a pyspark Observation to read them after an action, else they
+    # land in QueryExecution.observedMetrics for listeners / lineage rows)
+    df = df.observe(
+        observation if observation is not None else "extract_metrics",
+        F.count(F.lit(1)).alias("turns"),
+        F.count(F.when(F.col("needs_ocr"), 1)).alias("needs_ocr_turns"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("error_turns"),
+        F.sum(F.length("extracted_text")).alias("extracted_chars"),
+    )
     df = with_turn_pos(df)
     if with_fields:
         df = with_parsed_fields(df, "extracted_text")
