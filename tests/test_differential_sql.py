@@ -1,0 +1,151 @@
+"""Spark↔DuckDB differential test on RANDOMIZED claim text: the portable
+regex/date/money expressions must agree between engines on arbitrary
+generated shapes, not just the fixed driver tables (closes the oracle loop
+from the other side)."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_ai_agent_spark import spec
+from pdf_extraction_ai_agent_spark.functions.fields import (
+    claim_number_col,
+    date_col,
+    name_col,
+    record_amount_col,
+    record_reason_col,
+)
+
+_DUCK_DATE_LADDER = (
+    "strftime(try_strptime(trim({v}), ['%m/%d/%Y','%m-%d-%Y','%d/%m/%Y','%d-%m-%Y',"
+    "'%m/%d/%y','%m-%d-%y','%B %d, %Y','%b %d, %Y','%Y-%m-%d','%Y/%m/%d']), '%Y-%m-%d')"
+)
+
+
+def _sqlq(p: str) -> str:
+    return p.replace("'", "''")
+
+
+def _random_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    frags = [
+        "claim# {c}", "Claim No: {c}", "ref {c}", "reference: {c}", "claim {c}",
+        "amount ${a}", "incurred ${a}", "${a} total", "$ {a}",
+        "Reason: {r}", "cause - {r}", "description {r}", "{r} happened",
+        "on {d}", "DoL {d}", "date {d}", "{d}",
+        "Claimant: {n}", "name - {n}", "insured {n}",
+        "random words here", "### noise $$$", "12345", "a/b/c-d",
+    ]
+    claims = ["ABC-12345", "zx9-88/776", "Q-1", "LMN-99999-12", "12/34", "XY"]
+    amounts = ["1,234.56", "10.00", "999", "0.5", "1,2,3", "50000.99"]
+    reasons = ["Theft", "Water damage; severe", "fire.damage", "x", ""]
+    # NOTE: date pool restricted to shapes where the engines' parsers agree
+    # semantically. Known (documented) divergences kept OUT of the pool and
+    # pinned by test_known_duckdb_strptime_leniency below:
+    # - DuckDB try_strptime rolls invalid days over ("2/30/2024"→Mar 1);
+    #   Spark/python are strict (NULL).
+    # - DuckDB %Y accepts 1-4 digit years ("1/2/31"→year 31); Java 'yyyy'
+    #   rejects, so Spark falls through to the 2-digit format (2031).
+    # Driver corpora only synthesize valid 4-digit dates, so the q01/q02/q05
+    # oracles never hit these.
+    dates = ["03/12/2024", "21-02-2024", "March 5, 2024",
+             "Mar 05, 1999", "2024-12-31", "not-a-date", "31/31-2024"]
+    names = ["John A. Doe", "jane smith", "Mark O'Neil", "X Y"]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            f = rng.choice(frags)
+            parts.append(
+                f.format(
+                    c=rng.choice(claims), a=rng.choice(amounts),
+                    r=rng.choice(reasons), d=rng.choice(dates), n=rng.choice(names),
+                )
+            )
+        sep = rng.choice([". ", "; ", "\n", " "])
+        out.append(sep.join(parts))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_field_expressions_match_duckdb(spark, seed):
+    texts = _random_texts(400, seed)
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "i",
+            claim_number_col(F.col("text")).alias("claim"),
+            name_col(F.col("text")).alias("name"),
+            date_col(F.col("text")).alias("d"),
+            record_amount_col(F.col("text")).alias("amount"),
+            record_reason_col(F.col("text")).alias("reason"),
+        )
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    claim = (
+        "COALESCE("
+        + ", ".join(f"NULLIF(regexp_extract(text, '{_sqlq(p)}', 1), '')" for p in spec.CLAIM_PATTERNS)
+        + ")"
+    )
+    raw_date = (
+        "COALESCE("
+        + ", ".join(f"NULLIF(regexp_extract(text, '{_sqlq(p)}', 1), '')" for p in spec.DATE_PATTERNS)
+        + ")"
+    )
+    exp = con.sql(
+        f"""
+        SELECT i,
+               {claim} AS claim,
+               NULLIF(regexp_extract(text, '{_sqlq(spec.NAME_PATTERNS[0])}', 1), '') AS name,
+               {_DUCK_DATE_LADDER.format(v=raw_date)} AS d,
+               CASE WHEN NULLIF(regexp_extract(text, '{_sqlq(spec.AMOUNT_PAT)}', 1), '') IS NOT NULL
+                    THEN '$' || regexp_extract(text, '{_sqlq(spec.AMOUNT_PAT)}', 1) END AS amount,
+               NULLIF(trim(regexp_extract(text, '{_sqlq(spec.REASON_PAT)}', 1)), '') AS reason
+        FROM t
+        """
+    ).df().set_index("i").sort_index()
+
+    for col in ["claim", "name", "d", "amount", "reason"]:
+        g = got[col].where(pd.notna(got[col]), None)
+        e = exp[col].where(pd.notna(exp[col]), None)
+        diffs = [(i, g[i], e[i]) for i in g.index if g[i] != e[i]]
+        assert not diffs, f"{col}: {len(diffs)} diffs, first: {diffs[0]} (seed {seed})"
+
+
+def test_known_duckdb_strptime_leniency():
+    """Pin the discovered DuckDB-vs-strict-parser divergences so a DuckDB
+    upgrade that changes them is noticed (and oracle inputs stay valid):
+
+    1. the LIST form of try_strptime rolls invalid days over
+       ('2/30/2024' → Mar 1) while the single-format form is strict — the
+       oracle ladders use the list form, so oracle inputs must be
+       calendar-valid dates (the driver corpora are);
+    2. %Y accepts 1-4 digit years (year 31) where Java 'yyyy' rejects.
+    """
+    con = duckdb.connect()
+    # single-format: strict (NULL)
+    assert con.sql(
+        "select try_strptime('2/30/2024', '%m/%d/%Y')"
+    ).fetchone()[0] is None
+    # list form: lenient rollover
+    assert str(con.sql(
+        "select try_strptime('2/30/2024', ['%m/%d/%Y'])"
+    ).fetchone()[0]).startswith("2024-03-01")
+    # %Y accepts a 2-digit year as year 31
+    assert con.sql(
+        "select strftime(try_strptime('1/2/31', '%m/%d/%Y'), '%Y-%m-%d')"
+    ).fetchone()[0] == "0031-01-02"
+    # python/Spark-equivalent strictness reference
+    from datetime import datetime
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        datetime.strptime("2/30/2024", "%m/%d/%Y")
