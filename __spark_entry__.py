@@ -22,10 +22,15 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # enforce the one-block-per-line contract at the wrap site: the line
+    # scorer treats each physical line as one block, so embedded newlines
+    # in documents.text would silently diverge from the DOM-based oracle
+    # (sf* corpora are newline-free; this makes a corpus change safe)
+    one_line = F.regexp_replace(F.col("text"), "[\\r\\n]+", " ")
     html = F.concat(
         F.lit("<html>\n<body>\n"
               '<nav><a href="/h">Home</a> <a href="/c">Claims</a> <a href="/r">Reports</a></nav>\n'),
-        F.lit("<p>"), F.col("text"), F.lit("</p>\n"),
+        F.lit("<p>"), one_line, F.lit("</p>\n"),
         F.lit('<footer><a href="/tos">Terms of service</a> <a href="/p">Privacy policy</a></footer>\n'
               "</body>\n</html>"),
     )

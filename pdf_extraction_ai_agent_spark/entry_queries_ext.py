@@ -80,25 +80,45 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# q12 — exact word-set jaccard pairs (blocked by lang)
+# q12 — exact word-set jaccard, verified on minhash-LSH candidate pairs
 # ---------------------------------------------------------------------------
 
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH→exact-verify: the pair source is q14's band-bucket candidate set
+    (dedup.lsh_candidates) and the exact jaccard is over the SAME 3-gram
+    shingle sets the minhash bands estimate, so the intersection join
+    touches candidates only — no quadratic in-block enumeration anywhere in
+    the plan — and the verify stage measures the estimated quantity."""
     docs = _docs(spark, sf_dir)
-    out = dedup.jaccard_pairs(docs, block_col="lang", threshold=0.8)
+    sig = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidates(sig)
+    out = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.8, unit="shingle")
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_Q12_SQL = f"""
-WITH w AS (
-  SELECT doc_id, lang, unnest(list_distinct(list_filter({_WORDS_SQL.format(v='text')}, x -> x != ''))) AS word
-  FROM documents
+def _q12_sql() -> str:
+    return f"""
+WITH sig AS ({_q13_sql()}),
+bands AS (
+  SELECT doc_id, u.b['band_idx'] AS band_idx, u.b['band_key'] AS band_key
+  FROM sig, LATERAL (SELECT unnest([{_band_rows_sql()}]) AS b) u
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(list_filter({_SHINGLES_SQL}, x -> x != ''))) AS word
+  FROM (SELECT doc_id, {_WORDS_SQL.format(v='text')} AS w FROM documents)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
 inter AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM w l JOIN w r ON l.word = r.word AND l.lang = r.lang AND l.doc_id < r.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN w l ON l.doc_id = c.doc_a
+  JOIN w r ON r.doc_id = c.doc_b AND r.word = l.word
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -140,9 +160,10 @@ def q14_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _q14_sql() -> str:
+def _band_rows_sql() -> str:
+    """The minhash band structs (shared by the q12 and q14 oracles)."""
     n_bands = NUM_PERMS // LSH_BAND_SIZE
-    band_rows = ", ".join(
+    return ", ".join(
         "{'band_idx': %d, 'band_key': %s}"
         % (
             b,
@@ -154,6 +175,10 @@ def _q14_sql() -> str:
         )
         for b in range(n_bands)
     )
+
+
+def _q14_sql() -> str:
+    band_rows = _band_rows_sql()
     matches = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERMS)
     )
@@ -244,13 +269,82 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def lsh_sig_ctes(
+    n_planes: int = similarity.N_PLANES,
+    dim: int = similarity.EMB_DIM,
+    band_bits: int = similarity.BAND_BITS,
+) -> str:
+    """DuckDB twin of similarity.rh_signatures_exact + _band_explode:
+    md5-derived ±1 planes, exact integer sign signatures over the quantized
+    vectors, band explode. Produces CTEs base/planes/sigs/bands (validated
+    bit-identical to the numpy kernel)."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+base AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+planes AS (
+  SELECT p, j,
+         CASE WHEN ({_md5l("'plane:' || p || ':' || j")} & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, {n_planes})) AS p), (SELECT unnest(range(0, {dim})) AS j)
+),
+sigs AS (
+  SELECT vid,
+         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+  FROM (
+    SELECT b.vid, pl.p, SUM(b.q[CAST(pl.j + 1 AS INTEGER)] * pl.s) AS dot
+    FROM base b CROSS JOIN planes pl
+    GROUP BY 1, 2
+  )
+  GROUP BY vid
+),
+bands AS (
+  SELECT vid, bb.b AS band_idx, (sig >> CAST({band_bits} * bb.b AS INTEGER)) & {mask} AS band_key
+  FROM sigs, LATERAL (SELECT unnest(range(0, {n_bands})) AS b) bb
+)"""
+
+
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) /"
+    " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
 def q17_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN (random-hyperplane LSH buckets + exact re-rank).
-    No SQL oracle (bucketing is engine-internal); driver records rows-only.
-    Recall vs brute force is asserted in tests."""
+    """Scale-path ANN: sign-LSH band buckets + exact re-rank on candidates.
+    Fully deterministic (md5-derived planes, integer arithmetic), so the
+    DuckDB oracle replays the identical candidate set and ranking."""
     return similarity.cosine_topk_lsh(
         _t(spark, sf_dir, "embeddings"), query_ids=_ANN_QUERY_IDS, k=10
     )
+
+
+def _q17_sql() -> str:
+    cos = _COS_SQL.format(a="qa.q", b="qb.q")
+    return f"""
+WITH {lsh_sig_ctes()},
+qcand AS (
+  SELECT DISTINCT qq.vid AS query_id, c.vid AS neighbor_id
+  FROM bands c JOIN bands qq
+    ON c.band_idx = qq.band_idx AND c.band_key = qq.band_key
+  WHERE qq.vid IN ({", ".join(map(str, _ANN_QUERY_IDS))}) AND c.vid != qq.vid
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine
+  FROM qcand
+  JOIN base qa ON query_id = qa.vid
+  JOIN base qb ON neighbor_id = qb.vid
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -412,12 +506,12 @@ EXT_QUERIES = {
 def ext_oracles() -> dict[str, str]:
     return {
         "q11_dedup_exact": _Q11_SQL,
-        "q12_jaccard_pairs": _Q12_SQL,
+        "q12_jaccard_pairs": _q12_sql(),
         "q13_minhash_signatures": _q13_sql(),
         "q14_minhash_lsh_pairs": _q14_sql(),
         "q15_simhash": _q15_sql(),
         "q16_ann_cosine_topk": _Q16_SQL,
-        # q17: rows-only (LSH bucketing is engine-internal; recall tested in pytest)
+        "q17_ann_cosine_lsh": _q17_sql(),
         "q18_lang_id": _q18_sql(),
         "q19_quality_scores": _q19_sql(),
         "q20_token_counts": _Q20_SQL,

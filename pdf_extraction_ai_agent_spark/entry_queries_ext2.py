@@ -198,8 +198,152 @@ FROM rows_
 
 
 # ---------------------------------------------------------------------------
-# q28 — X6 WC tabular heuristic (rows-only; semantics pinned in pytest)
+# q28 — X6 WC tabular heuristic
 # ---------------------------------------------------------------------------
+
+
+def _q28_sql() -> str:
+    """DuckDB twin of wc_tabular._extract_wc over the q28 fixture. The
+    greedy per-part elif cascade is replicated exactly: the claim column is
+    taken by the FIRST claim-token part, the date by the first date-token
+    part not consumed by the claim branch, and each money column by the
+    LAST matching free part (the Python assignments are unguarded). SQL is
+    generated from the same _HEADER_MAP constants as the Spark kernel."""
+    from .operators.wc_tabular import _HEADER_MAP
+
+    def likes(col: str, keys: list[str]) -> str:
+        return " OR ".join(f"{col} LIKE '%{k}%'" for k in keys)
+
+    hits = " + ".join(
+        "(CASE WHEN " + likes("lnl", keys) + " THEN 1 ELSE 0 END)"
+        for keys in _HEADER_MAP.values()
+    )
+    # branch order == the Python elif chain (wc_tabular.py:108-117)
+    moneycat = f"""CASE
+      WHEN {likes('pl', _HEADER_MAP['indemnity_paid'])} OR pl LIKE '%indemnity%' THEN 'ip'
+      WHEN {likes('pl', _HEADER_MAP['medical_paid'])} OR pl LIKE '%medical%' THEN 'mp'
+      WHEN {likes('pl', _HEADER_MAP['indemnity_reserve'])} THEN 'ir'
+      WHEN {likes('pl', _HEADER_MAP['medical_reserve'])} THEN 'mr'
+      WHEN pl LIKE '%alae%' OR {likes('pl', _HEADER_MAP['alae'])} THEN 'al'
+      END"""
+    money_pat = r"[-$]?\d{1,3}(?:,\d{3})*(?:\.\d+)?|[-$]?\d+(?:\.\d+)?"
+    claim_pat = r"\b\d{5,}\b|[A-Za-z]\d{4,}"
+    date_pat = r"\b\d{1,2}[\-/]\d{1,2}[\-/]\d{2,4}\b"
+    carrier_pats = [
+        r"(?i)\b(?:carrier|company|insurer|provider)\s*[:\-]\s*([A-Za-z0-9 &''.\-/]+)",
+        r"(?i)\b([A-Z][A-Za-z0-9 &''.\-/]+(?:Insurance|Ins|Corp|Corporation|Company|Co|LLC|Inc))\b",
+        r"(?i)\b(?:Policy\s*holder|Insured)\s*[:\-]\s*([A-Za-z0-9 &''.\-/]+)",
+    ]
+    carrier = ",\n      ".join(
+        f"CASE WHEN length(trim(regexp_extract(extracted_text, '{p}', 1))) > 2"
+        f" THEN trim(regexp_extract(extracted_text, '{p}', 1)) END"
+        for p in carrier_pats
+    )
+
+    def moneycol(cat: str) -> str:
+        return (
+            "COALESCE((MAX(CASE WHEN free AND moneycat = '" + cat + "'"
+            " THEN {'k': part_no, 'v': money} END)).v, '')"
+        )
+
+    return f"""
+WITH doc AS (
+  SELECT l_orderkey AS doc_id,
+         'Evaluation Date: 06-30-2024' || chr(10) || 'Carrier: Keystone Mutual' || chr(10) ||
+         'Claim Number    Loss Date    Indemnity Paid    Medical Paid' || chr(10) ||
+         string_agg(line, chr(10) ORDER BY l_linenumber, line) AS extracted_text
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           'W' || CAST(l_orderkey AS VARCHAR) || '0' || CAST(l_linenumber AS VARCHAR) ||
+           '    ' || strftime(l_shipdate, '%m/%d/%Y') ||
+           '    indemnity ' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) ||
+           '    medical ' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS line
+    FROM lineitem WHERE l_linenumber <= 3
+  )
+  GROUP BY l_orderkey
+),
+hdr AS (
+  SELECT doc_id, extracted_text,
+    COALESCE(
+      NULLIF(trim(regexp_extract(extracted_text,
+        '(?i)Evaluation\\s*Date\\s*[:\\-]\\s*([0-9]{{1,2}}[\\-/][0-9]{{1,2}}[\\-/][0-9]{{2,4}})', 1)), ''),
+      NULLIF(trim(regexp_extract(extracted_text,
+        '(?i)As\\s*of\\s*Date\\s*[:\\-]\\s*([A-Za-z]{{3,9}}\\s+[0-9]{{1,2}},\\s*[0-9]{{4}})', 1)), ''),
+      '') AS evaluation_date,
+    COALESCE(
+      {carrier},
+      '') AS carrier
+  FROM doc
+),
+lines AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS line_no,
+         ln
+  FROM (
+    SELECT doc_id, u.i AS idx,
+           regexp_replace(regexp_replace(ls[CAST(u.i AS INTEGER)], '^\\s+', ''), '\\s+$', '') AS ln
+    FROM (SELECT doc_id, string_split(extracted_text, chr(10)) AS ls FROM hdr) t,
+         LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u
+  )
+  WHERE ln <> ''
+),
+hdrline AS (
+  SELECT doc_id, MIN(line_no) AS header_no
+  FROM (SELECT doc_id, line_no, lower(ln) AS lnl FROM lines)
+  WHERE ({hits}) >= 2
+  GROUP BY doc_id
+),
+parts AS (
+  SELECT doc_id, line_no, u.i AS part_no,
+         ps[CAST(u.i AS INTEGER)] AS p, lower(ps[CAST(u.i AS INTEGER)]) AS pl
+  FROM (
+    SELECT l.doc_id, l.line_no,
+           list_filter(list_transform(regexp_split_to_array(l.ln, '\\s{{2,}}|\\t|\\|'),
+                                      x -> trim(x)), x -> x <> '') AS ps
+    FROM lines l JOIN hdrline h ON l.doc_id = h.doc_id AND l.line_no > h.header_no
+  ) t,
+  LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) u
+  WHERE len(ps) >= 3
+),
+flag AS (
+  SELECT *, regexp_matches(p, '{claim_pat}') AS is_claim,
+         regexp_matches(p, '{date_pat}') AS is_date,
+         {moneycat} AS moneycat,
+         CASE WHEN regexp_matches(p, '{money_pat}')
+              THEN regexp_extract(p, '{money_pat}') ELSE p END AS money
+  FROM parts
+),
+sel AS (
+  SELECT *, MIN(CASE WHEN is_claim THEN part_no END)
+              OVER (PARTITION BY doc_id, line_no) AS claim_idx
+  FROM flag
+),
+sel2 AS (
+  SELECT *, MIN(CASE WHEN is_date AND part_no IS DISTINCT FROM claim_idx THEN part_no END)
+              OVER (PARTITION BY doc_id, line_no) AS date_idx,
+         (part_no IS DISTINCT FROM claim_idx) AS _free_c
+  FROM sel
+),
+rowvals AS (
+  SELECT doc_id, line_no,
+    COALESCE(MAX(CASE WHEN part_no = claim_idx THEN p END), '') AS claim_number,
+    COALESCE(MAX(CASE WHEN part_no = date_idx THEN p END), '') AS loss_date,
+    {moneycol('ip')} AS "Indemnity_paid_loss",
+    {moneycol('mp')} AS "Medical_paid_loss",
+    {moneycol('ir')} AS "Indemnity_reserve",
+    {moneycol('mr')} AS "Medical_reserve",
+    {moneycol('al')} AS "ALAE"
+  FROM (SELECT *, (_free_c AND part_no IS DISTINCT FROM date_idx) AS free FROM sel2)
+  GROUP BY doc_id, line_no
+)
+SELECT k.doc_id, h.evaluation_date, h.carrier,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.line_no) - 1 AS INTEGER) AS claim_pos,
+       k.claim_number, k.loss_date,
+       k."Indemnity_paid_loss", k."Medical_paid_loss", k."Indemnity_reserve",
+       k."Medical_reserve", k."ALAE"
+FROM (SELECT * FROM rowvals WHERE claim_number <> '') k
+JOIN hdr h ON k.doc_id = h.doc_id
+"""
 
 
 def q28_wc_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +463,7 @@ def ext2_oracles() -> dict[str, str]:
         "q25_split_pages": _Q25_SQL,
         "q26_merge_chunks": _Q26_SQL,
         "q27_normalize_tables": _Q27_SQL,
-        # q28: rows-only (greedy stateful scan; semantics pinned by pytest)
+        "q28_wc_tabular": _q28_sql(),
         "q29_field_accuracy": _Q29_SQL,
         "q30_recipients": _Q30_SQL,
     }

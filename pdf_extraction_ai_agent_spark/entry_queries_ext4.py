@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .entry_queries_ext import _COS_SQL, lsh_sig_ctes
 from .operators import sessions, similarity
 
 
@@ -14,30 +15,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q36 — embedding-cosine near-duplicate pairs
+# q36 — embedding-cosine near-duplicate pairs (sign-LSH blocked + exact verify)
 # ---------------------------------------------------------------------------
 
 _NEARDUP_T = 0.35  # random-embedding corpus: top-of-distribution pairs
 
 
 def q36_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup: band-bucket equi-join candidates + exact
+    fixed-point cosine verify — no all-pairs join anywhere (plan pinned in
+    tests/test_plan_shapes.py; recall vs the all-pairs form pinned in
+    tests/test_dedup_similarity.py)."""
     return similarity.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T
     )
 
 
-_Q36_SQL = f"""
-WITH base AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS q
-  FROM embeddings
+def _q36_sql() -> str:
+    cos = _COS_SQL.format(a="a.q", b="b.q")
+    return f"""
+WITH {lsh_sig_ctes()},
+cand AS (
+  SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.vid < r.vid
 )
-SELECT a.vid AS id_a, b.vid AS id_b,
-       ROUND(list_dot_product(a.q, b.q) /
-             (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cosine
-FROM base a JOIN base b ON a.vid < b.vid
-WHERE ROUND(list_dot_product(a.q, b.q) /
-            (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6) >= {_NEARDUP_T}
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN base a ON c.id_a = a.vid JOIN base b ON c.id_b = b.vid
+WHERE {cos} >= {_NEARDUP_T}
 """
 
 
@@ -47,29 +52,57 @@ WHERE ROUND(list_dot_product(a.q, b.q) /
 
 
 def q37_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded integer k-means centroids (similarity._ivf_fit_centroids) +
+    max-cosine assignment; the DuckDB oracle unrolls the same Lloyd
+    iterations in exact arithmetic."""
     return similarity.ivf_assignments(_t(spark, sf_dir, "embeddings"), n_centroids=16)
 
 
-_Q37_SQL = f"""
+def _q37_sql(n_centroids: int = 16) -> str:
+    dim = similarity.EMB_DIM
+
+    def assign(cents: str, name: str, final: bool = False) -> str:
+        cos = _COS_SQL.format(a="b.q", b="c.cq")
+        cols = "vid, q, centroid_id" + (", cosine" if final else "")
+        return f"""{name} AS (
+  SELECT {cols} FROM (
+    SELECT b.vid, b.q, c.centroid_id, {cos} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY b.vid ORDER BY {cos} DESC, c.centroid_id ASC) AS rnk
+    FROM base b CROSS JOIN {cents} c
+  ) WHERE rnk = 1
+)"""
+
+    def update(assigned: str, prev: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT c.centroid_id, COALESCE(nc.cq, c.cq) AS cq
+  FROM {prev} c LEFT JOIN (
+    SELECT centroid_id,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY j) AS cq
+    FROM (
+      SELECT centroid_id, u.j AS j, SUM(q[CAST(u.j AS INTEGER)]) AS s, COUNT(*) AS n
+      FROM {assigned}, LATERAL (SELECT unnest(range(1, {dim + 1})) AS j) u
+      GROUP BY 1, 2
+    )
+    GROUP BY centroid_id
+  ) nc USING (centroid_id)
+)"""
+
+    iters = []
+    for i in range(similarity.IVF_ITERS):
+        iters.append(assign(f"cents{i}", f"a{i}"))
+        iters.append(update(f"a{i}", f"cents{i}", f"cents{i + 1}"))
+    final = assign(f"cents{similarity.IVF_ITERS}", "afinal", final=True)
+    iters_sql = ",\n".join(iters)
+    return f"""
 WITH base AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS q
   FROM embeddings
 ),
-cents AS (SELECT vid AS centroid_id, q AS cq FROM base ORDER BY vid LIMIT 16),
-scored AS (
-  SELECT vid, centroid_id,
-         ROUND(list_dot_product(q, cq) /
-               (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(cq, cq))), 6) AS cosine
-  FROM base CROSS JOIN cents
-),
-ranked AS (
-  SELECT vid, centroid_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cosine DESC, centroid_id ASC) AS rnk
-  FROM scored
-)
-SELECT vid AS vec_id, centroid_id, cosine AS centroid_cosine
-FROM ranked WHERE rnk = 1
+cents0 AS (SELECT vid AS centroid_id, q AS cq FROM base ORDER BY vid LIMIT {n_centroids}),
+{iters_sql},
+{final}
+SELECT vid AS vec_id, centroid_id, cosine AS centroid_cosine FROM afinal
 """
 
 
@@ -125,7 +158,7 @@ EXT4_QUERIES = {
 
 def ext4_oracles() -> dict[str, str]:
     return {
-        "q36_embedding_near_dups": _Q36_SQL,
-        "q37_ivf_assignments": _Q37_SQL,
+        "q36_embedding_near_dups": _q36_sql(),
+        "q37_ivf_assignments": _q37_sql(),
         "q38_sessionize": _Q38_SQL,
     }

@@ -64,31 +64,23 @@ FROM extracted
 
 
 def q40_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list over the LSH→exact-verified jaccard pairs (same production
+    pair source as q12 — no quadratic in-block enumeration)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    full = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(full)
     pairs = dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), block_col="lang", threshold=0.8
+        full, pairs=dedup.lsh_candidates(sig), threshold=0.8, unit="shingle"
     )
     return dedup.dedup_keep_list(docs, pairs)
 
 
-_Q40_SQL = """
-WITH w AS (
-  SELECT doc_id, lang,
-         unnest(list_distinct(list_filter(
-           string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' '),
-           x -> x != ''))) AS word
-  FROM documents
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
-inter AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM w l JOIN w r ON l.word = r.word AND l.lang = r.lang AND l.doc_id < r.doc_id
-  GROUP BY 1, 2
-),
-losers AS (
-  SELECT DISTINCT doc_b AS doc_id
-  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
+def _q40_sql() -> str:
+    from .entry_queries_ext import _q12_sql
+
+    return f"""
+WITH losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({_q12_sql()})
 )
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d LEFT JOIN losers USING (doc_id)
@@ -105,5 +97,5 @@ EXT5_QUERIES = {
 def ext5_oracles() -> dict[str, str]:
     return {
         "q39_flagship_extract": _Q39_SQL,
-        "q40_dedup_keep_list": _Q40_SQL,
+        "q40_dedup_keep_list": _q40_sql(),
     }

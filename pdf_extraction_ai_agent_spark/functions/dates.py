@@ -124,13 +124,23 @@ def _fuzzy_residue_udf():
     return fuzzy_parse
 
 
+def _try_fmt(trimmed: Column, fmt: str) -> Column:
+    c = F.try_to_timestamp(trimmed, F.lit(fmt)).cast("date")
+    if fmt.endswith("yy") and not fmt.endswith("yyyy"):
+        # Java's reduced-year 'yy' bases at 2000 (00-99 → 2000-2099) while
+        # strptime's %y pivots 69-99 → 19xx; post-adjust so the native
+        # ladder, normalize_date_py and the DuckDB oracles all agree.
+        # (-1200 months = exactly 100 years; 2069-2099 → 1969-1999 crosses
+        # no century, so leap-day validity is preserved.)
+        c = F.when(F.year(c) >= 2069, F.add_months(c, -1200)).otherwise(c)
+    return c
+
+
 def normalize_date_col(col: Column, with_fuzzy_residue: bool = False) -> Column:
     """``yyyy-MM-dd`` string or NULL. Ladder is pure codegen; the optional
     dateutil residue only fires where every format misses."""
     trimmed = F.trim(col)
-    ladder = F.coalesce(
-        *[F.try_to_timestamp(trimmed, F.lit(fmt)).cast("date") for fmt in _JAVA_FORMATS]
-    )
+    ladder = F.coalesce(*[_try_fmt(trimmed, fmt) for fmt in _JAVA_FORMATS])
     out = F.date_format(ladder, "yyyy-MM-dd")
     if with_fuzzy_residue:
         fuzzy = _fuzzy_residue_udf()

@@ -164,30 +164,36 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Candidate near-dup pairs from LSH buckets, scored by the signature
-    jaccard estimate (fraction of agreeing minhashes), thresholded.
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 LSH band.
 
     Scale: the only non-broadcast shuffle is the self-join on
     (band_idx, band_key); AQE's skew-join split handles hot buckets, and a
     bucket-size cap can be added upstream for adversarial corpora.
     """
-    # signatures feed three plan legs (bands + both score sides): persist,
-    # or Spark recomputes the whole shingle/hash kernel 3×. At cluster scale
-    # this is a materialized signatures table instead.
-    sig = minhash_signatures(df, id_col, text_col, k).persist()
     # disjoint column names on every leg — Spark's self-join lineage
     # dedup silently mis-resolves `alias().col` chains over a shared plan
     bands = lsh_bands(sig)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    cand = (
+    return (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs from LSH buckets (lsh_candidates), scored by
+    the signature jaccard estimate (fraction of agreeing minhashes),
+    thresholded."""
+    # signatures feed three plan legs (bands + both score sides): persist,
+    # or Spark recomputes the whole shingle/hash kernel 3×. At cluster scale
+    # this is a materialized signatures table instead.
+    sig = minhash_signatures(df, id_col, text_col, k).persist()
+    cand = lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_PERMS)])
     sb = sig.select(F.col("doc_id").alias("doc_b"),
@@ -304,15 +310,22 @@ def dedup_keep_list(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     return docs.join(losers, id_col, "left_anti")
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over the near-dup pair graph → (doc_id,
     cluster_id) with cluster_id = min doc id reachable.
 
-    Iterative min-label propagation: each round joins labels across edges
-    and keeps the min; converges in O(graph diameter) rounds (near-dup
-    clusters are shallow — a handful of rounds in practice). Each round is
-    one shuffle on doc_id; at 100 TB this is the standard large-scale CC
-    (alternating small-star/large-star is the asymptotic upgrade).
+    Min-label propagation accelerated with pointer doubling: each round
+    takes the min over (own label, neighbor labels, label-of-label), so a
+    path of diameter d converges in O(log d) rounds, not O(d) — the same
+    asymptotics as alternating small-star/large-star, with two bounded
+    shuffles per round (one on the edge join, one on the label-parent
+    join). Each round's labels are eagerly localCheckpoint-ed: that both
+    truncates the logical plan (self-joins otherwise grow the lineage
+    exponentially with rounds → driver OOM) and caches exactly one
+    generation; on a cluster use a reliable checkpoint dir instead so
+    executor loss can't lose a generation. Raises if the graph hasn't
+    converged within ``max_iters`` (2^25 ≫ any real diameter) instead of
+    silently returning partial labels.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -324,14 +337,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -340,6 +355,21 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 ),
             )
         )
+        # pointer doubling: follow my label's label (labels form a
+        # min-monotone parent forest, so label(label(u)) ≤ label(u))
+        parents = stepped.select(
+            F.col("doc_id").alias("p_doc"), F.col("cluster_id").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.cluster_id == parents.p_doc, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("p_label", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -347,9 +377,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.persist()
+        labels.unpersist()  # drop the previous generation's blocks
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iters} rounds — "
+            "component diameter exceeds 2^rounds; raise max_iters"
+        )
     return labels
 
 
@@ -359,28 +397,46 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  block_col: str | None = None, threshold: float = 0.5) -> DataFrame:
-    """Exact word-set jaccard via explode + equi-join on words.
+                  block_col: str | None = None, threshold: float = 0.5,
+                  pairs: DataFrame | None = None, unit: str = "word") -> DataFrame:
+    """Exact set jaccard over ``unit`` tokens ("word" or "shingle" — word
+    3-grams, the same unit the minhash signatures estimate).
 
-    Scale: quadratic within a block — use ONLY as the verification stage on
-    LSH candidates (or with a strong blocking key). ``block_col`` restricts
-    pairs to equal blocks.
+    Production shape: pass ``pairs`` (doc_a, doc_b — e.g. lsh_candidates)
+    with ``unit="shingle"`` — LSH candidates then verify the exact same
+    quantity the bands estimated, and the intersection join touches
+    candidate pairs only. Without a pair source the plan is quadratic
+    within a block (``block_col`` restricts pairs to equal blocks) —
+    verification/baseline use only.
     """
+    tokens = (
+        shingles_col(F.col(text_col)) if unit == "shingle" else words_col(F.col(text_col))
+    )
     w = df.select(
         F.col(id_col).alias("doc_id"),
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("word"),
+        *( [F.col(block_col).alias("block")] if block_col and pairs is None else [] ),
+        F.explode(F.array_distinct(tokens)).alias("word"),
     ).filter(F.col("word") != "").persist()  # feeds sizes + both join legs
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    join_keys = ["word"] + (["block"] if block_col else [])
-    l = w.select(F.col("doc_id").alias("doc_a"), *join_keys)
-    r = w.select(F.col("doc_id").alias("doc_b"), *join_keys)
-    inter = (
-        l.join(r, join_keys)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if pairs is not None:
+        l = w.select(F.col("doc_id").alias("doc_a"), "word")
+        r = w.select(F.col("doc_id").alias("doc_b"), "word")
+        inter = (
+            pairs.join(l, "doc_a")
+            .join(r, ["doc_b", "word"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        join_keys = ["word"] + (["block"] if block_col else [])
+        l = w.select(F.col("doc_id").alias("doc_a"), *join_keys)
+        r = w.select(F.col("doc_id").alias("doc_b"), *join_keys)
+        inter = (
+            l.join(r, join_keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
     out = (

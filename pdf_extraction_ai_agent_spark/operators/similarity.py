@@ -4,13 +4,21 @@
   arithmetic via fixed-point quantization (×10^6 → bigint) so dot products
   and norms are order-independent and bit-identical in any engine; cosine is
   then one deterministic double division.
-- LSH-bucketed variant (random-hyperplane signs): the scale path — queries
-  only join candidates sharing a signature band instead of the full corpus.
+- sign-LSH (random-hyperplane) banding: the scale path for both ANN top-k
+  and embedding near-duplicate pairs. The hyperplanes are ±1 matrices derived
+  from the portable md5 hash (functions/hashing.py), and the signature is
+  computed over the QUANTIZED integer vector — exact integer dot products,
+  so the DuckDB oracle replays the identical signatures, bands, candidate
+  set and cosines bit-for-bit.
+- IVF coarse quantizer: seeded Lloyd iterations in exact integer arithmetic
+  (centroids are floor-scaled integer sum vectors — cosine is invariant to
+  positive scaling, so the un-normalized sum is a valid spherical centroid).
 
-Scale notes: brute force is a broadcast join (queries are tiny) over a
-narrow map — no shuffle on the corpus side; at 10^9+ vectors switch to the
-LSH variant or an IVF partitioner (cluster-id column + shuffle-free pruning
-by partition).
+Scale notes: the only corpus-wide shuffles are equi-joins on narrow
+(band_idx, band_key) rows; the exact re-rank touches candidates only, via an
+Arrow-batched numpy kernel (Spark's higher-order array functions are
+interpreted — see CLAUDE.md gotchas). No cartesian/BroadcastNestedLoop
+anywhere; plan shape pinned in tests/test_plan_shapes.py.
 """
 
 from __future__ import annotations
@@ -18,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long_py
+
 QUANT = 1_000_000  # fixed-point scale for exact integer dot products
+
+N_PLANES = 16  # sign-LSH hyperplanes (bits in the signature)
+BAND_BITS = 2  # bits per LSH band → N_PLANES // BAND_BITS bands
+EMB_DIM = 64   # embedding dimensionality of the corpus tables
 
 
 def quantize_col(vec: Column) -> Column:
@@ -34,6 +48,14 @@ def dot_int_col(a: Column, b: Column) -> Column:
 def norm2_int_col(a: Column) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _cosine_from_ints(dot: Column, na2: Column, nb2: Column) -> Column:
+    """round(dot/(|a||b|), 6) from exact integer dot/norms — the one double
+    expression shared (shape-identical) with the DuckDB oracles."""
+    return F.round(
+        dot.cast("double") / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))), 6
     )
 
 
@@ -54,14 +76,12 @@ def cosine_topk_bruteforce(
         F.col("vid").alias("query_id"), F.col("q").alias("qv")
     )
     pairs = base.join(F.broadcast(queries), F.col("vid") != F.col("query_id"))
-    dot = dot_int_col(F.col("qv"), F.col("q"))
-    cos = dot.cast("double") / (
-        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("q")).cast("double"))
+    cos = _cosine_from_ints(
+        dot_int_col(F.col("qv"), F.col("q")),
+        norm2_int_col(F.col("qv")),
+        norm2_int_col(F.col("q")),
     )
-    scored = pairs.select(
-        "query_id", F.col("vid").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
-    )
+    scored = pairs.select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -70,30 +90,118 @@ def cosine_topk_bruteforce(
     )
 
 
-# --- random-hyperplane LSH (scale path) -------------------------------------
-
-import random as _random
-
-_rng = _random.Random(11)
-N_PLANES = 16
+# --- sign-LSH over exact integer vectors (scale path) ------------------------
 
 
-def _planes(dim: int) -> list[list[int]]:
-    """Deterministic ±1 hyperplanes (seeded)."""
-    return [[_rng.choice((-1, 1)) for _ in range(dim)] for _ in range(N_PLANES)]
+def rh_planes(n_planes: int = N_PLANES, dim: int = EMB_DIM):
+    """Deterministic ±1 hyperplane matrix, derived from the portable md5
+    hash so the DuckDB oracle regenerates the identical planes in SQL:
+    sign(p, j) = +1 iff md5_long('plane:p:j') is odd."""
+    import numpy as np
+
+    return np.array(
+        [
+            [1 if (md5_long_py(f"plane:{p}:{j}") & 1) else -1 for j in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
 
 
-def rh_signature_col(vec: Column, planes: list[list[int]]) -> Column:
-    """Sign signature as a 16-bit int: bit_i = 1 iff <vec, plane_i> > 0."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return sig
+def _quantize_np(v):
+    """numpy twin of quantize_col / DuckDB round(x*QUANT): half away from
+    zero on the exact double (x - floor(x) is exact for |x| < 2^52)."""
+    import numpy as np
+
+    x = v.astype(np.float64) * float(QUANT)
+    a = np.abs(x)
+    f = np.floor(a)
+    r = f + (a - f >= 0.5)
+    return (np.sign(x) * r).astype(np.int64)
+
+
+def rh_signatures_exact(
+    emb: DataFrame,
+    n_planes: int = N_PLANES,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, q: array<long>, sig: long) — quantized vector + n_planes-bit
+    sign signature, bit i = 1 iff <q, plane_i> > 0 (exact int64 dot).
+
+    Map-only Arrow kernel (one matmul per batch); no shuffle. |dot| ≤
+    dim·QUANT·1 ≈ 6.4e7 — far inside int64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = rh_planes(n_planes, dim)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Q = _quantize_np(V)
+            sig = (((Q @ P.T) > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {"vid": pdf[id_col].astype("int64"), "q": list(Q), "sig": sig}
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, schema="vid long, q array<long>, sig long"
+    )
+
+
+def _band_explode(sig_df: DataFrame, n_planes: int, band_bits: int) -> DataFrame:
+    """(vid, band_idx, band_key) — narrow band rows, no vector payload in
+    the shuffle (same diet as dedup.lsh_bands)."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("sig"), band_bits * b).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig_df.select("vid", F.explode(bands).alias("band")).select(
+        "vid", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def pair_scores_exact(paired: DataFrame, key_a: str, key_b: str) -> DataFrame:
+    """(key_a, key_b, dot, na2, nb2) — exact int64 dot + squared norms for
+    rows carrying quantized vectors `qa`/`qb`. Arrow kernel: one fused
+    numpy pass per batch; the cosine + rounding stays in Spark expressions
+    (_cosine_from_ints) so the double math is shape-identical to the SQL
+    oracles."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{key_a} long, {key_b} long, dot long, na2 long, nb2 long"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    key_a: pdf[key_a].astype("int64"),
+                    key_b: pdf[key_b].astype("int64"),
+                    "dot": (A * B).sum(axis=1),
+                    "na2": (A * A).sum(axis=1),
+                    "nb2": (B * B).sum(axis=1),
+                }
+            )
+
+    return paired.mapInPandas(kernel, schema=schema)
 
 
 def embedding_near_dup_pairs(
@@ -101,29 +209,191 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 0,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+    dim: int = EMB_DIM,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): all pairs with
-    cosine ≥ threshold.
+    """Embedding-cosine near-duplicate pairs (dedup family), LSH-blocked:
+    candidates share ≥1 sign-LSH band, verified by exact fixed-point cosine
+    ≥ threshold. This IS the production semantics (the blocking is part of
+    the spec and of the DuckDB oracle) — recall vs the all-pairs form is
+    pinned in tests/test_dedup_similarity.py.
 
-    Small corpora: blocked self-join (O(n²/blocks)). At scale set
-    ``n_blocks=0`` → use the sign-LSH bands from ``cosine_topk_lsh`` as the
-    blocking key instead of brute force; here the exact form doubles as the
-    verification stage. Exact integer arithmetic (see module docstring), so
-    the DuckDB oracle replays it bit-for-bit.
+    Plan: map-only signature kernel → narrow band explode → band-bucket
+    self-equi-join (the only corpus shuffle; AQE splits skewed buckets,
+    ``max_bucket`` drops adversarial mega-buckets) → exact verify on
+    candidates only. No cartesian / BroadcastNestedLoopJoin (pinned in
+    tests/test_plan_shapes.py). At real near-dup thresholds (≥0.9) use
+    n_planes=64+, band_bits=4+ for selective buckets; the 16×2 default
+    fits this demo corpus's low threshold.
     """
+    base = rh_signatures_exact(emb, n_planes, dim, id_col, vec_col).persist()
+    bands = _band_explode(base, n_planes, band_bits)
+    if max_bucket is not None:
+        counts = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+        bands = bands.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_idx", "band_key"]
+        )
+    l = bands.select(F.col("vid").alias("id_a"), "band_idx", "band_key")
+    r = bands.select(F.col("vid").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        l.join(r, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qa = base.select(F.col("vid").alias("id_a"), F.col("q").alias("qa"))
+    qb = base.select(F.col("vid").alias("id_b"), F.col("q").alias("qb"))
+    scored = pair_scores_exact(cand.join(qa, "id_a").join(qb, "id_b"), "id_a", "id_b")
+    return scored.select(
+        "id_a", "id_b", _cosine_from_ints(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_pairs_allpairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact form — O(n²), verification/recall baseline ONLY
+    (tests measure the LSH-blocked path's recall against this). Never the
+    production path: the `id_a < id_b` join is a nested-loop at scale."""
     base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
     l = base.select(F.col("vid").alias("id_a"), F.col("q").alias("qa"))
     r = base.select(F.col("vid").alias("id_b"), F.col("q").alias("qb"))
     pairs = l.join(r, F.col("id_a") < F.col("id_b"))
-    cos = dot_int_col(F.col("qa"), F.col("qb")).cast("double") / (
-        F.sqrt(norm2_int_col(F.col("qa")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("qb")).cast("double"))
+    cos = _cosine_from_ints(
+        dot_int_col(F.col("qa"), F.col("qb")),
+        norm2_int_col(F.col("qa")),
+        norm2_int_col(F.col("qb")),
     )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact-integer sign signatures → band buckets;
+    candidates share ≥1 band with the query, then exact cosine re-rank on
+    candidates only. Deterministic end-to-end (md5-derived planes + integer
+    arithmetic) — the DuckDB oracle replays the identical candidate set and
+    ranking. Recall vs brute force pinned in tests."""
+    base = rh_signatures_exact(emb, n_planes, dim, id_col, vec_col).persist()
+    bands = _band_explode(base, n_planes, band_bits)
+    qb = bands.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), "band_idx", "band_key"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band_idx", "band_key"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = base.select(F.col("vid").alias("query_id"), F.col("q").alias("qa"))
+    nv = base.select(F.col("vid").alias("neighbor_id"), F.col("q").alias("qb"))
+    scored = pair_scores_exact(
+        cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id"),
+        "query_id",
+        "neighbor_id",
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        _cosine_from_ints(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# --- IVF coarse quantizer (the ANN scale-path partitioner) -------------------
+
+IVF_ITERS = 2  # Lloyd rounds after the deterministic seed assignment
+
+
+def _ivf_fit_centroids(
+    base: DataFrame, n_centroids: int, n_iters: int = IVF_ITERS
+) -> list[tuple[int, list[int]]]:
+    """Seeded k-means (spherical Lloyd) in exact integer arithmetic.
+
+    Seeds = the first ``n_centroids`` vectors by id (deterministic).
+    Update step: centroid := floor(Σ member q / count) per dimension —
+    cosine is scale-invariant, so the floor-scaled integer sum vector is a
+    valid spherical centroid, and every number is engine-portable (the
+    DuckDB oracle unrolls the same iterations). Empty cells keep their
+    previous centroid. The two driver collects are k×dim fit parameters
+    (16×64 longs), not data — the standard k-means fit shape on Spark.
+    """
+    import numpy as np
+
+    seeds = base.orderBy("vid").limit(n_centroids).select("vid", "q").collect()
+    cents = [(int(r.vid), list(map(int, r.q))) for r in seeds]
+    spark = base.sparkSession
+    for _ in range(n_iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in cents], "centroid_id long, cq array<long>"
+            )
+        )
+        cos = _cosine_from_ints(
+            dot_int_col(F.col("q"), F.col("cq")),
+            norm2_int_col(F.col("q")),
+            norm2_int_col(F.col("cq")),
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("centroid_id").asc())
+        assigned = (
+            base.join(cdf)
+            .select("vid", "q", "centroid_id", cos.alias("c"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+        sums = (
+            assigned.select("centroid_id", F.posexplode("q").alias("j", "v"))
+            .groupBy("centroid_id", "j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r.centroid_id), {})[int(r.j)] = (int(r.s), int(r.n))
+        new_cents = []
+        for cid, prev in cents:
+            dims = by_cid.get(cid)
+            if not dims:
+                new_cents.append((cid, prev))  # empty cell: keep previous
+                continue
+            vec = [
+                int(np.floor(dims[j][0] / dims[j][1])) for j in range(len(prev))
+            ]
+            new_cents.append((cid, vec))
+        cents = new_cents
+    return cents
+
+
+def ivf_centroids_df(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = IVF_ITERS,
+) -> DataFrame:
+    base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
+    cents = _ivf_fit_centroids(base, n_centroids, n_iters)
+    return emb.sparkSession.createDataFrame(cents, "centroid_id long, cq array<long>")
 
 
 def ivf_assignments(
@@ -131,27 +401,24 @@ def ivf_assignments(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = IVF_ITERS,
 ) -> DataFrame:
-    """IVF coarse quantizer, deterministic flavor: the centroids are the
-    first ``n_centroids`` vectors by id (a seeded/deterministic stand-in for
-    a k-means fit, which at cluster scale runs as a separate job); every
-    vector is assigned to its max-cosine centroid.
+    """IVF coarse quantizer: seeded integer k-means centroids
+    (_ivf_fit_centroids), every vector assigned to its max-cosine centroid.
 
     This is the scale path's partitioner: writing the corpus partitioned by
     ``centroid_id`` makes ANN queries prune to nprobe partitions — no
     shuffle at query time at all.
     """
     base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
-    cents = (
-        base.orderBy("vid").limit(n_centroids)
-        .select(F.col("vid").alias("centroid_id"), F.col("q").alias("cq"))
+    cents = F.broadcast(ivf_centroids_df(emb, n_centroids, id_col, vec_col, n_iters))
+    joined = base.join(cents)
+    cos = _cosine_from_ints(
+        dot_int_col(F.col("q"), F.col("cq")),
+        norm2_int_col(F.col("q")),
+        norm2_int_col(F.col("cq")),
     )
-    joined = base.join(F.broadcast(cents))
-    cos = dot_int_col(F.col("q"), F.col("cq")).cast("double") / (
-        F.sqrt(norm2_int_col(F.col("q")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("cq")).cast("double"))
-    )
-    scored = joined.select("vid", "centroid_id", F.round(cos, 6).alias("cosine"))
+    scored = joined.select("vid", "centroid_id", cos.alias("cosine"))
     w = Window.partitionBy("vid").orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -168,25 +435,24 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = IVF_ITERS,
 ) -> DataFrame:
     """IVF-pruned ANN: score only vectors whose centroid is among the
     query's ``nprobe`` closest centroids. Exact re-rank on the candidate
     set; recall vs brute force asserted in tests."""
     base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
-    assign = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    cents_df = ivf_centroids_df(emb, n_centroids, id_col, vec_col, n_iters)
+    assign = ivf_assignments(emb, n_centroids, id_col, vec_col, n_iters)
     corpus = base.join(assign, base.vid == assign.vec_id).select("vid", "q", "centroid_id")
 
-    cents = (
-        base.orderBy("vid").limit(n_centroids)
-        .select(F.col("vid").alias("centroid_id"), F.col("q").alias("cq"))
-    )
     queries = base.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("query_id"), F.col("q").alias("qv")
     )
-    qc = queries.join(F.broadcast(cents))
-    qc_cos = dot_int_col(F.col("qv"), F.col("cq")).cast("double") / (
-        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("cq")).cast("double"))
+    qc = queries.join(F.broadcast(cents_df))
+    qc_cos = _cosine_from_ints(
+        dot_int_col(F.col("qv"), F.col("cq")),
+        norm2_int_col(F.col("qv")),
+        norm2_int_col(F.col("cq")),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id").asc())
     probes = (
@@ -196,62 +462,12 @@ def cosine_topk_ivf(
         .select("query_id", "qv", "centroid_id")
     )
     cand = corpus.join(F.broadcast(probes), "centroid_id").filter(F.col("vid") != F.col("query_id"))
-    cos = dot_int_col(F.col("qv"), F.col("q")).cast("double") / (
-        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("q")).cast("double"))
+    cos = _cosine_from_ints(
+        dot_int_col(F.col("qv"), F.col("q")),
+        norm2_int_col(F.col("qv")),
+        norm2_int_col(F.col("q")),
     )
-    scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), F.round(cos, 6).alias("cosine")).distinct()
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
-
-
-def cosine_topk_lsh(
-    emb: DataFrame,
-    query_ids: list[int],
-    k: int = 10,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: 16 hyperplane sign bits → 8 bands of 2 bits;
-    candidates share ≥1 band, then exact cosine re-ranking on candidates
-    only. For moderate-cosine neighbors (p_bit ≈ 0.6) this gives
-    1-(1-p²)^8 ≈ 0.97 recall while pruning most of the corpus.
-    """
-    planes = _planes(dim)
-    base = emb.select(
-        F.col(id_col).alias("vid"),
-        quantize_col(F.col(vec_col)).alias("q"),
-        rh_signature_col(F.col(vec_col), planes).alias("sig"),
-    )
-    bands = base.select(
-        "vid", "q",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"),
-                         F.shiftright(F.col("sig"), 2 * b).bitwiseAND(F.lit(3)).alias("band_key"))
-                for b in range(8)
-            ])
-        ).alias("band"),
-    ).select("vid", "q", "band.band_idx", "band.band_key")
-    qb = bands.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"), F.col("q").alias("qv"), "band_idx", "band_key"
-    )
-    cand = (
-        bands.join(F.broadcast(qb), ["band_idx", "band_key"])
-        .filter(F.col("vid") != F.col("query_id"))
-        .select("query_id", "qv", "vid", "q")
-        .distinct()
-    )
-    cos = dot_int_col(F.col("qv"), F.col("q")).cast("double") / (
-        F.sqrt(norm2_int_col(F.col("qv")).cast("double"))
-        * F.sqrt(norm2_int_col(F.col("q")).cast("double"))
-    )
-    scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
+    scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

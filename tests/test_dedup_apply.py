@@ -22,6 +22,28 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    """A 41-node chain (diameter 40) must converge well inside the round
+    cap: pointer doubling gives O(log d) rounds where plain min-label
+    propagation would need 40. Also exercises the adversarial shape the
+    round-1 verdict flagged (silent partial labels past max_iters)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 41)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs, max_iters=9).collect()}
+    assert got == {i: 1 for i in range(1, 42)}
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=1)
+
+
 def test_clusters_from_lsh_pairs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog near the river bank"),

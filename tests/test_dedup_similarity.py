@@ -75,6 +75,104 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5, f"mean LSH recall too low: {recalls}"
 
 
+def test_rh_signature_kernel_matches_declarative(spark, sf_dir):
+    """The Arrow signature kernel (numpy quantize + matmul) must agree with
+    an independently-built declarative Spark plan (quantize_col + integer
+    dot per plane) — three-way portability with the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    kern = {r.vid: r.sig for r in similarity.rh_signatures_exact(emb).collect()}
+
+    planes = similarity.rh_planes()
+    base = emb.select(
+        F.col("vec_id").alias("vid"), similarity.quantize_col(F.col("embedding")).alias("q")
+    )
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = similarity.dot_int_col(
+            F.col("q"), F.array(*[F.lit(int(p)).cast("long") for p in plane])
+        )
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    decl = {r.vid: r.sig for r in base.select("vid", sig.alias("sig")).collect()}
+    assert kern == decl
+
+
+def test_near_dup_lsh_recall_vs_allpairs(spark, sf_dir):
+    """The production LSH-blocked near-dup pairs must recover ≥90% of the
+    all-pairs exact result (16 planes × 8 2-bit bands ⇒ ~98% expected at
+    cosine 0.35), and every emitted pair must be exact-correct (subset)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs_allpairs(emb, threshold=0.35).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert all(blocked[k] == exact[k] for k in blocked)  # verify stage is exact
+    assert len(blocked) / len(exact) >= 0.9
+
+
+def test_jaccard_on_lsh_candidates_matches_restriction(docs):
+    """jaccard_pairs(pairs=cand) == the quadratic form restricted to cand."""
+    sig = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidates(sig)
+    cand_set = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    via_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, pairs=cand, threshold=0.5).collect()
+    }
+    quadratic = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert via_pairs == {k: v for k, v in quadratic.items() if k in cand_set}
+
+
+def test_shingle_jaccard_lsh_recall(spark, sf_dir):
+    """LSH-verified shingle jaccard (the q12 production shape) must recover
+    ≥99% of the quadratic exact shingle-jaccard pairs at threshold 0.8
+    (band theory: P(candidate | j≥0.8) = 1-(1-j²)^8 ≥ 0.9997)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dedup.minhash_signatures(docs)
+    via_lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(
+            docs, pairs=dedup.lsh_candidates(sig), threshold=0.8, unit="shingle"
+        ).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.8, unit="shingle").collect()
+    }
+    assert via_lsh <= exact
+    if exact:
+        assert len(via_lsh) / len(exact) >= 0.99
+
+
+def test_ivf_kmeans_beats_seed_centroids(spark, sf_dir):
+    """Lloyd-refined centroids must give ANN recall ≥ the first-N-ids seed
+    baseline (the round-1 stand-in) at the same nprobe."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_bruteforce(emb, qids, k=10).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(n_iters):
+        out = similarity.cosine_topk_ivf(emb, qids, k=10, nprobe=6, n_iters=n_iters).collect()
+        byq = {}
+        for r in out:
+            byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(es[q] & byq.get(q, set())) / len(es[q]) for q in es) / len(es)
+
+    assert recall(similarity.IVF_ITERS) >= recall(0)
+
+
 def test_ann_bruteforce_self_consistency(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_topk_bruteforce(emb, [0], k=5).collect()

@@ -149,3 +149,24 @@ def test_known_duckdb_strptime_leniency():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         datetime.strptime("2/30/2024", "%m/%d/%Y")
+
+
+def test_two_digit_year_pivot_alignment(spark):
+    """The native ladder's yy formats are post-adjusted to the strptime
+    pivot (69-99 → 19xx), so normalize_date_col == normalize_date_py on
+    every 2-digit year — the round-1 internal divergence ('12/31/99' →
+    2099 vs 1999) is closed."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_ai_agent_spark.functions.dates import (
+        normalize_date_col, normalize_date_py,
+    )
+
+    vals = ["12/31/99", "1/1/69", "6/15/68", "2/29/72", "12/31/00", "7/4/23"]
+    df = spark.createDataFrame([(v,) for v in vals], "raw string")
+    got = {r.raw: r.norm for r in df.select(
+        "raw", normalize_date_col(F.col("raw")).alias("norm")).collect()}
+    for v in vals:
+        assert got[v] == normalize_date_py(v), (v, got[v], normalize_date_py(v))
+    assert got["12/31/99"] == "1999-12-31"
+    assert got["6/15/68"] == "2068-06-15"

@@ -73,6 +73,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4, f"IVF recall too low: {recalls}"
 
 
+def test_near_dup_plan_has_no_cartesian(spark, sf_dir):
+    """q36's production plan must be band-bucket equi-joins + kernel verify:
+    no all-pairs nested loop anywhere (round-1 verdict item 1)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q36_embedding_near_dups"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_lsh_verify_plan_has_no_cartesian(spark, sf_dir):
+    """q12's intersection join must be driven by the LSH candidate pair set,
+    not a word-exploded corpus self-join (round-1 verdict item 4)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q12_jaccard_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the minhash signature kernel must be in the plan: candidates come from
+    # LSH bands, not from the word-exploded quadratic self-join
+    assert "MapInPandas" in plan
+
+
 def test_sinks_roundtrip(spark, tmp_path_factory):
     from pdf_extraction_ai_agent_spark.plans import sinks
 
