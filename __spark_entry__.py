@@ -61,9 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import EXT3_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import EXT4_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import EXT5_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext6 import EXT6_QUERIES
 
     return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
-            **EXT4_QUERIES, **EXT5_QUERIES}
+            **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -73,6 +74,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext3 import ext3_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import ext4_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import ext5_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext6 import ext6_oracles
 
     return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
-            **ext4_oracles(), **ext5_oracles()}
+            **ext4_oracles(), **ext5_oracles(), **ext6_oracles()}

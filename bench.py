@@ -80,6 +80,17 @@ def _run_headline(spark) -> dict[str, float]:
             F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
         ).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # production-hash variant of the minhash kernel (hash_impl='fast' —
+    # vectorized siphash + reduceat; md5 stays the oracle-portable default):
+    # recorded so the md5↔fast speedup is visible round over round
+    from pdf_extraction_ai_agent_spark.entry_queries_ext import _docs
+    from pdf_extraction_ai_agent_spark.operators import dedup
+
+    t0 = time.monotonic()
+    sig = dedup.minhash_signatures(_docs(spark, SF_DIR), hash_impl="fast")
+    sig.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in sig.columns]))).collect()
+    timings["q13_minhash_signatures_fasthash"] = round(time.monotonic() - t0, 3)
     return timings
 
 

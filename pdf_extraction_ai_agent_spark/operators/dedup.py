@@ -100,18 +100,36 @@ def minhash_signatures_declarative(df: DataFrame, id_col: str = "doc_id",
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _hash_tokens_fast(tokens: list) -> "np.ndarray":  # noqa: F821
+    """Vectorized 60-bit token hash (pandas' C siphash over object arrays,
+    masked non-negative). ~10× the per-string hashlib md5 loop — the
+    production hash at corpus scale, where hashing IS the bill. NOT
+    portable to the DuckDB oracles (those replay md5 — hash_impl='md5')."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
+    return (h & np.uint64((1 << 60) - 1)).astype(np.int64)
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       k: int = 3) -> DataFrame:
+                       k: int = 3, hash_impl: str = "md5") -> DataFrame:
     """(doc_id, mh_0..mh_{NUM_PERMS-1}) — min over word-k-gram shingle
     hashes per permutation.
 
     Implementation: Arrow-batched mapInPandas kernel (numpy for the 16
-    affine permutations; hashlib for the portable md5 hash). Chosen over
-    the declarative explode+agg after measurement — Spark's higher-order
-    array functions are interpreted (CodegenFallback), making the built-in
-    path ~20× slower on shingle construction. Map-only: no shuffle at all
-    (each doc's signature is computed where the doc lives); docs with
-    fewer than k words produce no row (matches the SQL oracle).
+    affine permutations). Chosen over the declarative explode+agg after
+    measurement — Spark's higher-order array functions are interpreted
+    (CodegenFallback), making the built-in path ~20× slower on shingle
+    construction. Map-only: no shuffle at all (each doc's signature is
+    computed where the doc lives); docs with fewer than k words produce no
+    row (matches the SQL oracle).
+
+    ``hash_impl``: 'md5' (default) = the engine-portable 60-bit md5 hash
+    the DuckDB oracles replay, one hashlib call per shingle; 'fast' =
+    vectorized siphash over the whole batch's shingles at once + segment
+    minima via ``np.minimum.reduceat`` — same signatures semantics,
+    different (non-oracle) hash values; bench records the speedup.
     """
     import numpy as np
     import pandas as pd
@@ -131,6 +149,31 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 .str.replace(" +", " ", regex=True)
                 .str.strip()
             )
+            if hash_impl == "fast":
+                # flat shingle list + doc boundaries → ONE vectorized hash
+                # call and one reduceat per permutation for the whole batch
+                flat: list = []
+                bounds: list[int] = []
+                ids: list[int] = []
+                for doc_id, s in zip(pdf[id_col], norm):
+                    w = s.split(" ")
+                    n = len(w) - k + 1
+                    if n <= 0 or s == "":
+                        continue
+                    bounds.append(len(flat))
+                    flat.extend(" ".join(w[i : i + k]) for i in range(n))
+                    ids.append(int(doc_id))
+                if not ids:
+                    yield pd.DataFrame(columns=cols).astype("int64")
+                    continue
+                hs = _hash_tokens_fast(flat)
+                perms = (A * (hs[None, :] % MERSENNE_P) + B) % MERSENNE_P  # (16, n)
+                mins = np.minimum.reduceat(perms, np.array(bounds), axis=1)  # (16, docs)
+                out = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64)})
+                for i in range(NUM_PERMS):
+                    out[f"mh_{i}"] = mins[i]
+                yield out.astype("int64")
+                continue
             rows = []
             for doc_id, s in zip(pdf[id_col], norm):
                 w = s.split(" ")
@@ -219,13 +262,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 SIMHASH_BITS = 32  # 32-bit keeps the bit-sum explode at 32×words rows
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hash_impl: str = "md5") -> DataFrame:
     """(doc_id, simhash) — sign aggregation over DISTINCT word hashes.
 
     Arrow-batched mapInPandas kernel (numpy bit matrix): the declarative
     form needs a 32× bit-index explode whose shift expressions fall out of
     codegen; the kernel is map-only (no shuffle) and bit-exact against the
-    SQL oracle. Docs with no words produce no row.
+    SQL oracle. Docs with no words produce no row. ``hash_impl`` as in
+    minhash_signatures: 'md5' = oracle-portable, 'fast' = one vectorized
+    siphash call + reduceat bit-sums for the whole batch.
     """
     import numpy as np
     import pandas as pd
@@ -242,6 +288,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
                 .str.replace(" +", " ", regex=True)
                 .str.strip()
             )
+            if hash_impl == "fast":
+                flat: list = []
+                bounds: list[int] = []
+                ids: list[int] = []
+                for doc_id, s in zip(pdf[id_col], norm):
+                    words = sorted(set(w for w in s.split(" ") if w))
+                    if not words:
+                        continue
+                    bounds.append(len(flat))
+                    flat.extend(words)
+                    ids.append(int(doc_id))
+                if not ids:
+                    yield pd.DataFrame(columns=["doc_id", "simhash"]).astype("int64")
+                    continue
+                hs = _hash_tokens_fast(flat)
+                signs = np.where(((hs[:, None] >> bits[None, :]) & 1) == 1, 1, -1)
+                sums = np.add.reduceat(signs, np.array(bounds), axis=0)  # (docs, 32)
+                sigs = ((sums > 0).astype(np.int64) << bits).sum(axis=1)
+                yield pd.DataFrame(
+                    {"doc_id": np.array(ids, dtype=np.int64), "simhash": sigs}
+                ).astype("int64")
+                continue
             rows = []
             for doc_id, s in zip(pdf[id_col], norm):
                 words = sorted(set(w for w in s.split(" ") if w))

@@ -104,7 +104,14 @@ _RUN_EXTRACT = r"^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$"
 
 
 def _extract_pdf_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
-    """Returns (extracted_text, needs_ocr) for a batch of pseudo-PDF payloads."""
+    """Returns (extracted_text, needs_ocr) for a batch of pseudo-PDF payloads.
+
+    Assembly is separator-interleaved numpy (one C-level ``str.join`` per
+    page / doc) instead of pandas pure-python groupby-agg chains — the
+    round-1 profile attributed ~30-48% of kernel time to those aggs. The
+    layout semantics (y-clustering, x-order join, paragraph gaps, page
+    strip, marker-only pages) are unchanged and pinned by the golden suite.
+    """
     if s.empty:
         return pd.Series([], dtype=object), pd.Series([], dtype=bool)
     lines = s.str.split("\n").explode()
@@ -126,33 +133,123 @@ def _extract_pdf_batch(s: pd.Series) -> tuple[pd.Series, pd.Series]:
     grp = rdf.groupby(["doc", "page"], sort=False)
     gap = grp["y"].diff().fillna(0.0) * -1.0  # positive gaps going down
     rdf["cluster"] = (gap > spec.PDF_Y_TOL).cumsum()
+    # line_y = max y within (doc, page, cluster) — cluster ids are a global
+    # cumsum that does NOT reset at page boundaries, so the page keys matter
+    rdf["line_y"] = rdf.groupby(["doc", "page", "cluster"], sort=False)["y"].transform("max")
 
-    # within a cluster: x ascending, join with spaces; line_y = max y
+    # within a cluster: x ascending (reading order)
     rdf = rdf.sort_values(["doc", "page", "cluster", "x"], kind="mergesort")
-    cl = rdf.groupby(["doc", "page", "cluster"], sort=False).agg(
-        text=("txt", " ".join), line_y=("y", "max")
-    ).reset_index()
 
-    # paragraph blank line when vertical gap >= PDF_PARA_GAP
-    prev_y = cl.groupby(["doc", "page"], sort=False)["line_y"].shift()
-    para_break = (prev_y - cl["line_y"]) >= spec.PDF_PARA_GAP
-    cl["text"] = np.where(para_break, "\n" + cl["text"], cl["text"])
+    doc = rdf["doc"].to_numpy()
+    pg = rdf["page"].to_numpy()
+    clu = rdf["cluster"].to_numpy()
+    line_y = rdf["line_y"].to_numpy()
+    txt = rdf["txt"].to_numpy(dtype=object)
+    n = len(rdf)
 
-    # page body, then '--- PAGE n ---' headers, then doc assembly
-    pages = cl.groupby(["doc", "page"], sort=False)["text"].agg("\n".join).reset_index()
-    pages["body"] = pages["text"].str.strip()
+    # row-level separator BEFORE each row, within its page:
+    #   same cluster            → ' '   (x-order join)
+    #   new cluster, gap < PARA → '\n'
+    #   new cluster, gap ≥ PARA → '\n\n' (paragraph blank line)
+    #   first row of page       → ''
+    bodies: dict[tuple, str] = {}
+    if n:  # marker-only batches have zero runs
+        new_page = np.empty(n, dtype=bool)
+        new_page[0] = True
+        new_page[1:] = (doc[1:] != doc[:-1]) | (pg[1:] != pg[:-1])
+        new_cluster = np.empty(n, dtype=bool)
+        new_cluster[0] = True
+        new_cluster[1:] = clu[1:] != clu[:-1]
+        prev_line_y = np.empty(n, dtype=np.float64)
+        prev_line_y[0] = np.nan
+        prev_line_y[1:] = line_y[:-1]
+        para = new_cluster & ~new_page & ((prev_line_y - line_y) >= spec.PDF_PARA_GAP)
+        seps = np.where(
+            new_page, "", np.where(~new_cluster, " ", np.where(para, "\n\n", "\n"))
+        ).astype(object)
+
+        # one interleaved C-join per page, then strip (page-body contract)
+        parts = np.empty(2 * n, dtype=object)
+        parts[0::2] = seps
+        parts[1::2] = txt
+        page_starts = np.flatnonzero(new_page)
+        page_ends = np.append(page_starts[1:], n)
+        join = "".join
+        for ps, pe in zip(page_starts, page_ends):
+            bodies[(doc[ps], pg[ps])] = join(parts[2 * ps : 2 * pe]).strip()
 
     # docs may contain page markers with zero runs (near-empty last pages are
     # not emitted by the generator, but handle marker-only pages anyway)
-    markers = df.dropna(subset=["page"])[["doc", "page"]].drop_duplicates()
-    pages = markers.merge(pages[["doc", "page", "body"]], on=["doc", "page"], how="left")
-    pages["body"] = pages["body"].fillna("")
-    pages = pages.sort_values(["doc", "page"], kind="mergesort")
-    pages["rendered"] = (
-        "--- PAGE " + pages["page"].astype(np.int64).astype(str) + " ---\n" + pages["body"]
+    markers = (
+        df.dropna(subset=["page"])[["doc", "page"]]
+        .drop_duplicates()
+        .sort_values(["doc", "page"], kind="mergesort")
     )
-    text = pages.groupby("doc", sort=False)["rendered"].agg("\n".join).str.strip()
+    mdoc = markers["doc"].to_numpy()
+    mpg = markers["page"].to_numpy()
+    out: dict = {}
+    cur_doc = None
+    acc: list[str] = []
+    for i in range(len(markers)):
+        d = mdoc[i]
+        if d != cur_doc:
+            if cur_doc is not None:
+                out[cur_doc] = "\n".join(acc).strip()
+            cur_doc, acc = d, []
+        acc.append(f"--- PAGE {int(mpg[i])} ---\n" + bodies.get((d, mpg[i]), ""))
+    if cur_doc is not None:
+        out[cur_doc] = "\n".join(acc).strip()
+
+    text = pd.Series(out, dtype=object)
     return text.reindex(s.index, fill_value=""), needs_ocr
+
+
+# ---------------------------------------------------------------------------
+# real-PDF branch (integration dispatch; reference extract_text.py:9-66)
+# ---------------------------------------------------------------------------
+
+
+def extract_real_pdf_text(payload) -> tuple[str, bool]:
+    """Real PDF bytes → (page-marked text, needs_ocr), via the reference's
+    library chain (extract_text.py:39-66: pdfplumber first, PyMuPDF/fitz
+    fallback; '--- PAGE n ---' markers per fitzTest3.py:92-95; <40 stripped
+    chars → needs_ocr, the rasterize+tesseract trigger at :60-64).
+
+    The PDF libraries are not in this sandbox image — when neither imports,
+    this raises RuntimeError, which the batch kernel's per-row error
+    channel converts into an error row (same decode_real/decode_stub
+    pattern as operators/multimodal.py). On a cluster image with the libs
+    installed the dispatch runs for real; unit-tested via a fake module.
+    """
+    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode(
+        "latin-1", errors="ignore"
+    )
+    pages: list[str] | None = None
+    try:
+        import pdfplumber  # type: ignore
+
+        import io as _io
+
+        with pdfplumber.open(_io.BytesIO(data)) as pdf:
+            pages = [(p.extract_text() or "") for p in pdf.pages]
+    except ImportError:
+        try:
+            import fitz  # type: ignore  # PyMuPDF
+
+            doc = fitz.open(stream=data, filetype="pdf")
+            pages = [doc[i].get_text() for i in range(doc.page_count)]
+        except ImportError:
+            raise RuntimeError(
+                "real-PDF payload but neither pdfplumber nor PyMuPDF (fitz) is "
+                "installed — install one on the cluster image, or pre-extract "
+                "upstream (reference: src/claim_extractor/extract_text.py:9-66)"
+            ) from None
+    text = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + (body or "").strip()
+        for i, body in enumerate(pages)
+    ).strip()
+    needs_ocr = len("".join(pages).strip()) < spec.OCR_MIN_CHARS
+    return text, needs_ocr
 
 
 # ---------------------------------------------------------------------------
@@ -170,40 +267,54 @@ _RECORD_SPLIT = re.compile(spec.RECORD_SPLIT_PAT)
 # separately because it needs normalization-validation of candidates)
 _FIELD_RES = [("claim_number", _CLAIM_NO), ("name", _NAME), ("amount", _AMOUNT), ("reason", _REASON)]
 
+from functools import lru_cache  # noqa: E402
+
 from ..functions.dates import normalize_date_py  # noqa: E402
+
+# date-span validation memo: corpora repeat dates heavily and
+# normalize_date_py is pure — ~6× fewer ladder walks per batch
+_norm_date_cached = lru_cache(maxsize=8192)(normalize_date_py)
+
+
+def _spans_chunked(t: str) -> list[dict]:
+    """Reference semantics: per record chunk, first match per field regex
+    (claim/name/amount/reason), then first VALID date by pattern priority.
+
+    Deliberately a per-chunk ``re.search`` loop: search early-exits at the
+    first hit, so this beats a whole-text finditer sweep (measured 1.6×:
+    finditer must enumerate ALL matches per field). Regex time runs in C;
+    the date-validation ladder is memoized (_norm_date_cached)."""
+    recs: list[dict] = []
+    start = 0
+    n = len(t)
+    while start <= n:
+        m = _RECORD_SPLIT.search(t, start)
+        end = m.start() if m else n
+        chunk = t[start:end]
+        if chunk:
+            for field, rex in _FIELD_RES:
+                fm = rex.search(chunk)
+                if fm:
+                    recs.append(
+                        {"field": field, "start": start + fm.start(1),
+                         "end": start + fm.end(1), "value": fm.group(1).strip()}
+                    )
+            for pat in _DATES:
+                cand = pat.search(chunk)
+                if cand and _norm_date_cached(cand.group(1)):
+                    recs.append(
+                        {"field": "date", "start": start + cand.start(1),
+                         "end": start + cand.end(1), "value": cand.group(1).strip()}
+                    )
+                    break
+        if m is None:
+            break
+        start = m.end()
+    return recs
 
 
 def _spans_batch(texts: pd.Series) -> pd.Series:
-    out = []
-    for t in texts:
-        recs: list[dict] = []
-        start = 0
-        n = len(t)
-        while start <= n:
-            m = _RECORD_SPLIT.search(t, start)
-            end = m.start() if m else n
-            chunk = t[start:end]
-            if chunk:
-                for field, rex in _FIELD_RES:
-                    fm = rex.search(chunk)
-                    if fm:
-                        recs.append(
-                            {"field": field, "start": start + fm.start(1),
-                             "end": start + fm.end(1), "value": fm.group(1).strip()}
-                        )
-                for pat in _DATES:
-                    cand = pat.search(chunk)
-                    if cand and normalize_date_py(cand.group(1)):
-                        recs.append(
-                            {"field": "date", "start": start + cand.start(1),
-                             "end": start + cand.end(1), "value": cand.group(1).strip()}
-                        )
-                        break
-            if m is None:
-                break
-            start = m.end()
-        out.append(recs)
-    return pd.Series(out, index=texts.index, dtype=object)
+    return pd.Series([_spans_chunked(t) for t in texts], index=texts.index, dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -223,13 +334,17 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     """
     text = text.fillna("")
     is_pdf = text.str.startswith(spec.PDF_HEADER)
+    # real PDF byte streams ("%PDF-1.x"): dispatched to the library chain
+    # (extract_real_pdf_text); rows land in the error channel when the libs
+    # are absent instead of being silently treated as plain text
+    is_real_pdf = (~is_pdf) & text.str.startswith("%PDF-")
     lstripped = text.str.lstrip()
-    is_html = (~is_pdf) & (
+    is_html = (~is_pdf) & (~is_real_pdf) & (
         lstripped.str.startswith("<html")
         | lstripped.str.startswith("<!DOCTYPE")
         | (tool.fillna("") == "html_paste")
     )
-    is_plain = ~is_pdf & ~is_html
+    is_plain = ~is_pdf & ~is_real_pdf & ~is_html
 
     extracted = pd.Series("", index=text.index, dtype=object)
     needs_ocr = pd.Series(False, index=text.index)
@@ -275,13 +390,27 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
         extracted.at[idx] = t.iloc[0]
         needs_ocr.at[idx] = bool(o.iloc[0])
 
+    def real_pdf_batch(sub):
+        # no vectorized form: per-row library dispatch; raise to route every
+        # row through _guarded's per-row path (error channel when libs absent)
+        raise RuntimeError("per-row dispatch")
+
+    def real_pdf_row(idx, val):
+        t, o = extract_real_pdf_text(val)
+        extracted.at[idx] = t
+        needs_ocr.at[idx] = o
+
     _guarded(is_plain, plain_batch, plain_row)
     _guarded(is_html, html_batch, html_row)
     _guarded(is_pdf, pdf_batch, pdf_row)
+    _guarded(is_real_pdf, real_pdf_batch, real_pdf_row)
 
     spans = _spans_batch(extracted)
     kind = pd.Series(
-        np.select([is_pdf, is_html], ["pdf", "html"], default="plain"), index=text.index
+        np.select(
+            [is_pdf, is_real_pdf, is_html], ["pdf", "pdf_real", "html"], default="plain"
+        ),
+        index=text.index,
     )
     return pd.DataFrame(
         {

@@ -50,6 +50,32 @@ def test_simhash_hamming(docs):
     assert (1, 2) in pairs and (1, 4) in pairs
 
 
+def test_fast_hash_kernels_same_semantics(docs, spark, sf_dir):
+    """hash_impl='fast' (vectorized siphash) must reproduce the minhash /
+    simhash SEMANTICS of the md5 path: identical signatures for exact
+    duplicates, and the same near-dup pairs on the fixture corpus (same
+    estimator, different hash family)."""
+    sig = {r.doc_id: tuple(r)[1:] for r in
+           dedup.minhash_signatures(docs, hash_impl="fast").collect()}
+    assert sig[1] == sig[2] == sig[3]  # exact/normalized dups agree
+    assert sig[1] != sig[5]
+    sim = {r.doc_id: r.simhash for r in dedup.simhash(docs, hash_impl="fast").collect()}
+    assert sim[1] == sim[2] == sim[3]
+    assert bin(sim[1] ^ sim[4]).count("1") <= 8  # near-dup stays close
+
+    # same pair decisions as the md5 path on a real corpus slice
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sig_md5 = dedup.minhash_signatures(corpus, hash_impl="md5")
+    sig_fast = dedup.minhash_signatures(corpus, hash_impl="fast")
+    cand_md5 = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sig_md5).collect()}
+    cand_fast = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sig_fast).collect()}
+    # banding is probabilistic per hash family — borderline-jaccard pairs
+    # legitimately flip, so demand substantial (not exact) agreement
+    inter = len(cand_md5 & cand_fast)
+    union = len(cand_md5 | cand_fast)
+    assert union == 0 or inter / union >= 0.6, (inter, union)
+
+
 def test_jaccard_exact(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()

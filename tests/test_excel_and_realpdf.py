@@ -1,0 +1,118 @@
+"""S8 xlsx source round trip + the real-PDF dispatch branch."""
+
+import sys
+import types
+
+import pandas as pd
+
+from pdf_extraction_ai_agent_spark.sources.excel import (
+    excel_sheet_rows, read_xlsx_bytes, write_minimal_xlsx,
+)
+
+
+def test_xlsx_write_read_roundtrip():
+    sheets = [
+        ("AUTO", [["Account", "Policy"], ["ALG&RIA", "P-0"], ["X<>Y", ""]]),
+        ("WC", [["only", "one", "row", "wide"]]),
+        ("Empty", []),
+    ]
+    assert read_xlsx_bytes(write_minimal_xlsx(sheets)) == sheets
+
+
+def test_xlsx_sparse_cells_and_shared_strings():
+    """Reader handles A1-ref gaps; openpyxl-style sharedStrings path is
+    covered by crafting a workbook with t="s" cells."""
+    import io
+    import zipfile
+
+    base = write_minimal_xlsx([("S", [["a"]])])
+    zf_in = zipfile.ZipFile(io.BytesIO(base))
+    names = {n: zf_in.read(n) for n in zf_in.namelist()}
+    names["xl/sharedStrings.xml"] = (
+        b'<?xml version="1.0"?>'
+        b'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b"<si><t>hello</t></si><si><t>world</t></si></sst>"
+    )
+    names["xl/worksheets/sheet1.xml"] = (
+        b'<?xml version="1.0"?>'
+        b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b'<sheetData><row r="1">'
+        b'<c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c>'
+        b'<c r="D1"><v>42</v></c>'
+        b"</row></sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf_out:
+        for n, b in names.items():
+            zf_out.writestr(n, b)
+    got = read_xlsx_bytes(buf.getvalue())
+    assert got == [("S", [["hello", "", "world", "42"]])]  # B1 gap padded
+
+
+def test_excel_source_spark(spark):
+    payload = write_minimal_xlsx(
+        [("A", [["h1", "h2"], ["r1a", "r1b"]]), ("B", [["x"]])]
+    )
+    wb = spark.createDataFrame(
+        [("f.xlsx", bytearray(payload))], "file_name string, content binary"
+    )
+    rows = excel_sheet_rows(wb).collect()
+    got = {(r.sheet_name, r.row_pos): list(r.cells) for r in rows}
+    assert got == {
+        ("A", 0): ["h1", "h2"],
+        ("A", 1): ["r1a", "r1b"],
+        ("B", 0): ["x"],
+    }
+    assert all(r.sheet_pos == (0 if r.sheet_name == "A" else 1) for r in rows)
+
+
+def test_real_pdf_dispatch_error_channel():
+    """'%PDF-1.x' payloads route to the library chain; with no pdfplumber /
+    fitz in this image the row lands in the error channel (job survives),
+    and the payload kind is distinct from the pseudo-PDF grammar."""
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_turn_batch
+
+    out = extract_turn_batch(
+        pd.Series(["%PDF-1.7\n…binary…", "plain text row"]),
+        pd.Series(["pdf_upload", "chat"]),
+    )
+    assert out["payload_kind"].tolist() == ["pdf_real", "plain"]
+    assert out["extracted_text"].tolist() == ["", "plain text row"]
+    assert "pdfplumber" in out["error"][0]
+    assert pd.isna(out["error"][1])  # None/NaN both land as SQL null via Arrow
+
+
+def test_real_pdf_dispatch_uses_fitz_when_present(monkeypatch):
+    """With a (fake) PyMuPDF importable, the dispatch extracts page-marked
+    text and applies the <40-char OCR trigger — the integration path the
+    sandbox can't exercise with the real library."""
+
+    class _FakePage:
+        def __init__(self, txt):
+            self._t = txt
+
+        def get_text(self):
+            return self._t
+
+    class _FakeDoc:
+        def __init__(self, pages):
+            self._p = [_FakePage(t) for t in pages]
+            self.page_count = len(pages)
+
+        def __getitem__(self, i):
+            return self._p[i]
+
+    fake = types.ModuleType("fitz")
+    fake.open = lambda stream=None, filetype=None: _FakeDoc(
+        ["Claim# ABC-12345 filed on behalf of the insured party.", "short"]
+    )
+    monkeypatch.setitem(sys.modules, "fitz", fake)
+
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+
+    text, needs_ocr = extract_real_pdf_text("%PDF-1.7 whatever")
+    assert text == (
+        "--- PAGE 1 ---\nClaim# ABC-12345 filed on behalf of the insured party."
+        "\n--- PAGE 2 ---\nshort"
+    )
+    assert needs_ocr is False  # ≥40 stripped chars → no OCR trigger
