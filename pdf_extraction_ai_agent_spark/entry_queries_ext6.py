@@ -70,12 +70,91 @@ SELECT 'wb.xlsx' AS file_name, * FROM data
 """
 
 
+# ---------------------------------------------------------------------------
+# q42 — text-layout table detection (Camelot/Tabula stream-mode fallback)
+# ---------------------------------------------------------------------------
+
+
+def q42_detect_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prose+table documents built from lineitem; the detector must find
+    the embedded whitespace-aligned table and skip the lone tabular line
+    (min 2 consecutive rows)."""
+    from .operators.texttables import detect_text_tables
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3)
+    row_line = F.concat(
+        F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"),
+        F.lit("    "), F.date_format("l_shipdate", "yyyy-MM-dd"),
+        F.lit("    "), F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    )
+    doc = li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.concat(
+            F.lit("Report for order.\nSummary follows below.\n"
+                  "Item    Ship Date    Amount\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", row_line.alias("l")))),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ),
+            F.lit("\nNotes: reviewed by desk.\nRef    "),
+            F.col("l_orderkey").cast("string"),
+        ).alias("extracted_text")
+    )
+    return detect_text_tables(doc)
+
+
+_Q42_SQL = r"""
+WITH doc AS (
+  SELECT l_orderkey AS doc_id,
+         'Report for order.' || chr(10) || 'Summary follows below.' || chr(10) ||
+         'Item    Ship Date    Amount' || chr(10) ||
+         string_agg(line, chr(10) ORDER BY l_linenumber, line) ||
+         chr(10) || 'Notes: reviewed by desk.' || chr(10) || 'Ref    ' ||
+         CAST(l_orderkey AS VARCHAR) AS extracted_text
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           'L' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) ||
+           '    ' || strftime(l_shipdate, '%Y-%m-%d') ||
+           '    ' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS line
+    FROM lineitem WHERE l_linenumber <= 3
+  )
+  GROUP BY l_orderkey
+),
+lines AS (
+  SELECT doc_id, u.i - 1 AS line_no,
+         list_filter(regexp_split_to_array(trim(ls[CAST(u.i AS INTEGER)]), '\s{2,}|\t|\|'),
+                     x -> x <> '') AS cells
+  FROM (SELECT doc_id, string_split(extracted_text, chr(10)) AS ls FROM doc) t,
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u
+),
+tab AS (
+  SELECT doc_id, line_no, cells,
+         line_no - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) AS island
+  FROM lines WHERE len(cells) >= 2
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, island) AS island_rows
+  FROM tab
+)
+SELECT doc_id,
+       CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY island) - 1 AS INTEGER) AS table_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, island ORDER BY line_no) - 1 AS INTEGER) AS row_pos,
+       CAST(len(cells) AS INTEGER) AS n_cols,
+       array_to_string(cells, '|') AS cells_pipe
+FROM sized WHERE island_rows >= 2
+"""
+
+
 EXT6_QUERIES = {
     "q41_excel_sheets": q41_excel_sheets,
+    "q42_detect_text_tables": q42_detect_text_tables,
 }
 
 
 def ext6_oracles() -> dict[str, str]:
     return {
         "q41_excel_sheets": _Q41_SQL,
+        "q42_detect_text_tables": _Q42_SQL,
     }

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "run_group string, part_id int, n_rows long, wall_ms long, "
+    "run_group string, part_id int, n_rows long, n_errors long, wall_ms long, "
     "turns_per_sec double, finished_at timestamp"
 )
 
@@ -64,12 +64,14 @@ class LineageStore:
                     r["run_group"],
                     int(r["part_id"]),
                     int(r["n_rows"]),
+                    int(r.get("n_errors", 0)),
                     int(r["wall_ms"]),
                     float(r["turns_per_sec"]),
                 )
                 for r in rows
             ],
-            "run_group string, part_id int, n_rows long, wall_ms long, turns_per_sec double",
+            "run_group string, part_id int, n_rows long, n_errors long, "
+            "wall_ms long, turns_per_sec double",
         ).withColumn("finished_at", F.current_timestamp())
         df.write.format(self.fmt).mode("append").save(self.path)
 
@@ -122,28 +124,36 @@ def run_with_lineage(
         wall_ms = int((time.monotonic() - t0) * 1000)
         # row counts come from the committed output (parquet footers /
         # Iceberg manifests — metadata-only, no recompute of the UDF stage)
-        counted = (
-            spark.read.format(fmt)
-            .load(out_path)
-            .filter(F.col("part_id").isin(group))
-            .groupBy("part_id")
-            .count()
+        committed = (
+            spark.read.format(fmt).load(out_path).filter(F.col("part_id").isin(group))
         )
-        per_part = {r["part_id"]: r["count"] for r in counted.collect()}
-        n_rows = sum(per_part.values())
+        err_agg = (
+            [F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_err")]
+            if "error" in committed.columns
+            else [F.lit(0).alias("n_err")]
+        )
+        counted = committed.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n"), *err_agg
+        )
+        per_part = {r["part_id"]: (r["n"], r["n_err"]) for r in counted.collect()}
+        n_rows = sum(n for n, _ in per_part.values())
+        n_errors = sum(e for _, e in per_part.values())
         tps = n_rows / max(wall_ms / 1000.0, 1e-9)
         store.append(
             [
                 {
                     "run_group": run_group,
                     "part_id": pid,
-                    "n_rows": per_part.get(pid, 0),
+                    "n_rows": per_part.get(pid, (0, 0))[0],
+                    "n_errors": per_part.get(pid, (0, 0))[1],
                     "wall_ms": wall_ms,
                     "turns_per_sec": tps,
                 }
                 for pid in group
             ]
         )
-        metrics["groups"].append({"part_ids": group, "rows": n_rows, "wall_ms": wall_ms})
+        metrics["groups"].append(
+            {"part_ids": group, "rows": n_rows, "errors": n_errors, "wall_ms": wall_ms}
+        )
     metrics["out_path"] = os.path.abspath(out_path)
     return metrics

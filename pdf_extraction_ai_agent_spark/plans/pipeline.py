@@ -36,6 +36,27 @@ from ..functions.fields import with_parsed_fields
 DEFAULT_SALT_BUCKETS = 8
 
 
+def auto_salt_buckets(
+    transcripts: DataFrame, target_rows_per_task: int = 50_000, cap: int = 512
+) -> int:
+    """ROADMAP 3 — derive the salt fan-out from a runtime stat instead of a
+    static 8: one cheap pre-pass (count_min-style groupBy count on conv_id
+    only — column-pruned to one string column) takes the LARGEST
+    conversation and salts it down to ~target_rows_per_task rows per task.
+    Mega-conversations get more salt; uniform corpora get salt 1 (no
+    artificial fan-out). The pre-pass is one partial-agg job over a single
+    column — at 100 TB that's the cheapest full scan there is, and it runs
+    once per batch, not per consumer."""
+    row = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    mx = row.mx or 0
+    return max(1, min(cap, -(-mx // target_rows_per_task)))
+
+
 def salted_repartition(df: DataFrame, num_partitions: int | None, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Explicit repartition before the heavy UDF stage (north rule):
     hash(conv_id) + a turn-level salt so skewed conversations split."""
@@ -51,15 +72,20 @@ def extract_pipeline(
     num_partitions: int | None = None,
     with_fields: bool = True,
     with_lob: bool = True,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: int | str = DEFAULT_SALT_BUCKETS,
     observation=None,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
+
+    ``salt_buckets='auto'`` runs the auto_salt_buckets pre-pass (salt
+    derived from the largest conversation's row count).
 
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
     [, lob, lobs]).
     """
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt_buckets(transcripts)
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
     df = with_extraction(df).drop("text", "tool")

@@ -31,6 +31,28 @@ def write_csv(df: DataFrame, path: str, columns: list[str] | None = None) -> Non
     df.select(*cols).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str = "conv_id", buckets: int = 32,
+    fmt: str = "parquet",
+) -> None:
+    """Extraction-output sink bucketed by conv_id (ROADMAP 2: the shuffle
+    diet). A bucketed scan reports HashPartitioning(conv_id) — downstream
+    per-conversation consumers (the ordering window, golden joins,
+    sessionization) satisfy their ClusteredDistribution straight off the
+    scan with NO Exchange, so the payload-sized shuffle of extracted_text
+    + spans happens zero times instead of once per consumer. On a cluster
+    this is the Iceberg ``bucket(conv_id, N)`` hidden partitioning; in the
+    sandbox it's a bucketed catalog table (bucketBy requires saveAsTable).
+    Plan pinned in tests/test_plan_shapes.py."""
+    (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def write_per_lob(df: DataFrame, path: str, lob_col: str = "lob", fmt: str = "parquet") -> None:
     """S16 — per-LOB + combined in ONE write: partitionBy(lob) gives the
     per-LOB 'workbooks' as partitions and the root as the combined table —

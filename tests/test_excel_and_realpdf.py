@@ -82,6 +82,63 @@ def test_real_pdf_dispatch_error_channel():
     assert pd.isna(out["error"][1])  # None/NaN both land as SQL null via Arrow
 
 
+def test_ocr_fallback_plumbing(spark):
+    """Flagged rows get OCR text (stub impl), clean rows pass through, and
+    with impl='real' (stack absent here) the error channel captures the
+    integration message instead of aborting."""
+    from pdf_extraction_ai_agent_spark.operators.ocr import with_ocr_fallback
+
+    df = spark.createDataFrame(
+        [("%PDF-1.4 x", True, ""), ("hello", False, "hello")],
+        "text string, needs_ocr boolean, extracted_text string",
+    )
+    got = {r.text: r for r in with_ocr_fallback(df, impl="stub").collect()}
+    assert got["%PDF-1.4 x"].extracted_text.startswith("OCR-STUB ")
+    assert got["hello"].extracted_text == "hello"
+
+    real = {r.text: r for r in with_ocr_fallback(df, impl="real").collect()}
+    assert "pytesseract" in (real["%PDF-1.4 x"].error or "")
+    assert real["hello"].error is None
+    assert real["hello"].extracted_text == "hello"
+
+
+def test_chaos_fuzzed_payloads_never_abort():
+    """ROADMAP 9 — chaos fixture: organically-fuzzed payloads (random
+    bytes-ish text, broken markers, pathological whitespace, deep nesting,
+    NULs) must flow through the kernel without an exception; only rows the
+    branch genuinely can't handle carry an error, everything else gets a
+    well-formed result row."""
+    import random
+
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_turn_batch
+
+    rng = random.Random(1234)
+    alphabet = "abc $%()\\\n\t\x00<>&-/:#." + "BT ET Td Tj %%PAGE %PDF-SIM 1.0"
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 400)))
+        for _ in range(300)
+    ]
+    fuzz += [
+        "%PDF-SIM 1.0\n%%PAGE \nBT x y Td (t) Tj ET",   # broken page marker
+        "%PDF-SIM 1.0\nBT 1 2 Td (a) Tj ET",            # runs before any page
+        "%PDF-SIM 1.0\n%%PAGE 99999999999999999999",    # huge page number
+        "<html>" + "<a href='x'>" * 500 + "</html>",     # link bomb
+        "<html>\n" + "\x00" * 100 + "\n</html>",
+        "a" * 200_000,                                    # megarow
+        "\n" * 5_000,                                     # blank-line bomb
+        None,
+    ]
+    tools = pd.Series(["chat"] * len(fuzz))
+    out = extract_turn_batch(pd.Series(fuzz, dtype=object), tools)
+    assert len(out) == len(fuzz)
+    assert out["extracted_text"].map(lambda v: isinstance(v, str)).all()
+    assert out["payload_kind"].isin(["pdf", "pdf_real", "html", "plain"]).all()
+    # the error channel is the ONLY place failures may appear
+    errs = out["error"].dropna()
+    for e in errs:
+        assert isinstance(e, str) and len(e) <= 500
+
+
 def test_real_pdf_dispatch_uses_fitz_when_present(monkeypatch):
     """With a (fake) PyMuPDF importable, the dispatch extracts page-marked
     text and applies the <40-char OCR trigger — the integration path the

@@ -4,6 +4,7 @@ joins where dims are small, top-N without a global sort."""
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -94,6 +95,53 @@ def test_jaccard_lsh_verify_plan_has_no_cartesian(spark, sf_dir):
     # the minhash signature kernel must be in the plan: candidates come from
     # LSH bands, not from the word-exploded quadratic self-join
     assert "MapInPandas" in plan
+
+
+def test_bucketed_sink_kills_downstream_window_exchange(spark, transcripts_df):
+    """ROADMAP 2: the extraction output written bucketed by conv_id must
+    satisfy a per-conv window's ClusteredDistribution straight off the scan
+    — zero Exchange, i.e. the payload-sized shuffle of extracted_text is
+    gone for every downstream per-conversation consumer."""
+    from pyspark.sql import Window as W
+
+    from pdf_extraction_ai_agent_spark.plans import sinks
+
+    df = transcripts_df.select("conv_id", "turn_idx", "ts", "text")
+    sinks.write_bucketed(df, "t_bucketed_test", buckets=4)
+    try:
+        back = spark.table("t_bucketed_test")
+        w = W.partitionBy("conv_id").orderBy("turn_idx", "ts")
+        plan = _plan(back.withColumn("turn_pos", F.row_number().over(w)))
+        assert "Exchange" not in plan, plan
+        assert "Window" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+
+
+def test_auto_salt_buckets(spark):
+    from pdf_extraction_ai_agent_spark.plans.pipeline import auto_salt_buckets
+
+    uniform = spark.range(100).select(
+        (F.col("id") % 50).cast("string").alias("conv_id")
+    )
+    assert auto_salt_buckets(uniform, target_rows_per_task=1000) == 1
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, "mega").otherwise(F.col("id").cast("string")).alias("conv_id")
+    )
+    assert auto_salt_buckets(skewed, target_rows_per_task=1000) == 9
+
+
+def test_lsh_band_solver():
+    from pdf_extraction_ai_agent_spark.functions.hashing import (
+        LSH_BAND_SIZE, NUM_PERMS, solve_lsh_bands,
+    )
+
+    # the shipped 8×2 default is what the solver picks for its threshold
+    b, r = solve_lsh_bands(0.35)
+    assert (b, r) == (NUM_PERMS // LSH_BAND_SIZE, LSH_BAND_SIZE)
+    # high-threshold dedup wants wider bands (fewer, longer)
+    b_hi, r_hi = solve_lsh_bands(0.9, n_perms=128)
+    assert r_hi > r and (1.0 / b_hi) ** (1.0 / r_hi) == pytest.approx(0.9, abs=0.15)
 
 
 def test_sinks_roundtrip(spark, tmp_path_factory):
