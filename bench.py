@@ -25,7 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "80000"))
+# 160k convs ≈ 1.19M turns: sized so fixed per-job costs (JVM stages,
+# shuffle setup, final reduce) amortize — at 80k the round-2 kernel is fast
+# enough that they dominate the local[2]↔local[8] comparison (measured
+# eff 0.81 at 80k vs 0.93 at 160k, same engine; amortization is also the
+# 100 TB reality)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "160000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") == "1"
 
 # headline subset: one per operator family (full pack runs in selfcheck)

@@ -202,13 +202,17 @@ FROM rows_
 # ---------------------------------------------------------------------------
 
 
-def _q28_sql() -> str:
+def _q28_sql(doc_cte: str | None = None) -> str:
     """DuckDB twin of wc_tabular._extract_wc over the q28 fixture. The
     greedy per-part elif cascade is replicated exactly: the claim column is
     taken by the FIRST claim-token part, the date by the first date-token
     part not consumed by the claim branch, and each money column by the
     LAST matching free part (the Python assignments are unguarded). SQL is
-    generated from the same _HEADER_MAP constants as the Spark kernel."""
+    generated from the same _HEADER_MAP constants as the Spark kernel.
+
+    ``doc_cte`` overrides the fixture document CTE (must yield
+    (doc_id, extracted_text)) — used by the randomized differential test
+    to replay the cascade over arbitrary corpora."""
     from .operators.wc_tabular import _HEADER_MAP
 
     def likes(col: str, keys: list[str]) -> str:
@@ -246,8 +250,8 @@ def _q28_sql() -> str:
             " THEN {'k': part_no, 'v': money} END)).v, '')"
         )
 
-    return f"""
-WITH doc AS (
+    if doc_cte is None:
+        doc_cte = """
   SELECT l_orderkey AS doc_id,
          'Evaluation Date: 06-30-2024' || chr(10) || 'Carrier: Keystone Mutual' || chr(10) ||
          'Claim Number    Loss Date    Indemnity Paid    Medical Paid' || chr(10) ||
@@ -261,7 +265,9 @@ WITH doc AS (
     FROM lineitem WHERE l_linenumber <= 3
   )
   GROUP BY l_orderkey
-),
+"""
+    return f"""
+WITH doc AS ({doc_cte}),
 hdr AS (
   SELECT doc_id, extracted_text,
     COALESCE(

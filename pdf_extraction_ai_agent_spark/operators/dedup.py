@@ -207,16 +207,25 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def lsh_candidates(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 LSH band.
 
     Scale: the only non-broadcast shuffle is the self-join on
-    (band_idx, band_key); AQE's skew-join split handles hot buckets, and a
-    bucket-size cap can be added upstream for adversarial corpora.
+    (band_idx, band_key); AQE's skew-join split handles hot buckets.
+    ``max_bucket`` drops buckets larger than the cap BEFORE the self-join —
+    the standard guard against adversarial corpora (a boilerplate band
+    shared by millions of docs would otherwise emit |bucket|² pairs; such
+    pairs are near-worthless anyway because giant buckets are driven by
+    degenerate shingles). Default off so the oracle twin stays exact.
     """
     # disjoint column names on every leg — Spark's self-join lineage
     # dedup silently mis-resolves `alias().col` chains over a shared plan
     bands = lsh_bands(sig)
+    if max_bucket is not None:
+        counts = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+        bands = bands.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_idx", "band_key"]
+        )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     return (

@@ -76,6 +76,23 @@ def test_fast_hash_kernels_same_semantics(docs, spark, sf_dir):
     assert union == 0 or inter / union >= 0.6, (inter, union)
 
 
+def test_lsh_bucket_cap(spark):
+    """max_bucket drops mega-buckets before the self-join: 30 copies of the
+    same text share every band (≈435 pairs uncapped); cap 5 kills them all
+    while a small distinct near-dup pair survives."""
+    rows = [(i, "the same boilerplate text repeated across the whole corpus")
+            for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark physical plans"),
+             (101, "a genuinely unique document about spark physical plan")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(docs)
+    uncapped = dedup.lsh_candidates(sig).count()
+    capped = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sig, max_bucket=5).collect()}
+    assert uncapped >= 435
+    assert (100, 101) in capped
+    assert not any(a < 100 for a, _ in capped)
+
+
 def test_jaccard_exact(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()

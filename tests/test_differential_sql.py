@@ -170,3 +170,66 @@ def test_two_digit_year_pivot_alignment(spark):
         assert got[v] == normalize_date_py(v), (v, got[v], normalize_date_py(v))
     assert got["12/31/99"] == "1999-12-31"
     assert got["6/15/68"] == "2068-06-15"
+
+
+def _random_wc_texts(n: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    headers = [
+        "Claim Number    Loss Date    Indemnity Paid    Medical Paid",
+        "claim no\tdate of loss\tind paid\tmed paid",
+        "Claim #  |  Accident Date  |  ALAE  |  Expense",
+        "nothing tabular here",                 # <2 header hits → no claims
+        "Indemnity Reserve    Med Reserve",
+    ]
+    line_frags = [
+        "W{k}042    06/15/1994    indemnity 12345.67    medical 17.00",
+        "12345    1/2/99    ind paid 5,000.00",
+        "ABC-99    medical 9.99 | alae 1.00",
+        "{k}    07-08-2021\tindemnity reserve 3.50",
+        "onecell",
+        "two  cells",
+        "a || b || c",
+        "expense 7    W55555    02/03/2020",
+        "med reserve $1,000    W77777    03/04/2021    allocated loss adjustment expense 2",
+    ]
+    docs = []
+    for i in range(n):
+        lines = []
+        if rng.random() < 0.4:
+            lines.append("Evaluation Date: 06-30-2024")
+        if rng.random() < 0.4:
+            lines.append("Carrier: Keystone Mutual & Sons Co.")
+        if rng.random() < 0.2:
+            lines.append("As of Date: March 5, 2024")
+        lines.append(rng.choice(headers))
+        for _ in range(rng.randint(0, 6)):
+            lines.append(rng.choice(line_frags).format(k=rng.randint(1, 99999)))
+            if rng.random() < 0.2:
+                lines.append("   ")  # whitespace-only line (dropped by both)
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def test_wc_cascade_differential(spark):
+    """The q28 oracle's SQL replication of the greedy WC cascade must agree
+    with the Arrow kernel on RANDOMIZED documents (header variants, tabs,
+    pipes, reserve/expense categories, missing headers, blank lines) — not
+    just the fixed q28 fixture."""
+    from pdf_extraction_ai_agent_spark.entry_queries_ext2 import _q28_sql
+    from pdf_extraction_ai_agent_spark.operators.wc_tabular import wc_claims
+
+    docs = _random_wc_texts(150, seed=31)
+    sdf = spark.createDataFrame(docs, "doc_id long, extracted_text string")
+    got = wc_claims(sdf, keep_cols=["doc_id"]).toPandas()
+    con = duckdb.connect()
+    con.register("wc_docs", pd.DataFrame(docs, columns=["doc_id", "extracted_text"]))
+    exp = con.sql(_q28_sql("SELECT doc_id, extracted_text FROM wc_docs")).df()
+
+    assert sorted(got.columns) == sorted(exp.columns)
+    key = sorted(got.columns)
+    g = got[key].astype(str).sort_values(key).reset_index(drop=True)
+    e = exp[key].astype(str).sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    for c in key:
+        diffs = (g[c] != e[c])
+        assert not diffs.any(), (c, g[diffs].head(3), e[diffs].head(3))

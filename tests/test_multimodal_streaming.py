@@ -74,3 +74,58 @@ def test_available_now_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     n_before = spark.read.parquet(out).count()
     run_available_now_stream(spark, src, ckpt, out, schema, window="1 hour", watermark="2 hours")
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path_factory):
+    """Stateful streaming dedup (applyInPandasWithState): candidates
+    accumulated over TWO microbatches (maxFilesPerTrigger=1) must equal the
+    batch lsh_candidates pair set on the same corpus — cross-batch pairs
+    prove the per-bucket state carries between triggers."""
+    from pdf_extraction_ai_agent_spark.operators import dedup
+    from pdf_extraction_ai_agent_spark.streaming.dedup_stream import (
+        streaming_lsh_candidates,
+    )
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5, "completely different content about spark shuffle partitions and joins"),
+    ]
+    rows2 = [
+        (3, "The quick brown fox jumps over the lazy dog near the river bank!"),
+        (4, "the quick brown fox leaps over the lazy dog near the river bank"),
+        (6, "totally unrelated text mentioning adaptive query execution and codegen"),
+    ]
+    base = tmp_path_factory.mktemp("dedup_stream")
+    src = str(base / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: set = set()
+
+    def sink(batch_df, _bid):
+        got.update((r.doc_a, r.doc_b) for r in batch_df.collect())
+
+    q = (
+        streaming_lsh_candidates(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_docs = spark.createDataFrame(rows1 + rows2, schema)
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidates(dedup.minhash_signatures(batch_docs)).collect()
+    }
+    assert got == expected
+    # cross-microbatch pair must exist (1 arrived in batch 0, 3/4 in batch 1)
+    assert any(a == 1 and b in (3, 4) for a, b in got)
