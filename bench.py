@@ -45,6 +45,9 @@ HEADLINE = [
     "q16_ann_cosine_topk",
     "q19_quality_scores",
     "q23_event_windows",
+    # round-2 scale paths, tracked for regressions
+    "q36_embedding_near_dups",
+    "q42_detect_text_tables",
 ]
 
 

@@ -31,8 +31,11 @@ def main():
                     help="lineage buckets = resume granularity; ~2-4× executor count")
     ap.add_argument("--bucket-group-size", type=int, default=8)
     ap.add_argument("--run-group", default="default")
-    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--salt-buckets", default="8",
+                    help="int, or 'auto' to derive from the largest conversation "
+                         "(one column-pruned pre-pass; plans/pipeline.py)")
     args = ap.parse_args()
+    salt = args.salt_buckets if args.salt_buckets == "auto" else int(args.salt_buckets)
 
     from pyspark.sql import SparkSession
 
@@ -58,7 +61,7 @@ def main():
     metrics = run_with_lineage(
         spark,
         transcripts,
-        lambda df: extract_pipeline(df, salt_buckets=args.salt_buckets),
+        lambda df: extract_pipeline(df, salt_buckets=salt),
         out_path=args.output,
         lineage_path=args.lineage,
         run_group=args.run_group,

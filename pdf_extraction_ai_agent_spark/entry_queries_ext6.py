@@ -147,9 +147,64 @@ FROM sized WHERE island_rows >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q43 — multi-way dim-join rollup (claims-cost by region/carrier-nation):
+# the analytic reporting shape over the full dim chain (lineitem ⋈ orders ⋈
+# customer ⋈ nation ⋈ region), exact DECIMAL sums, broadcast dims
+# ---------------------------------------------------------------------------
+
+
+def q43_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("c_custkey"), F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    fact = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+    return (
+        fact.join(F.broadcast(dims), fact.o_custkey == dims.c_custkey)
+        .groupBy("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").alias("total_price"),
+            # sum the FULL-scale (scale-4) products — downscaling per row is
+            # not portable (DuckDB decimal casts truncate, Spark rounds
+            # HALF_UP); the scale-4 sum is exact in both engines
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+_Q43_SQL = """
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           ) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 EXT6_QUERIES = {
     "q41_excel_sheets": q41_excel_sheets,
     "q42_detect_text_tables": q42_detect_text_tables,
+    "q43_region_rollup": q43_region_rollup,
 }
 
 
@@ -157,4 +212,5 @@ def ext6_oracles() -> dict[str, str]:
     return {
         "q41_excel_sheets": _Q41_SQL,
         "q42_detect_text_tables": _Q42_SQL,
+        "q43_region_rollup": _Q43_SQL,
     }

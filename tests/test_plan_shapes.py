@@ -97,6 +97,16 @@ def test_jaccard_lsh_verify_plan_has_no_cartesian(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_region_rollup_broadcasts_dims(spark, sf_dir):
+    """q43's dim chain (customer⋈nation⋈region) must broadcast — the fact
+    side never shuffles on a dim key."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q43_region_rollup"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_sink_kills_downstream_window_exchange(spark, transcripts_df):
     """ROADMAP 2: the extraction output written bucketed by conv_id must
     satisfy a per-conv window's ClusteredDistribution straight off the scan
