@@ -105,8 +105,11 @@ def q42_detect_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_text_tables(doc)
 
 
-_Q42_SQL = r"""
-WITH doc AS (
+def _q42_sql(doc_cte: str | None = None) -> str:
+    """``doc_cte`` overrides the fixture CTE (must yield (doc_id,
+    extracted_text)) — used by the randomized differential test."""
+    if doc_cte is None:
+        doc_cte = """
   SELECT l_orderkey AS doc_id,
          'Report for order.' || chr(10) || 'Summary follows below.' || chr(10) ||
          'Item    Ship Date    Amount' || chr(10) ||
@@ -121,10 +124,12 @@ WITH doc AS (
     FROM lineitem WHERE l_linenumber <= 3
   )
   GROUP BY l_orderkey
-),
+"""
+    return rf"""
+WITH doc AS ({doc_cte}),
 lines AS (
   SELECT doc_id, u.i - 1 AS line_no,
-         list_filter(regexp_split_to_array(trim(ls[CAST(u.i AS INTEGER)]), '\s{2,}|\t|\|'),
+         list_filter(regexp_split_to_array(trim(ls[CAST(u.i AS INTEGER)]), '\s{{2,}}|\t|\|'),
                      x -> x <> '') AS cells
   FROM (SELECT doc_id, string_split(extracted_text, chr(10)) AS ls FROM doc) t,
        LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u
@@ -211,6 +216,6 @@ EXT6_QUERIES = {
 def ext6_oracles() -> dict[str, str]:
     return {
         "q41_excel_sheets": _Q41_SQL,
-        "q42_detect_text_tables": _Q42_SQL,
+        "q42_detect_text_tables": _q42_sql(),
         "q43_region_rollup": _Q43_SQL,
     }

@@ -69,6 +69,49 @@ def extract_media_meta(df: DataFrame, id_col: str = "media_id",
     return cols.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
 
+def render_pdf_pages(payload, dpi: int = 200) -> list[tuple[int, bytes]]:
+    """S7 — PDF → per-page PNG bytes (reference:
+    claude_pdf_image_extractor.py:62-74 rasterizes with pdf2image/fitz for
+    the LLM-image path). Same dispatch pattern as extract_real_pdf_text:
+    PyMuPDF when installed, else a documented RuntimeError that the per-row
+    error channel captures. Returns [(page_no starting at 1, png_bytes)].
+    """
+    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode(
+        "latin-1", errors="ignore"
+    )
+    try:
+        import fitz  # type: ignore
+    except ImportError:
+        raise RuntimeError(
+            "PDF page render requires PyMuPDF (fitz) — install on the cluster "
+            "image (reference: claude_pdf_image_extractor.py:62-74)"
+        ) from None
+    doc = fitz.open(stream=data, filetype="pdf")
+    return [(i + 1, doc[i].get_pixmap(dpi=dpi).tobytes("png")) for i in range(doc.page_count)]
+
+
+def with_rendered_pages(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id", dpi: int = 200) -> DataFrame:
+    """(media_id, page_no, png: binary, error) — one row per rendered page;
+    render failures (incl. missing fitz) land in the error channel, one row
+    per failed document, never a job abort."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for page_no, png in render_pdf_pages(p, dpi=dpi):
+                        rows.append((int(mid), page_no, png, None))
+                except Exception as e:
+                    rows.append((int(mid), None, None, f"{type(e).__name__}: {e}"[:500]))
+            yield pd.DataFrame(rows, columns=[id_col, "page_no", "png", "error"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, schema=f"{id_col} long, page_no int, png binary, error string"
+    )
+
+
 def frame_sample_plan(meta: DataFrame, every_n: int = 30) -> DataFrame:
     """Deterministic frame-sampling plan: one row per sampled frame index —
     a pure lateral explode (no Python), ready to feed a decode UDF."""

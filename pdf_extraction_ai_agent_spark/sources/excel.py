@@ -90,6 +90,28 @@ def read_xlsx_bytes(payload: bytes) -> list[tuple[str, list[list[str]]]]:
     return out
 
 
+def sanitize_sheet_name(name: str) -> str:
+    """U11 — Excel sheet-name rules the reference relies on openpyxl/pandas
+    to enforce (adaptive_table_extractor.py:314 caps at 31 chars; openpyxl
+    additionally rejects []:*?/\\): invalid chars → '_', 31-char cap,
+    non-empty fallback."""
+    cleaned = re.sub(r"[\[\]:*?/\\]", "_", name or "")[:31]
+    return cleaned or "Sheet1"
+
+
+def format_elapsed(seconds: float) -> str:
+    """U12 — human elapsed string (streamlit_agent_reference_app.py:505-517,
+    the reference's run-report formatter; same tier breaks and precision)."""
+    if seconds < 60:
+        return f"{seconds:.2f} seconds"
+    if seconds < 3600:
+        return f"{int(seconds // 60)} minutes {seconds % 60:.1f} seconds"
+    return (
+        f"{int(seconds // 3600)} hours {int((seconds % 3600) // 60)} minutes "
+        f"{seconds % 60:.1f} seconds"
+    )
+
+
 def write_minimal_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
     """Spec-compliant minimal .xlsx (inline strings only) — fixture writer
     for tests/oracles; openpyxl-readable."""
@@ -139,7 +161,7 @@ def write_minimal_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
             'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
             "<sheets>"
             + "".join(
-                f'<sheet name="{esc(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+                f'<sheet name="{esc(sanitize_sheet_name(name))}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
                 for i, (name, _) in enumerate(sheets)
             )
             + "</sheets></workbook>",

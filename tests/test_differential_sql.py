@@ -233,3 +233,35 @@ def test_wc_cascade_differential(spark):
     for c in key:
         diffs = (g[c] != e[c])
         assert not diffs.any(), (c, g[diffs].head(3), e[diffs].head(3))
+
+
+def test_texttables_differential(spark):
+    """detect_text_tables (Spark gaps-and-islands) vs the q42 oracle SQL on
+    randomized prose/table documents — pipes, tabs, variable column counts,
+    lone tabular lines, leading/trailing blank lines."""
+    from pdf_extraction_ai_agent_spark.entry_queries_ext6 import _q42_sql
+    from pdf_extraction_ai_agent_spark.operators.texttables import detect_text_tables
+
+    rng = random.Random(77)
+    line_pool = [
+        "plain prose line", "", "   ",
+        "a    b", "a  b  c  d", "x\ty\tz", "p | q", "one||two",
+        "word", "x  ", "  leading  pair",
+    ]
+    docs = []
+    for i in range(200):
+        lines = [rng.choice(line_pool) for _ in range(rng.randint(0, 14))]
+        docs.append((i, "\n".join(lines)))
+    sdf = spark.createDataFrame(docs, "doc_id long, extracted_text string")
+    got = detect_text_tables(sdf, doc_col="doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("tt_docs", pd.DataFrame(docs, columns=["doc_id", "extracted_text"]))
+    exp = con.sql(_q42_sql("SELECT doc_id, extracted_text FROM tt_docs")).df()
+
+    key = sorted(got.columns)
+    assert key == sorted(exp.columns)
+    g = got[key].astype(str).sort_values(key).reset_index(drop=True)
+    e = exp[key].astype(str).sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    for c in key:
+        assert (g[c] == e[c]).all(), c

@@ -82,6 +82,67 @@ def test_real_pdf_dispatch_error_channel():
     assert pd.isna(out["error"][1])  # None/NaN both land as SQL null via Arrow
 
 
+def test_sheet_name_sanitize_and_elapsed_format():
+    from pdf_extraction_ai_agent_spark.sources.excel import (
+        format_elapsed, sanitize_sheet_name,
+    )
+
+    assert sanitize_sheet_name("AUTO") == "AUTO"
+    assert sanitize_sheet_name("a/b[c]:d*e?f\\g") == "a_b_c__d_e_f_g"
+    assert len(sanitize_sheet_name("x" * 50)) == 31
+    assert sanitize_sheet_name("") == "Sheet1"
+    # sanitized names survive the write path
+    b = write_minimal_xlsx([("bad/name:here", [["v"]])])
+    assert read_xlsx_bytes(b)[0][0] == "bad_name_here"
+
+    assert format_elapsed(12.345) == "12.35 seconds"
+    assert format_elapsed(125.06) == "2 minutes 5.1 seconds"
+    assert format_elapsed(3725.0) == "1 hours 2 minutes 5.0 seconds"
+
+
+def test_pdf_page_render_dispatch(monkeypatch, spark):
+    """S7 render: absent fitz → error channel row per doc; with a fake fitz
+    the per-page PNG rows come back through the Spark source."""
+    import sys
+    import types
+
+    from pdf_extraction_ai_agent_spark.operators.multimodal import with_rendered_pages
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.4 payload"))], "media_id long, payload binary"
+    )
+    rows = with_rendered_pages(df).collect()
+    assert len(rows) == 1 and "PyMuPDF" in rows[0].error and rows[0].png is None
+
+    class _Pix:
+        def __init__(self, i):
+            self._i = i
+
+        def tobytes(self, fmt):
+            return b"PNG" + bytes([self._i])
+
+    class _Page:
+        def __init__(self, i):
+            self._i = i
+
+        def get_pixmap(self, dpi):
+            return _Pix(self._i)
+
+    class _Doc:
+        page_count = 2
+
+        def __getitem__(self, i):
+            return _Page(i)
+
+    fake = types.ModuleType("fitz")
+    fake.open = lambda stream=None, filetype=None: _Doc()
+    monkeypatch.setitem(sys.modules, "fitz", fake)
+    from pdf_extraction_ai_agent_spark.operators.multimodal import render_pdf_pages
+
+    pages = render_pdf_pages(b"%PDF-1.4 x")
+    assert pages == [(1, b"PNG\x00"), (2, b"PNG\x01")]
+
+
 def test_ocr_fallback_plumbing(spark):
     """Flagged rows get OCR text (stub impl), clean rows pass through, and
     with impl='real' (stack absent here) the error channel captures the
