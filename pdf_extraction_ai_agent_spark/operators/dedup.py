@@ -496,8 +496,16 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ).filter(F.col("word") != "").persist()  # feeds sizes + both join legs
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     if pairs is not None:
-        l = w.select(F.col("doc_id").alias("doc_a"), "word")
-        r = w.select(F.col("doc_id").alias("doc_b"), "word")
+        # semi-restrict BOTH token legs to docs that appear in a candidate
+        # pair before the word join — otherwise the corpus-wide exploded
+        # token table shuffles in full on (doc, word) even when candidates
+        # touch 0.1% of docs
+        l = w.join(
+            pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("doc_a"), "word")
+        r = w.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("doc_b"), "word")
         inter = (
             pairs.join(l, "doc_a")
             .join(r, ["doc_b", "word"])

@@ -97,6 +97,29 @@ def test_jaccard_lsh_verify_plan_has_no_cartesian(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_ivf_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path_factory):
+    """The IVF scale story end-to-end: corpus written partitioned by
+    centroid_id → an nprobe query's scan reads ONLY the probed partitions
+    (PartitionFilters at the FileSourceScan, no full-corpus read)."""
+    from pdf_extraction_ai_agent_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = similarity.ivf_assignments(emb, n_centroids=16)
+    base = str(tmp_path_factory.mktemp("ivf")) + "/corpus"
+    (
+        emb.join(assign, "vec_id")
+        .write.partitionBy("centroid_id")
+        .parquet(base)
+    )
+    corpus = spark.read.parquet(base)
+    probed = corpus.filter(F.col("centroid_id").isin([0, 3, 7]))
+    plan = _plan(probed)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan
+    # pruning is real: the probed read touches a strict subset of rows
+    assert probed.count() < corpus.count()
+
+
 def test_region_rollup_broadcasts_dims(spark, sf_dir):
     """q43's dim chain (customer⋈nation⋈region) must broadcast — the fact
     side never shuffles on a dim key."""
