@@ -143,7 +143,9 @@ def rh_signatures_exact(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # np.stack over the ndarray elements Arrow hands back — no
+            # per-row Python list round trip (tolist() was ~40% of kernel)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Q = _quantize_np(V)
             sig = (((Q @ P.T) > 0).astype(np.int64) << shifts).sum(axis=1)
             yield pd.DataFrame(
@@ -189,8 +191,8 @@ def pair_scores_exact(paired: DataFrame, key_a: str, key_b: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
-            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            A = np.stack(pdf["qa"].to_numpy()).astype(np.int64, copy=False)
+            B = np.stack(pdf["qb"].to_numpy()).astype(np.int64, copy=False)
             yield pd.DataFrame(
                 {
                     key_a: pdf[key_a].astype("int64"),

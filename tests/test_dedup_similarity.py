@@ -115,7 +115,10 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5, f"mean LSH recall too low: {recalls}"
+    # measured 0.96-0.98 at sf0.001/sf0.01 with the exact-integer
+    # signatures; 0.8 leaves margin for corpus regeneration, not for a
+    # geometry regression
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean LSH recall too low: {recalls}"
 
 
 def test_rh_signature_kernel_matches_declarative(spark, sf_dir):
