@@ -197,12 +197,17 @@ def write_minimal_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
 
 def excel_sheet_rows(workbooks, name_col: str = "file_name", payload_col: str = "content"):
     """Spark source: (file_name, content: binary) → one row per sheet row:
-    (file_name, sheet_pos, sheet_name, row_pos, cells: array<string>).
+    (file_name, sheet_pos, sheet_name, row_pos, cells: array<string>, error).
 
     mapInPandas kernel — each workbook is unzipped and parsed where its
     bytes live (map-only). The output feeds the grid model (operators/
     grid.py: X7 reconstruction, S9 pipe-text rendering) exactly like the
     Textract path, closing S8 without a spark-excel jar.
+
+    Error channel: a corrupt/truncated workbook yields ONE error row for
+    that file (null sheet/cells) instead of failing the task — one poisoned
+    upload in a billion must not kill the job (same contract as the
+    extraction UDF).
     """
     import pandas as pd
 
@@ -210,16 +215,22 @@ def excel_sheet_rows(workbooks, name_col: str = "file_name", payload_col: str = 
         for pdf in batches:
             rows = []
             for fname, payload in zip(pdf[name_col], pdf[payload_col]):
-                for si, (sheet, srows) in enumerate(read_xlsx_bytes(bytes(payload))):
+                try:
+                    sheets = read_xlsx_bytes(bytes(payload))
+                except Exception as e:  # poisoned workbook → error channel
+                    rows.append((fname, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"[:500]))
+                    continue
+                for si, (sheet, srows) in enumerate(sheets):
                     for ri, cells in enumerate(srows):
-                        rows.append((fname, si, sheet, ri, list(cells)))
+                        rows.append((fname, si, sheet, ri, list(cells), None))
             yield pd.DataFrame(
                 rows,
-                columns=[name_col, "sheet_pos", "sheet_name", "row_pos", "cells"],
+                columns=[name_col, "sheet_pos", "sheet_name", "row_pos", "cells", "error"],
             )
 
     return workbooks.mapInPandas(
         kernel,
         schema=f"{name_col} string, sheet_pos int, sheet_name string, "
-        "row_pos int, cells array<string>",
+        "row_pos int, cells array<string>, error string",
     )

@@ -82,6 +82,41 @@ def test_real_pdf_dispatch_error_channel():
     assert pd.isna(out["error"][1])  # None/NaN both land as SQL null via Arrow
 
 
+def test_excel_source_error_channel_and_fuzz(spark):
+    """Corrupt workbooks land in the error channel (one row per bad file,
+    task survives); random content — entities, unicode, sparse widths —
+    round-trips exactly through the Spark source."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "ab &<>'\"/\\:*?[]𝄞é—\t"
+    sheets = []
+    for si in range(4):
+        rows = [
+            ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+             for _ in range(rng.randrange(1, 6))]
+            for _ in range(rng.randrange(0, 5))
+        ]
+        sheets.append((f"S{si}", rows))
+    good = write_minimal_xlsx(sheets)
+    wb = spark.createDataFrame(
+        [("good.xlsx", bytearray(good)),
+         ("trunc.xlsx", bytearray(good[: len(good) // 2])),
+         ("junk.xlsx", bytearray(b"not a zip at all"))],
+        "file_name string, content binary",
+    )
+    out = excel_sheet_rows(wb).collect()
+    bad = {r.file_name: r for r in out if r.error is not None}
+    assert set(bad) == {"trunc.xlsx", "junk.xlsx"}
+    assert all(r.cells is None for r in bad.values())
+    got: dict = {}
+    for r in out:
+        if r.error is None:
+            got.setdefault(r.sheet_name, []).append((r.row_pos, list(r.cells)))
+    expected = {n: list(enumerate(rows)) for n, rows in sheets if rows}
+    assert {k: sorted(v) for k, v in got.items()} == expected
+
+
 def test_sheet_name_sanitize_and_elapsed_format():
     from pdf_extraction_ai_agent_spark.sources.excel import (
         format_elapsed, sanitize_sheet_name,
