@@ -218,4 +218,149 @@ def ext6_oracles() -> dict[str, str]:
         "q41_excel_sheets": _Q41_SQL,
         "q42_detect_text_tables": _q42_sql(),
         "q43_region_rollup": _Q43_SQL,
+        "q44_layout_tables": _q44_sql(),
     }
+
+
+# ---------------------------------------------------------------------------
+# q44 — layout-space (lattice-style) table detection: pseudo-PDF docs with
+# prose + an x-aligned table; detection = column x-alignment across
+# consecutive y-lines (texttables.detect_layout_tables over pdf_runs)
+# ---------------------------------------------------------------------------
+
+
+def q44_layout_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.texttables import detect_layout_tables, pdf_runs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3)
+    y = 250 - F.col("l_linenumber") * 16
+    row_lines = F.concat(
+        F.lit("BT 50 "), y, F.lit(" Td (W"), F.col("l_orderkey"), F.lit("0"),
+        F.col("l_linenumber"), F.lit(") Tj ET\nBT 200 "), y, F.lit(" Td ("),
+        F.date_format("l_shipdate", "MM/dd/yyyy"), F.lit(") Tj ET\nBT 350 "), y,
+        F.lit(" Td ("), F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.lit(") Tj ET"),
+    )
+    doc = li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.concat(
+            F.lit("%PDF-SIM 1.0\n%%PAGE 1\n"
+                  "BT 37 300 Td (Loss Run Report) Tj ET\n"
+                  "BT 41 280 Td (Prepared for review) Tj ET\n"
+                  "BT 50 250 Td (Claim) Tj ET\nBT 200 250 Td (Date) Tj ET\n"
+                  "BT 350 250 Td (Paid) Tj ET\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", row_lines.alias("l")))),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ),
+            F.lit("\nBT 60 40 Td (End of report) Tj ET"),
+        ).alias("text")
+    )
+    return detect_layout_tables(pdf_runs(doc))
+
+
+def _q44_sql() -> str:
+    return r"""
+WITH doc AS (
+  SELECT l_orderkey AS doc_id,
+         '%PDF-SIM 1.0' || chr(10) || '%%PAGE 1' || chr(10) ||
+         'BT 37 300 Td (Loss Run Report) Tj ET' || chr(10) ||
+         'BT 41 280 Td (Prepared for review) Tj ET' || chr(10) ||
+         'BT 50 250 Td (Claim) Tj ET' || chr(10) ||
+         'BT 200 250 Td (Date) Tj ET' || chr(10) ||
+         'BT 350 250 Td (Paid) Tj ET' || chr(10) ||
+         string_agg(lines, chr(10) ORDER BY l_linenumber, lines) ||
+         chr(10) || 'BT 60 40 Td (End of report) Tj ET' AS text
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           'BT 50 ' || y || ' Td (W' || CAST(l_orderkey AS VARCHAR) || '0' ||
+             CAST(l_linenumber AS VARCHAR) || ') Tj ET' || chr(10) ||
+           'BT 200 ' || y || ' Td (' || strftime(l_shipdate, '%m/%d/%Y') || ') Tj ET' || chr(10) ||
+           'BT 350 ' || y || ' Td (' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || ') Tj ET' AS lines
+    FROM (SELECT *, CAST(250 - l_linenumber * 16 AS VARCHAR) AS y
+          FROM lineitem WHERE l_linenumber <= 3)
+  )
+  GROUP BY l_orderkey
+),
+rawlines AS (
+  SELECT doc_id, u.i AS line_no, ls[CAST(u.i AS INTEGER)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM doc) t,
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u
+),
+parsed AS (
+  SELECT doc_id, line_no,
+         NULLIF(regexp_extract(line, '^%%PAGE (\d+)$', 1), '') AS page_marker,
+         regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1) AS xs,
+         regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 2) AS ys,
+         regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 3) AS txt
+  FROM rawlines
+),
+runs AS (
+  SELECT doc_id, line_no,
+         CAST(MAX(CAST(page_marker AS INTEGER)) OVER
+              (PARTITION BY doc_id ORDER BY line_no
+               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS page,
+         CAST(xs AS DOUBLE) AS x, CAST(ys AS DOUBLE) AS y, txt
+  FROM parsed
+  QUALIFY xs <> '' AND page IS NOT NULL
+),
+clustered AS (
+  SELECT *, CASE WHEN prev_y IS NULL OR (prev_y - y) > 2.0 THEN 1 ELSE 0 END AS brk
+  FROM (
+    SELECT *, LAG(y) OVER w AS prev_y
+    FROM runs
+    WINDOW w AS (PARTITION BY doc_id, page ORDER BY y DESC, x ASC, txt ASC, line_no ASC)
+  )
+),
+numbered AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id, page
+                           ORDER BY y DESC, x ASC, txt ASC, line_no ASC
+                           ROWS UNBOUNDED PRECEDING) AS line_id
+  FROM clustered
+),
+lines_ AS (
+  SELECT doc_id, page, line_id,
+         COUNT(*) AS n_cells,
+         string_agg(txt, '|' ORDER BY x, txt) AS row_text,
+         list(DISTINCT x) AS xs
+  FROM numbered
+  GROUP BY doc_id, page, line_id
+),
+aligned AS (
+  SELECT l.doc_id, l.page, l.line_id,
+         len(list_intersect(l.xs, r.xs)) >= 2 AS aligned_next
+  FROM lines_ l JOIN lines_ r
+    ON l.doc_id = r.doc_id AND l.page = r.page AND r.line_id = l.line_id + 1
+),
+flagged AS (
+  SELECT li.doc_id, li.page, li.line_id, li.n_cells, li.row_text,
+         COALESCE(a.aligned_next, FALSE) AS aligned_next,
+         COALESCE(LAG(COALESCE(a.aligned_next, FALSE)) OVER
+                  (PARTITION BY li.doc_id, li.page ORDER BY li.line_id), FALSE) AS aligned_prev
+  FROM lines_ li LEFT JOIN aligned a
+    ON li.doc_id = a.doc_id AND li.page = a.page AND li.line_id = a.line_id
+),
+blocks AS (
+  SELECT *, SUM(CASE WHEN aligned_prev THEN 0 ELSE 1 END) OVER
+            (PARTITION BY doc_id, page ORDER BY line_id
+             ROWS UNBOUNDED PRECEDING) AS block
+  FROM flagged
+  WHERE aligned_next OR aligned_prev
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, page, block) AS blk_rows
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(page AS INTEGER) AS page,
+       CAST(DENSE_RANK() OVER (PARTITION BY doc_id, page ORDER BY block) - 1 AS INTEGER) AS table_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page, block ORDER BY line_id) - 1 AS INTEGER) AS row_pos,
+       CAST(n_cells AS INTEGER) AS n_cells,
+       row_text
+FROM sized WHERE blk_rows >= 3
+"""
+
+
+EXT6_QUERIES["q44_layout_tables"] = q44_layout_tables

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import spec
+
 CELL_SPLIT_PAT = r"\s{2,}|\t|\|"
 
 
@@ -64,4 +66,145 @@ def detect_text_tables(
         (F.row_number().over(w_isl_ord) - 1).alias("row_pos"),
         F.size("cells").alias("n_cols"),
         F.array_join("cells", "|").alias("cells_pipe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layout-space (lattice-style) table detection over pseudo-PDF runs —
+# Camelot's lattice flavor keys on drawn grid geometry; without line art,
+# the alignment-equivalent is COLUMN X-ALIGNMENT: consecutive text lines
+# whose runs start at ≥ min_shared identical x positions form a table.
+# Fully declarative (two windows + one equi-join on (doc, page, x)).
+# ---------------------------------------------------------------------------
+
+
+def pdf_runs(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """Parse pseudo-PDF payloads (spec grammar) into layout runs:
+    (doc_id, page, line_no, x, y, txt). Declarative: posexplode lines,
+    regexp projections, page carried forward with a running last()."""
+    lines = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    page_m = F.regexp_extract("line", spec.PDF_PAGE_RE, 1)
+    parsed = lines.select(
+        "doc_id", "line_no",
+        F.when(page_m != "", page_m.cast("int")).alias("page_marker"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 1).alias("xs"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 2).alias("ys"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 3).alias("txt"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parsed.withColumn("page", F.last("page_marker", ignorenulls=True).over(w))
+        .filter((F.col("xs") != "") & F.col("page").isNotNull())
+        .select(
+            "doc_id", "page", "line_no",
+            F.col("xs").cast("double").alias("x"),
+            F.col("ys").cast("double").alias("y"),
+            "txt",
+        )
+    )
+
+
+def detect_layout_tables(
+    runs: DataFrame,
+    y_tol: float = spec.PDF_Y_TOL,
+    min_rows: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_id, page, table_idx, row_pos, n_cells, row_text) — maximal
+    blocks of ≥ min_rows consecutive y-lines where each adjacent pair
+    shares ≥ min_shared exact run x-positions (the lattice-alignment
+    criterion). Lines are the same y-clusters the extractor renders
+    (descending y, break when the gap exceeds y_tol); row_text is the
+    x-ordered runs joined with '|'.
+
+    Plan: one window to form lines, one narrow self-join on
+    (doc, page, x) restricted to adjacent line ids for the alignment
+    count, and island windows for the blocks — shuffles only on
+    (doc_id[, page]) keys.
+    """
+    # line_no makes the order TOTAL: bit-identical runs (duplicate source
+    # rows) otherwise tie, and engines that evaluate lag and cumsum in
+    # separate window passes may order ties differently — the brk flag then
+    # lands on a different physical row and a line splits across clusters
+    w_seq = Window.partitionBy("doc_id", "page").orderBy(
+        F.col("y").desc(), F.col("x").asc(), F.col("txt").asc(), F.col("line_no").asc()
+    )
+    clustered = (
+        runs.withColumn("prev_y", F.lag("y").over(w_seq))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_y").isNull() | ((F.col("prev_y") - F.col("y")) > y_tol), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "line_id",
+            F.sum("brk").over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    lines = clustered.groupBy("doc_id", "page", "line_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("x"), F.col("txt").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            "|",
+        ).alias("row_text"),
+        F.collect_set("x").alias("xs"),
+    )
+    lx = lines.select(
+        "doc_id", "page", F.col("line_id").alias("lid"), F.explode("xs").alias("x")
+    )
+    rx = lx.select(
+        "doc_id", "page", (F.col("lid") - 1).alias("lid"), F.col("x")
+    )
+    aligned = (
+        lx.join(rx, ["doc_id", "page", "lid", "x"])
+        .groupBy("doc_id", "page", "lid")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id", "page", "lid", F.lit(True).alias("aligned_next"))
+    )
+    w_line = Window.partitionBy("doc_id", "page").orderBy("line_id")
+    flagged = (
+        lines.join(aligned, on=[lines.doc_id == aligned.doc_id,
+                                lines.page == aligned.page,
+                                lines.line_id == aligned.lid], how="left")
+        .select(lines["*"], F.coalesce("aligned_next", F.lit(False)).alias("aligned_next"))
+        .withColumn("aligned_prev", F.coalesce(F.lag("aligned_next").over(w_line), F.lit(False)))
+    )
+    blocks = (
+        flagged.filter(F.col("aligned_next") | F.col("aligned_prev"))
+        .withColumn(
+            "new_block", F.when(F.col("aligned_prev"), 0).otherwise(1)
+        )
+        .withColumn(
+            "block",
+            F.sum("new_block").over(w_line.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    w_blk = Window.partitionBy("doc_id", "page", "block")
+    w_blk_ord = w_blk.orderBy("line_id")
+    w_page_blk = Window.partitionBy("doc_id", "page").orderBy("block")
+    return (
+        blocks.withColumn("blk_rows", F.count(F.lit(1)).over(w_blk))
+        .filter(F.col("blk_rows") >= min_rows)
+        .select(
+            "doc_id",
+            F.col("page").cast("int").alias("page"),
+            (F.dense_rank().over(w_page_blk) - 1).alias("table_idx"),
+            (F.row_number().over(w_blk_ord) - 1).alias("row_pos"),
+            F.col("n_cells").cast("int").alias("n_cells"),
+            "row_text",
+        )
     )

@@ -73,3 +73,36 @@ def test_strategy_counters(spark):
     assert out["camelot"].attempts == 2 and out["camelot"].successes == 1
     assert out["camelot"].success_rate == 0.5
     assert out["claude_text"].success_rate == 1.0
+
+
+def test_layout_table_detection_semantics(spark):
+    """Lattice-style detection on a hand-built pseudo-PDF: the x-aligned
+    header+rows block is one table; scattered prose runs and a 2-line
+    aligned block (< min_rows) are not."""
+    from pdf_extraction_ai_agent_spark.operators.texttables import (
+        detect_layout_tables, pdf_runs,
+    )
+
+    text = "\n".join([
+        "%PDF-SIM 1.0",
+        "%%PAGE 1",
+        "BT 30 400 Td (Some prose title) Tj ET",
+        "BT 55 380 Td (More prose text) Tj ET",
+        # the table: 3 aligned lines at x = 50/200
+        "BT 50 300 Td (H1) Tj ET", "BT 200 300 Td (H2) Tj ET",
+        "BT 50 284 Td (a1) Tj ET", "BT 200 284 Td (a2) Tj ET",
+        "BT 50 268 Td (b1) Tj ET", "BT 200 268 Td (b2) Tj ET",
+        # a 2-line aligned block — below min_rows
+        "BT 90 100 Td (x1) Tj ET", "BT 130 100 Td (x2) Tj ET",
+        "BT 90 84 Td (y1) Tj ET", "BT 130 84 Td (y2) Tj ET",
+        "%%PAGE 2",
+        "BT 10 200 Td (lonely run) Tj ET",
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = detect_layout_tables(pdf_runs(df)).collect()
+    rows = {(r.table_idx, r.row_pos): (r.page, r.n_cells, r.row_text) for r in out}
+    assert rows == {
+        (0, 0): (1, 2, "H1|H2"),
+        (0, 1): (1, 2, "a1|a2"),
+        (0, 2): (1, 2, "b1|b2"),
+    }
