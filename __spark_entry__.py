@@ -54,6 +54,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, "/root/testdata/sf0.001")
 
 
+def _release_then(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked operator caches before building
+    the next plan — the driver runs all 44 queries in one JVM, and
+    operator-internal persists (LSH signatures, token tables) escape
+    through the returned DataFrame so they can only be dropped once the
+    caller's action is done. Bounds storage to one query's working set."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf_extraction_ai_agent_spark.plans.cache import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries import CORE_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext import EXT_QUERIES
@@ -63,8 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import EXT5_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import EXT6_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
-            **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES}
+    merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
+              **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES}
+    return {name: _release_then(fn) for name, fn in merged.items()}
 
 
 def oracle_sql() -> dict[str, str]:

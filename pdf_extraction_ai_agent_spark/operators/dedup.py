@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import tracked_persist
 from ..functions.hashing import (
     LSH_BAND_SIZE,
     NUM_PERMS,
@@ -244,7 +245,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # signatures feed three plan legs (bands + both score sides): persist,
     # or Spark recomputes the whole shingle/hash kernel 3×. At cluster scale
     # this is a materialized signatures table instead.
-    sig = minhash_signatures(df, id_col, text_col, k).persist()
+    sig = tracked_persist(minhash_signatures(df, id_col, text_col, k))
     cand = lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_PERMS)])
@@ -346,7 +347,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """Near-dup pairs by simhash banding: split the 32-bit sig into 4 bytes;
     pairs sharing ≥1 byte-band are candidates (pigeonhole covers ≤3 flips),
     verified by exact Hamming distance."""
-    sig = simhash(df, id_col, text_col).persist()  # two join legs below
+    sig = tracked_persist(simhash(df, id_col, text_col))  # two join legs below
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(
@@ -493,13 +494,24 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         *( [F.col(block_col).alias("block")] if block_col and pairs is None else [] ),
         F.explode(F.array_distinct(tokens)).alias("word"),
-    ).filter(F.col("word") != "").persist()  # feeds sizes + both join legs
+    ).filter(F.col("word") != "")
+    if pairs is not None:
+        # semi-restrict the exploded token table to docs that appear in a
+        # candidate pair BEFORE the persist and the sizes aggregate —
+        # otherwise both run corpus-wide even when candidates touch 0.1%
+        # of docs (a ~1000× overshoot at scale). Only candidate docs ever
+        # need a size: the output joins sizes through the pair set.
+        pair_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        w = w.join(pair_docs, "doc_id", "left_semi")
+    w = tracked_persist(w)  # feeds sizes + both join legs
     sizes = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
     if pairs is not None:
-        # semi-restrict BOTH token legs to docs that appear in a candidate
-        # pair before the word join — otherwise the corpus-wide exploded
-        # token table shuffles in full on (doc, word) even when candidates
-        # touch 0.1% of docs
+        # semi-restrict BOTH token legs to their side's candidate docs
+        # before the word join, halving each shuffle leg again
         l = w.join(
             pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
         ).select(F.col("doc_id").alias("doc_a"), "word")

@@ -17,8 +17,11 @@
 Scale notes: the only corpus-wide shuffles are equi-joins on narrow
 (band_idx, band_key) rows; the exact re-rank touches candidates only, via an
 Arrow-batched numpy kernel (Spark's higher-order array functions are
-interpreted — see CLAUDE.md gotchas). No cartesian/BroadcastNestedLoop
-anywhere; plan shape pinned in tests/test_plan_shapes.py.
+interpreted — see CLAUDE.md gotchas). The LSH paths (near-dup pairs, LSH
+top-k) have no cartesian/BroadcastNestedLoopJoin (pinned in
+tests/test_plan_shapes.py); the brute-force and IVF paths intentionally use
+a condition-less broadcast join of a TINY side (≤ query-set / k centroids)
+— physically a BNLJ whose build side is k rows, which is the right plan.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long_py
+from ..plans.cache import tracked_persist
 
 QUANT = 1_000_000  # fixed-point scale for exact integer dot products
 
@@ -59,6 +63,29 @@ def _cosine_from_ints(dot: Column, na2: Column, nb2: Column) -> Column:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int, group_col: str = "query_id",
+               score_col: str = "cosine", tiebreak_col: str = "neighbor_id") -> DataFrame:
+    """Exact per-group top-k that scales.
+
+    Written as the declarative ``row_number() <= k`` window so Catalyst's
+    InferWindowGroupLimit rewrites it into the two-stage physical form:
+    ``WindowGroupLimit … Partial`` BELOW the exchange (each map task emits
+    at most k rows per group — a per-partition, not corpus, sort) and
+    ``Final`` above it, so the reduce side sees ≤ k·P rows per group. No
+    single-task corpus sort anywhere; pinned by
+    tests/test_plan_shapes.py::test_ann_exact_topk_plan_is_two_stage.
+    Requires k ≤ spark.sql.window.group.limit.threshold (default 1000) and
+    the rank filter adjacent to the window — keep this shape."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", tiebreak_col, score_col)
+    )
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame,
     query_ids: list[int],
@@ -69,7 +96,11 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors for the given query ids.
 
     Plan: broadcast the (tiny) query set against the corpus, integer dot +
-    norms, rank per query with a window. Ties broken by neighbor id.
+    norms, then two-stage exact rank (_rank_topk): WindowGroupLimit Partial
+    caps every map task at k rows per query BEFORE the shuffle, so the
+    final window sees ≤ k·P survivors per query — never the corpus. Ties
+    broken by neighbor id. Pinned by
+    tests/test_plan_shapes.py::test_ann_exact_topk_plan_is_two_stage.
     """
     base = emb.select(F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q"))
     queries = base.filter(F.col("vid").isin(query_ids)).select(
@@ -82,12 +113,7 @@ def cosine_topk_bruteforce(
         norm2_int_col(F.col("q")),
     )
     scored = pairs.select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 # --- sign-LSH over exact integer vectors (scale path) ------------------------
@@ -230,7 +256,7 @@ def embedding_near_dup_pairs(
     n_planes=64+, band_bits=4+ for selective buckets; the 16×2 default
     fits this demo corpus's low threshold.
     """
-    base = rh_signatures_exact(emb, n_planes, dim, id_col, vec_col).persist()
+    base = tracked_persist(rh_signatures_exact(emb, n_planes, dim, id_col, vec_col))
     bands = _band_explode(base, n_planes, band_bits)
     if max_bucket is not None:
         counts = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
@@ -291,7 +317,7 @@ def cosine_topk_lsh(
     candidates only. Deterministic end-to-end (md5-derived planes + integer
     arithmetic) — the DuckDB oracle replays the identical candidate set and
     ranking. Recall vs brute force pinned in tests."""
-    base = rh_signatures_exact(emb, n_planes, dim, id_col, vec_col).persist()
+    base = tracked_persist(rh_signatures_exact(emb, n_planes, dim, id_col, vec_col))
     bands = _band_explode(base, n_planes, band_bits)
     qb = bands.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("query_id"), "band_idx", "band_key"
@@ -314,12 +340,7 @@ def cosine_topk_lsh(
         "neighbor_id",
         _cosine_from_ints(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(ranked, k)
 
 
 # --- IVF coarse quantizer (the ANN scale-path partitioner) -------------------
@@ -470,9 +491,4 @@ def cosine_topk_ivf(
         norm2_int_col(F.col("q")),
     )
     scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")).distinct()
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(scored, k)

@@ -1,0 +1,42 @@
+"""Persist-lifetime discipline for operator-internal caches.
+
+Several operators persist an intermediate that feeds multiple plan legs
+(minhash signatures, sign-LSH signatures, exploded token tables). Those
+frames escape through the returned DataFrame, so the operator itself cannot
+unpersist before the caller's action runs. The contract:
+
+- operators call ``tracked_persist(df)`` instead of ``df.persist()``;
+- a long-lived session (selfcheck over 44 queries, bench, the driver's
+  query loop) calls ``release_tracked()`` once the consuming action is
+  done — ``__spark_entry__.queries()`` wraps every entry to release the
+  PREVIOUS query's caches before building the next plan, so storage is
+  bounded by one query's working set instead of growing across the run.
+
+The connected-components loop (dedup.duplicate_clusters) manages its own
+per-generation localCheckpoints and is exempt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for deferred release via release_tracked()."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame (blocking=False); returns the count."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED.clear()
+    return n

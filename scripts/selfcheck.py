@@ -59,11 +59,24 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    # storage-memory discipline: queries() releases the previous query's
+    # tracked persists, so the persistent-RDD count must stay bounded by
+    # ONE query's working set across the whole 44-query run (round-2
+    # verdict item 3). CACHE_CAP = the largest single query's cache count
+    # (q12: signatures + token table, plus slack).
+    CACHE_CAP = 6
+    max_cached = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
         try:
             got = fn(spark, sf_dir).toPandas()
+            n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+            max_cached = max(max_cached, n_cached)
+            if n_cached > CACHE_CAP:
+                failures.append(name)
+                print(f"[FAIL] {name}: {n_cached} persistent RDDs > cap {CACHE_CAP} (cache leak)")
+                continue
         except Exception as e:
             failures.append(name)
             print(f"[FAIL] {name}: spark error: {e}")
@@ -100,7 +113,11 @@ def main():
             print(f"[FAIL] {name}: {'; '.join(status)}")
         else:
             print(f"[OK]   {name}: {len(got)} rows")
+    from pdf_extraction_ai_agent_spark.plans.cache import release_tracked
+
+    release_tracked()
     print()
+    print(f"peak persistent RDDs across run: {max_cached} (cap {CACHE_CAP})")
     if failures:
         print(f"FAILURES: {failures}")
         sys.exit(1)

@@ -95,6 +95,31 @@ def test_jaccard_lsh_verify_plan_has_no_cartesian(spark, sf_dir):
     # the minhash signature kernel must be in the plan: candidates come from
     # LSH bands, not from the word-exploded quadratic self-join
     assert "MapInPandas" in plan
+    # round-2 verdict item 2: the token table is semi-restricted to candidate
+    # docs BEFORE the persist and the sizes aggregate, so the sizes groupBy
+    # and both intersection legs are all semi-joined (3 LeftSemi legs: the
+    # pair-doc union restriction + one per intersection side)
+    assert plan.count("LeftSemi") >= 3, plan
+
+
+def test_ann_exact_topk_plan_is_two_stage(spark, sf_dir):
+    """q16's exact rank must be the two-stage WindowGroupLimit form —
+    a Partial group-limit BELOW the exchange (each map task emits ≤ k rows
+    per query; per-partition sort only) and the Final above it — never a
+    single corpus-sized window partition per query (round-2 verdict item
+    1). Catalyst's InferWindowGroupLimit produces this only when the
+    rank<=k filter stays adjacent to the window and k ≤
+    spark.sql.window.group.limit.threshold; this pin catches any refactor
+    that breaks the pattern. Plans print parent-first, so Final must
+    appear before Exchange, which must appear before Partial."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q16_ann_cosine_topk"](spark, sf_dir))
+    i_final = plan.index("WindowGroupLimit")
+    assert ", Final" in plan and ", Partial" in plan, plan
+    i_partial = plan.index(", Partial")
+    i_exchange = plan.index("Exchange hashpartitioning(query_id")
+    assert i_final < i_exchange < i_partial, plan
 
 
 def test_ivf_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path_factory):
