@@ -105,7 +105,15 @@ def _hash_tokens_fast(tokens: list) -> "np.ndarray":  # noqa: F821
     """Vectorized 60-bit token hash (pandas' C siphash over object arrays,
     masked non-negative). ~10× the per-string hashlib md5 loop — the
     production hash at corpus scale, where hashing IS the bill. NOT
-    portable to the DuckDB oracles (those replay md5 — hash_impl='md5')."""
+    portable to the DuckDB oracles (those replay md5 — hash_impl='md5').
+
+    STABILITY CAVEAT: pandas documents no cross-version guarantee for
+    hash_array (it has been stable in practice, fixed hash_key + siphash13,
+    but is not a contract). hash_impl='fast' signatures are therefore only
+    comparable WITHIN a deployment that pins one pandas version across all
+    executors; for cross-run incremental dedup (signatures persisted in one
+    run, joined in a later one) either pin pandas in the cluster image or
+    use hash_impl='md5', whose values are stable by construction."""
     import numpy as np
     import pandas as pd
 

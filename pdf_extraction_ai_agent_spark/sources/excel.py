@@ -117,8 +117,14 @@ def write_minimal_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
     for tests/oracles; openpyxl-readable."""
 
     def esc(s: str) -> str:
+        # quotes must be escaped because sheet names land inside a
+        # double-quoted XML attribute; XML 1.0 forbids control chars other
+        # than \t \n \r entirely, so strip them rather than emit a
+        # malformed workbook
+        s = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", s)
         return (
             s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&apos;")
         )
 
     def col_ref(idx: int) -> str:

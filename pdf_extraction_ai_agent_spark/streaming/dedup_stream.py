@@ -17,6 +17,16 @@ of emitted pairs over all microbatches == batch ``lsh_candidates`` on the
 same corpus, regardless of how the input is split into triggers — ordering
 inside a batch pairs each doc against earlier arrivals, state carries
 buckets across batches.
+
+Capped contract (``max_bucket``): mirrors batch
+``lsh_candidates(max_bucket)`` — a bucket whose membership exceeds the cap
+is POISONED: it emits nothing from the microbatch in which it crossed the
+cap onward, and its member list is dropped from state (only the flag
+remains). The one divergence from the batch twin, inherent to append-mode
+streaming: pairs this bucket emitted in EARLIER microbatches were already
+delivered and cannot be retracted, whereas the batch form emits none.
+Pinned in tests/test_multimodal_streaming.py::
+test_streaming_lsh_capped_bucket_poisons.
 """
 
 from __future__ import annotations
@@ -26,6 +36,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.dedup import lsh_bands, minhash_signatures
+
+
+def _stateful_bucket_pairs(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Shared stateful core: a (doc_id, band_idx, band_key) stream →
+    (doc_a, doc_b) pairs against the per-bucket state of earlier arrivals.
+    Used by both the minhash text path and the sign-LSH embedding path —
+    the banding differs, the bucket-state pairing is identical."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        # poisoned mirrors batch lsh_candidates(max_bucket): a bucket whose
+        # membership exceeds the cap contributes NO pairs there, so once the
+        # (cap+1)-th member arrives this bucket stops emitting forever and
+        # drops its member list (state shrinks to the flag). The one
+        # unavoidable divergence from the batch twin is documented in the
+        # module docstring: pairs emitted before the bucket crossed the cap
+        # cannot be retracted in append mode.
+        if state.exists:
+            seen: list[int] = list(state.get[0])
+            poisoned: bool = bool(state.get[1])
+        else:
+            seen, poisoned = [], False
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                if poisoned:
+                    break
+                d = int(d)
+                if max_bucket is not None and len(seen) >= max_bucket:
+                    seen, poisoned = [], True
+                    out_a, out_b = [], []  # this microbatch's emissions die too
+                    break
+                for s in seen:
+                    if s == d:
+                        continue
+                    a, b = (s, d) if s < d else (d, s)
+                    out_a.append(a)
+                    out_b.append(b)
+                seen.append(d)
+        state.update((seen, poisoned))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        update,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="seen array<long>, poisoned boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_lsh_candidates(
@@ -38,33 +98,33 @@ def streaming_lsh_candidates(
     """(doc_a, doc_b) candidate pairs, emitted as docs arrive. Pairs may
     repeat across bands (same as the pre-distinct batch candidate stream) —
     the downstream verify stage dedups per microbatch."""
-    import pandas as pd
-
     sig = minhash_signatures(stream, id_col, text_col, k)
-    bands = lsh_bands(sig)
+    return _stateful_bucket_pairs(lsh_bands(sig), max_bucket)
 
-    def update(key, pdfs, state: GroupState):
-        seen: list[int] = list(state.get[0]) if state.exists else []
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for pdf in pdfs:
-            for d in pdf["doc_id"]:
-                d = int(d)
-                for s in seen:
-                    if s == d:
-                        continue
-                    a, b = (s, d) if s < d else (d, s)
-                    out_a.append(a)
-                    out_b.append(b)
-                if max_bucket is None or len(seen) < max_bucket:
-                    seen.append(d)
-        state.update((seen,))
-        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
-        update,
-        outputStructType="doc_a long, doc_b long",
-        stateStructType="seen array<long>",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+def streaming_embedding_lsh_candidates(
+    stream: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Streaming near-dup candidates over an EMBEDDING stream: the sign-LSH
+    banding of similarity.embedding_near_dup_pairs (exact-integer
+    rh_signatures_exact → band explode) feeding the same per-bucket stateful
+    pairing as the text path. Union over microbatches == the batch sign-LSH
+    candidate set (pinned in tests/test_multimodal_streaming.py::
+    test_streaming_embedding_lsh_matches_batch); verify stages
+    (pair_scores_exact + cosine threshold) run per microbatch in
+    foreachBatch exactly as in batch."""
+    from ..operators.similarity import (
+        BAND_BITS,
+        N_PLANES,
+        _band_explode,
+        rh_signatures_exact,
     )
+
+    sig = rh_signatures_exact(stream, id_col=id_col, vec_col=vec_col)
+    bands = _band_explode(sig, n_planes=N_PLANES, band_bits=BAND_BITS).select(
+        F.col("vid").alias("doc_id"), "band_idx", "band_key"
+    )
+    return _stateful_bucket_pairs(bands, max_bucket)

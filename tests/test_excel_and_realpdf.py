@@ -89,7 +89,11 @@ def test_excel_source_error_channel_and_fuzz(spark):
     import random
 
     rng = random.Random(99)
-    alphabet = "ab &<>'\"/\\:*?[]𝄞é—\t"
+    # hostile alphabet: XML entities, attribute-breaking quotes, XML-invalid
+    # control chars (writer strips these — see esc()), unicode
+    alphabet = "ab &<>'\"/\\:*?[]𝄞é—\t\x00\x07\x1b"
+    ctrl = __import__("re").compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    name_alphabet = "Sx &<>'\"é\x00\x07"
     sheets = []
     for si in range(4):
         rows = [
@@ -97,7 +101,9 @@ def test_excel_source_error_channel_and_fuzz(spark):
              for _ in range(rng.randrange(1, 6))]
             for _ in range(rng.randrange(0, 5))
         ]
-        sheets.append((f"S{si}", rows))
+        # fuzzed sheet names too (quotes sit inside a double-quoted XML
+        # attribute — the round-2 advice hole); prefix keeps them unique
+        sheets.append((f"S{si}" + "".join(rng.choice(name_alphabet) for _ in range(6)), rows))
     good = write_minimal_xlsx(sheets)
     wb = spark.createDataFrame(
         [("good.xlsx", bytearray(good)),
@@ -113,7 +119,18 @@ def test_excel_source_error_channel_and_fuzz(spark):
     for r in out:
         if r.error is None:
             got.setdefault(r.sheet_name, []).append((r.row_pos, list(r.cells)))
-    expected = {n: list(enumerate(rows)) for n, rows in sheets if rows}
+    # XML-invalid control chars are stripped by the writer (cannot be
+    # represented in a well-formed workbook); everything else round-trips
+    # exactly. Sheet names additionally pass through sanitize_sheet_name.
+    from pdf_extraction_ai_agent_spark.sources.excel import sanitize_sheet_name
+
+    expected = {
+        ctrl.sub("", sanitize_sheet_name(n)): [
+            (i, [ctrl.sub("", c) for c in row]) for i, row in enumerate(rows)
+        ]
+        for n, rows in sheets
+        if rows
+    }
     assert {k: sorted(v) for k, v in got.items()} == expected
 
 

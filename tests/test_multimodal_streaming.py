@@ -129,3 +129,91 @@ def test_streaming_lsh_candidates_match_batch(spark, tmp_path_factory):
     assert got == expected
     # cross-microbatch pair must exist (1 arrived in batch 0, 3/4 in batch 1)
     assert any(a == 1 and b in (3, 4) for a, b in got)
+
+
+def test_streaming_lsh_capped_bucket_poisons(spark, tmp_path_factory):
+    """max_bucket mirrors batch semantics going forward: four identical docs
+    share every band; with cap=2 the bucket poisons when doc 3 arrives, so
+    batches from then on emit nothing — only the pre-cap pair (1,2) from
+    microbatch 0 survives (append mode cannot retract it; documented)."""
+    from pdf_extraction_ai_agent_spark.streaming.dedup_stream import (
+        streaming_lsh_candidates,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    base = tmp_path_factory.mktemp("dedup_stream_cap")
+    src = str(base / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, text), (2, text)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame([(3, text), (4, text)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    got: set = set()
+
+    def sink(batch_df, _bid):
+        got.update((r.doc_a, r.doc_b) for r in batch_df.collect())
+
+    q = (
+        streaming_lsh_candidates(stream, max_bucket=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == {(1, 2)}, got
+
+
+def test_streaming_embedding_lsh_matches_batch(spark, tmp_path_factory, sf_dir):
+    """Sign-LSH embedding near-dup candidates, streamed over two
+    microbatches, must equal the batch band-bucket candidate set on the
+    same vectors (round-2 verdict item 8) — including cross-trigger pairs."""
+    from pdf_extraction_ai_agent_spark.operators.similarity import (
+        _band_explode,
+        rh_signatures_exact,
+    )
+    from pdf_extraction_ai_agent_spark.streaming.dedup_stream import (
+        streaming_embedding_lsh_candidates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    base = tmp_path_factory.mktemp("emb_stream")
+    src = str(base / "src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got: set = set()
+
+    def sink(batch_df, _bid):
+        got.update((r.doc_a, r.doc_b) for r in batch_df.collect())
+
+    q = (
+        streaming_embedding_lsh_candidates(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bands = _band_explode(rh_signatures_exact(spark.read.parquet(src)), 16, 2)
+    l = bands.select(F.col("vid").alias("doc_a"), "band_idx", "band_key")
+    r = bands.select(F.col("vid").alias("doc_b"), "band_idx", "band_key")
+    expected = {
+        (x.doc_a, x.doc_b)
+        for x in l.join(r, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+    # state must carry across triggers: at least one even-odd (cross-batch) pair
+    assert any((a + b) % 2 == 1 for a, b in got)
