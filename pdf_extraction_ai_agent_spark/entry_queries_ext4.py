@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .entry_queries_ext import _COS_SQL, lsh_sig_ctes
+from .entry_queries_ext import _COS_SQL, _md5l, lsh_sig_ctes
 from .operators import sessions, similarity
 
 
@@ -99,7 +99,8 @@ WITH base AS (
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS q
   FROM embeddings
 ),
-cents0 AS (SELECT vid AS centroid_id, q AS cq FROM base ORDER BY vid LIMIT {n_centroids}),
+cents0 AS (SELECT vid AS centroid_id, q AS cq FROM base
+           ORDER BY {_md5l("'seed:' || vid")}, vid LIMIT {n_centroids}),
 {iters_sql},
 {final}
 SELECT vid AS vec_id, centroid_id, cosine AS centroid_cosine FROM afinal

@@ -219,6 +219,7 @@ def ext6_oracles() -> dict[str, str]:
         "q42_detect_text_tables": _q42_sql(),
         "q43_region_rollup": _Q43_SQL,
         "q44_layout_tables": _q44_sql(),
+        "q45_lattice_tables": _q45_sql(),
     }
 
 
@@ -364,3 +365,171 @@ FROM sized WHERE blk_rows >= 3
 
 
 EXT6_QUERIES["q44_layout_tables"] = q44_layout_tables
+
+
+# ---------------------------------------------------------------------------
+# q45 — ruling-line lattice tables (completes S11, round-2 verdict item 4):
+# pseudo-PDF docs whose table text is deliberately NOT x-aligned (per-row
+# jitter), so q44's alignment criterion cannot find the grid — but the
+# drawn h/v ruling segments define it exactly
+# (texttables.detect_lattice_tables over pdf_runs + pdf_rulings).
+# ---------------------------------------------------------------------------
+
+# fixed grid geometry: 5 h-rules (4 row bands), 4 v-rules (3 col bands)
+_Q45_HS = [258, 242, 226, 210, 194]
+_Q45_VS = [45, 195, 345, 495]
+_Q45_RULES = "\n".join(
+    [f"45 {y} m 495 {y} l S" for y in _Q45_HS]
+    + [f"{x} 194 m {x} 258 l S" for x in _Q45_VS]
+)
+
+
+def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.texttables import detect_lattice_tables, pdf_rulings, pdf_runs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3)
+    ln = F.col("l_linenumber")
+    y = (250 - ln * 16).cast("string")
+    # deterministic per-row x jitter — kills column x-alignment on purpose
+    x_claim = (50 + (ln * 13) % 29).cast("string")
+    x_date = (200 + (ln * 7) % 23).cast("string")
+    x_price = (350 + (ln * 11) % 31).cast("string")
+    row_lines = F.concat(
+        F.lit("BT "), x_claim, F.lit(" "), y, F.lit(" Td (W"),
+        F.col("l_orderkey").cast("string"), F.lit("0"), ln.cast("string"),
+        F.lit(") Tj ET\nBT "), x_date, F.lit(" "), y, F.lit(" Td ("),
+        F.date_format("l_shipdate", "MM/dd/yyyy"), F.lit(") Tj ET\nBT "),
+        x_price, F.lit(" "), y, F.lit(" Td ("),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+        F.lit(") Tj ET"),
+    )
+    doc = li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.concat(
+            F.lit("%PDF-SIM 1.0\n%%PAGE 1\n"
+                  "BT 37 300 Td (Loss Run Report) Tj ET\n"
+                  + _Q45_RULES + "\n"
+                  "BT 50 250 Td (Claim) Tj ET\nBT 200 250 Td (Date) Tj ET\n"
+                  "BT 350 250 Td (Paid) Tj ET\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", row_lines.alias("l")))),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ),
+            F.lit("\nBT 60 40 Td (End of report) Tj ET"),
+        ).alias("text")
+    )
+    return detect_lattice_tables(pdf_runs(doc), pdf_rulings(doc))
+
+
+def _q45_sql() -> str:
+    rules_sql = _Q45_RULES.replace("\n", "' || chr(10) || '")
+    return rf"""
+WITH doc AS (
+  SELECT l_orderkey AS doc_id,
+         '%PDF-SIM 1.0' || chr(10) || '%%PAGE 1' || chr(10) ||
+         'BT 37 300 Td (Loss Run Report) Tj ET' || chr(10) ||
+         '{rules_sql}' || chr(10) ||
+         'BT 50 250 Td (Claim) Tj ET' || chr(10) ||
+         'BT 200 250 Td (Date) Tj ET' || chr(10) ||
+         'BT 350 250 Td (Paid) Tj ET' || chr(10) ||
+         string_agg(lines, chr(10) ORDER BY l_linenumber, lines) ||
+         chr(10) || 'BT 60 40 Td (End of report) Tj ET' AS text
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           'BT ' || CAST(50 + (l_linenumber * 13) % 29 AS VARCHAR) || ' ' || y ||
+             ' Td (W' || CAST(l_orderkey AS VARCHAR) || '0' ||
+             CAST(l_linenumber AS VARCHAR) || ') Tj ET' || chr(10) ||
+           'BT ' || CAST(200 + (l_linenumber * 7) % 23 AS VARCHAR) || ' ' || y ||
+             ' Td (' || strftime(l_shipdate, '%m/%d/%Y') || ') Tj ET' || chr(10) ||
+           'BT ' || CAST(350 + (l_linenumber * 11) % 31 AS VARCHAR) || ' ' || y ||
+             ' Td (' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || ') Tj ET' AS lines
+    FROM (SELECT *, CAST(250 - l_linenumber * 16 AS VARCHAR) AS y
+          FROM lineitem WHERE l_linenumber <= 3)
+  )
+  GROUP BY l_orderkey
+),
+rawlines AS (
+  SELECT doc_id, u.i AS line_no, ls[CAST(u.i AS INTEGER)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM doc) t,
+       LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u
+),
+paged AS (
+  SELECT doc_id, line_no, line,
+         CAST(MAX(CAST(NULLIF(regexp_extract(line, '^%%PAGE (\d+)$', 1), '') AS INTEGER)) OVER
+              (PARTITION BY doc_id ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS INTEGER) AS page
+  FROM rawlines
+),
+runs AS (
+  SELECT doc_id, page, line_no,
+         CAST(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1) AS DOUBLE) AS x,
+         CAST(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 2) AS DOUBLE) AS y,
+         regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 3) AS txt
+  FROM paged
+  WHERE regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1) <> ''
+    AND page IS NOT NULL
+),
+rules AS (
+  SELECT doc_id, page,
+         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 1) AS DOUBLE) AS x1,
+         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 2) AS DOUBLE) AS y1,
+         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 3) AS DOUBLE) AS x2,
+         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 4) AS DOUBLE) AS y2
+  FROM paged
+  WHERE regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 1) <> ''
+    AND page IS NOT NULL
+),
+h AS (
+  SELECT doc_id, page, y1 AS hy, LEAST(x1, x2) AS hx_lo, GREATEST(x1, x2) AS hx_hi
+  FROM rules WHERE y1 = y2 AND x1 <> x2
+),
+v AS (
+  SELECT doc_id, page, x1 AS vx, LEAST(y1, y2) AS vy_lo, GREATEST(y1, y2) AS vy_hi
+  FROM rules WHERE x1 = x2 AND y1 <> y2
+),
+cross_ AS (
+  SELECT h.doc_id, h.page, h.hy, v.vx
+  FROM h JOIN v ON h.doc_id = v.doc_id AND h.page = v.page
+  WHERE h.hy BETWEEN v.vy_lo AND v.vy_hi AND v.vx BETWEEN h.hx_lo AND h.hx_hi
+),
+good_h AS (
+  SELECT doc_id, page, hy FROM (
+    SELECT doc_id, page, hy, COUNT(*) AS n FROM cross_ GROUP BY 1, 2, 3
+  ) WHERE n >= 2
+),
+good_v AS (
+  SELECT doc_id, page, vx FROM (
+    SELECT doc_id, page, vx, COUNT(*) AS n FROM cross_ GROUP BY 1, 2, 3
+  ) WHERE n >= 2
+),
+row_bands AS (
+  SELECT doc_id, page,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page ORDER BY hy DESC) - 1 AS INTEGER) AS row_idx,
+         hy AS y_hi, y_lo
+  FROM (SELECT doc_id, page, hy,
+               LEAD(hy) OVER (PARTITION BY doc_id, page ORDER BY hy DESC) AS y_lo
+        FROM good_h)
+  WHERE y_lo IS NOT NULL
+),
+col_bands AS (
+  SELECT doc_id, page,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page ORDER BY vx ASC) - 1 AS INTEGER) AS col_idx,
+         vx AS x_lo, x_hi
+  FROM (SELECT doc_id, page, vx,
+               LEAD(vx) OVER (PARTITION BY doc_id, page ORDER BY vx ASC) AS x_hi
+        FROM good_v)
+  WHERE x_hi IS NOT NULL
+)
+SELECT r.doc_id, CAST(r.page AS INTEGER) AS page, rb.row_idx, cb.col_idx,
+       string_agg(r.txt, ' ' ORDER BY r.x, r.txt) AS cell_text
+FROM runs r
+JOIN row_bands rb ON r.doc_id = rb.doc_id AND r.page = rb.page
+               AND r.y > rb.y_lo AND r.y < rb.y_hi
+JOIN col_bands cb ON r.doc_id = cb.doc_id AND r.page = cb.page
+               AND r.x > cb.x_lo AND r.x < cb.x_hi
+GROUP BY 1, 2, 3, 4
+"""
+
+
+EXT6_QUERIES["q45_lattice_tables"] = q45_lattice_tables

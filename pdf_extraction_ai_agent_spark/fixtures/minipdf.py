@@ -1,0 +1,93 @@
+"""Hand-written minimal real-PDF generator — vendored byte fixture so the
+S2/S3 real-PDF extraction chain (reference extract_text.py:9-66) can be
+exercised end-to-end in-sandbox with ZERO optional dependencies (round-2
+verdict item 5).
+
+Produces a spec-correct PDF 1.4: catalog → page tree → one page object +
+one content stream per page (text via Td/Tj, optionally TJ arrays and
+FlateDecode compression), a real xref table and trailer. pdfplumber/fitz
+open these files on cluster images; the in-repo tokenizer
+(operators/pdftext.py) parses them dependency-free.
+
+Output bytes are latin-1-clean when the input text is, so a generated PDF
+can ride in the transcripts `text` column (the batch kernel re-encodes
+latin-1 before parsing — operators/extract.py real-pdf branch).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _esc(s: str) -> str:
+    """PDF literal-string escaping: backslash, parens, and the three
+    whitespace controls that may not appear raw inside a literal."""
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        .replace("\r", r"\r").replace("\n", r"\n").replace("\t", r"\t")
+    )
+
+
+def _content_stream(page_text: str, tj_arrays: bool) -> bytes:
+    """BT … ET text block: first line positioned with an absolute Td, each
+    following line a relative `0 -16 Td` (the standard line-advance idiom
+    real generators emit). ``tj_arrays`` renders every other line as a TJ
+    array with kerning numbers — the second text-showing operator family a
+    tokenizer must understand."""
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(page_text.split("\n")):
+        if i > 0:
+            ops.append("0 -16 Td")
+        if tj_arrays and i % 2 == 1 and len(line) > 2:
+            mid = len(line) // 2
+            ops.append(f"[({_esc(line[:mid])}) -120 ({_esc(line[mid:])})] TJ")
+        else:
+            ops.append(f"({_esc(line)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def write_minimal_pdf(
+    pages: list[str], compress: bool = False, tj_arrays: bool = False
+) -> bytes:
+    """One PDF with ``len(pages)`` pages; each element is that page's text
+    ('\\n'-separated lines). ``compress`` wraps every content stream in
+    FlateDecode (zlib), exercising the tokenizer's filter path."""
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, text in enumerate(pages):
+        page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        data = _content_stream(text, tj_arrays)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1") + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    total = max(objs) + 1
+    out += f"xref\n0 {total}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for num in range(1, total):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)

@@ -242,6 +242,33 @@ def _pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
     return "\n".join(out)
 
 
+# --- real-PDF payload (vendored minipdf bytes, latin-1 in the text col) -----
+
+
+def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
+    """Real PDF 1.4 bytes (fixtures/minipdf.py) carrying the same claim
+    paragraphs — exercises the dependency-free tokenizer rung of
+    extract_real_pdf_text end-to-end on genuine PDF structure (objects,
+    page tree, xref; optionally FlateDecode + TJ arrays)."""
+    from .minipdf import write_minimal_pdf
+
+    if near_empty:
+        pages = [rng.choice(["scanned", "img-only", ""])]
+    else:
+        # minipdf writes latin-1 literal strings (no font-encoding tables by
+        # design) — transliterate anything outside it, like a Type1-only
+        # generator would
+        pages = [
+            "\n".join(_wrap_words(_claim_paragraph(rng)))
+            .encode("latin-1", errors="replace").decode("latin-1")
+            for _ in range(rng.randint(1, 3))
+        ]
+    data = write_minimal_pdf(
+        pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5
+    )
+    return data.decode("latin-1")
+
+
 # --- table assembly --------------------------------------------------------
 
 _ROLES = ["user", "assistant", "tool"]
@@ -249,19 +276,26 @@ _KIND_WEIGHTS = [
     ("plain", 0.40), ("labeled", 0.15), ("html", 0.20),
     ("pdf", 0.18), ("pdf_empty", 0.07),
 ]
+# opt-in mix with real-PDF byte payloads (golden suite; the bench corpus
+# keeps the original mix so round-over-round throughput stays comparable)
+_KIND_WEIGHTS_REAL_PDF = [
+    ("plain", 0.34), ("labeled", 0.13), ("html", 0.18),
+    ("pdf", 0.14), ("pdf_empty", 0.06), ("pdf_real", 0.11), ("pdf_real_empty", 0.04),
+]
 
 
-def _pick_kind(rng: random.Random) -> str:
+def _pick_kind(rng: random.Random, include_real_pdf: bool = False) -> str:
     r = rng.random()
     acc = 0.0
-    for kind, w in _KIND_WEIGHTS:
+    for kind, w in (_KIND_WEIGHTS_REAL_PDF if include_real_pdf else _KIND_WEIGHTS):
         acc += w
         if r < acc:
             return kind
     return "plain"
 
 
-def conv_rows(i: int, rng: random.Random, skew: bool, skew_factor: int) -> list[dict]:
+def conv_rows(i: int, rng: random.Random, skew: bool, skew_factor: int,
+              include_real_pdf: bool = False) -> list[dict]:
     """All turns of conversation ``i`` from an already-seeded rng."""
     conv_id = f"conv-{i:08d}"
     r = rng.random()
@@ -276,7 +310,7 @@ def conv_rows(i: int, rng: random.Random, skew: bool, skew_factor: int) -> list[
     rows: list[dict] = []
     turn_idx = 0
     for t in range(n_turns):
-        kind = _pick_kind(rng)
+        kind = _pick_kind(rng, include_real_pdf)
         if kind == "plain":
             text, tool = _plain_payload(rng), ""
         elif kind == "labeled":
@@ -285,6 +319,10 @@ def conv_rows(i: int, rng: random.Random, skew: bool, skew_factor: int) -> list[
             text, tool = _html_payload(rng), "html_paste"
         elif kind == "pdf":
             text, tool = _pdf_payload(rng), "pdf_upload"
+        elif kind == "pdf_real":
+            text, tool = _real_pdf_payload(rng), "pdf_upload"
+        elif kind == "pdf_real_empty":
+            text, tool = _real_pdf_payload(rng, near_empty=True), "pdf_upload"
         else:
             text, tool = _pdf_payload(rng, near_empty=True), "pdf_upload"
         ts = _BASE_TS + timedelta(minutes=i * 1000 + t, seconds=rng.randint(0, 30))
@@ -310,6 +348,7 @@ def generate_transcripts(
     seed: int = 42,
     skew: bool = True,
     skew_factor: int = 20,
+    include_real_pdf: bool = False,
 ) -> pd.DataFrame:
     """Generate the T1 transcripts table as a pandas DataFrame.
 
@@ -320,7 +359,7 @@ def generate_transcripts(
     rng = random.Random(seed)
     rows: list[dict] = []
     for i in range(n_convs):
-        rows.extend(conv_rows(i, rng, skew, skew_factor))
+        rows.extend(conv_rows(i, rng, skew, skew_factor, include_real_pdf))
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     df["turn_idx"] = df["turn_idx"].astype("int32")
     return df

@@ -225,6 +225,20 @@ def extract_real_pdf_text(payload) -> tuple[str, bool]:
         "latin-1", errors="ignore"
     )
     pages: list[str] | None = None
+    # rung 0 — the vendored dependency-free tokenizer (operators/pdftext.py):
+    # handles well-formed raw/Flate PDFs with zero optional libs, so simple
+    # PDFs extract even on images without pdfplumber/fitz and the golden
+    # suite exercises this path in-sandbox on real bytes
+    from .pdftext import tokenize_pdf_text
+
+    pages = tokenize_pdf_text(data)
+    if pages is not None:
+        text = "\n".join(
+            spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + (body or "").strip()
+            for i, body in enumerate(pages)
+        ).strip()
+        needs_ocr = len("".join(pages).strip()) < spec.OCR_MIN_CHARS
+        return text, needs_ocr
     try:
         import pdfplumber  # type: ignore
 

@@ -1,0 +1,255 @@
+"""Dependency-free real-PDF text tokenizer — the first rung of the S2/S3
+extraction chain (reference extract_text.py:9-66 uses pdfplumber→fitz; this
+rung handles well-formed uncompressed/Flate PDFs with ZERO optional
+libraries, so the golden suite covers real PDF bytes in-sandbox and a
+cluster without the libs still extracts simple PDFs).
+
+Scope (returns None → caller falls through to the library chain):
+- object parse: `N 0 obj … endobj` bodies, page tree walked from the
+  catalog (/Pages → /Kids recursively → /Type /Page in tree order);
+- content streams: raw or /Filter /FlateDecode (zlib is stdlib); any other
+  filter, or a malformed tree, aborts the rung;
+- text operators: Tj, ' and " (show + newline), TJ arrays (kerning numbers
+  ignored), literal strings with escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f,
+  octal \\ddd, line continuations) and <hex> strings;
+- line structure: Td/TD/T*/Tm between shows emit a newline — the idiom
+  every mainstream generator uses for line advance.
+
+NOT a general PDF renderer: no encryption, object streams, CID fonts, or
+layout reconstruction — exactly the subset a trustworthy fallback can
+promise, with everything else handed to the real libraries.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_of(body: bytes) -> bytes:
+    """The (first) dictionary of an object body, brace-balanced."""
+    start = body.find(b"<<")
+    if start < 0:
+        return b""
+    depth, i = 0, start
+    while i < len(body) - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _value_of(d: bytes, key: bytes) -> bytes:
+    """Raw token(s) following /key in a dict (up to the next /name at the
+    same nesting or the dict end) — enough for refs, arrays and names."""
+    m = re.search(re.escape(key) + rb"\s*", d)
+    if not m:
+        return b""
+    rest = d[m.end():]
+    if rest.startswith(b"["):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == 0x5B:
+                depth += 1
+            elif ch == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1]
+        return rest
+    nxt = re.search(rb"/[A-Za-z]+|>>", rest)
+    return rest[: nxt.start()] if nxt else rest
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Decoded stream content of an object body; None when absent or the
+    filter is unsupported."""
+    d = _dict_of(body)
+    at = body.find(b"stream")
+    if at < 0:
+        return None
+    at += len(b"stream")
+    if body[at : at + 2] == b"\r\n":
+        at += 2
+    elif body[at : at + 1] == b"\n":
+        at += 1
+    lm = _LEN_RE.search(d)
+    if lm:
+        raw = body[at : at + int(lm.group(1))]
+    else:
+        end = body.rfind(b"endstream")
+        if end < 0:
+            return None
+        raw = body[at:end].rstrip(b"\r\n")
+    if b"/Filter" in d:
+        if b"/FlateDecode" not in d:
+            return None  # unsupported filter → let the libraries try
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_objects(objs: dict[int, bytes]) -> list[int] | None:
+    """Page object numbers in page-tree order."""
+    root = None
+    for num, body in objs.items():
+        if b"/Type" in body and b"/Catalog" in body:
+            m = _REF_RE.search(_value_of(_dict_of(body), b"/Pages"))
+            if m:
+                root = int(m.group(1))
+            break
+    if root is None or root not in objs:
+        return None
+    pages: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> bool:
+        if depth > 32 or num not in objs:
+            return False
+        d = _dict_of(objs[num])
+        if b"/Type" in d and b"/Page" in d and b"/Pages" not in d:
+            pages.append(num)
+            return True
+        kids = _value_of(d, b"/Kids")
+        for m in _REF_RE.finditer(kids):
+            if not walk(int(m.group(1)), depth + 1):
+                return False
+        return True
+
+    if not walk(root):
+        return None
+    return pages if pages else None
+
+
+_ESCAPES = {
+    0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b", 0x66: "\f",
+    0x28: "(", 0x29: ")", 0x5C: "\\",
+}
+
+
+def _tokenize_content(content: bytes) -> str:
+    """Text-showing pass over one page's content stream."""
+    out: list[str] = []
+    pending_newline = False
+    shown_any = False
+    i, n = 0, len(content)
+
+    def emit(s: str):
+        nonlocal pending_newline, shown_any
+        if pending_newline and shown_any:
+            out.append("\n")
+        pending_newline = False
+        shown_any = True
+        out.append(s)
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            buf: list[str] = []
+            depth = 1
+            i += 1
+            while i < n and depth:
+                ch = content[i]
+                if ch == 0x5C and i + 1 < n:
+                    nxt = content[i + 1]
+                    if nxt in _ESCAPES:
+                        buf.append(_ESCAPES[nxt])
+                        i += 2
+                    elif 0x30 <= nxt <= 0x37:  # octal \ddd (1-3 digits)
+                        j = i + 1
+                        oct_s = ""
+                        while j < n and len(oct_s) < 3 and 0x30 <= content[j] <= 0x37:
+                            oct_s += chr(content[j])
+                            j += 1
+                        buf.append(chr(int(oct_s, 8) & 0xFF))
+                        i = j
+                    elif nxt in (0x0A, 0x0D):  # line continuation
+                        i += 2
+                        if nxt == 0x0D and i < n and content[i] == 0x0A:
+                            i += 1
+                    else:
+                        buf.append(chr(nxt))
+                        i += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                buf.append(chr(ch))
+                i += 1
+            # look ahead for the operator consuming this string
+            m = re.match(rb"\s*(Tj|'|\")", content[i:])
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    pending_newline = True
+                emit("".join(buf))
+                i += m.end()
+            else:
+                # string inside a TJ array (or non-text op): emit raw, the
+                # closing `] TJ` is consumed by the scanner below
+                emit("".join(buf))
+            continue
+        if c == 0x3C and content[i : i + 2] != b"<<":  # <hex>
+            end = content.find(b">", i)
+            if end < 0:
+                break
+            hexs = re.sub(rb"\s", b"", content[i + 1 : end])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                emit(bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+            except ValueError:
+                pass
+            i = end + 1
+            continue
+        m = re.match(rb"(?:Td|TD|Tm)\b|T\*", content[i:])
+        if m:
+            pending_newline = True
+            i += m.end()
+            continue
+        i += 1
+    return "".join(out)
+
+
+def tokenize_pdf_text(data: bytes) -> list[str] | None:
+    """Per-page extracted text for a real PDF, or None when the file is
+    outside this rung's scope (caller falls through to pdfplumber/fitz)."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    objs = _objects(data)
+    page_nums = _page_objects(objs)
+    if not page_nums:
+        return None
+    pages: list[str] = []
+    for num in page_nums:
+        refs = _value_of(_dict_of(objs[num]), b"/Contents")
+        content = b""
+        for m in _REF_RE.finditer(refs):
+            ref = int(m.group(1))
+            if ref not in objs:
+                return None
+            part = _stream_data(objs[ref])
+            if part is None:
+                return None
+            content += part + b"\n"
+        pages.append(_tokenize_content(content))
+    return pages

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long_py
+from ..functions.hashing import md5_long_col, md5_long_py
 from ..plans.cache import tracked_persist
 
 QUANT = 1_000_000  # fixed-point scale for exact integer dot products
@@ -353,7 +353,12 @@ def _ivf_fit_centroids(
 ) -> list[tuple[int, list[int]]]:
     """Seeded k-means (spherical Lloyd) in exact integer arithmetic.
 
-    Seeds = the first ``n_centroids`` vectors by id (deterministic).
+    Seeds = the ``n_centroids`` vectors minimizing md5_long('seed:'||vid)
+    (ties by vid) — deterministic md5-strided sampling, i.e. a uniform
+    pseudo-random draw both engines can replay. First-N-by-id seeding is
+    degenerate on id-sorted corpora (all seeds from one locality); the
+    strided draw spreads seeds uniformly regardless of how the corpus is
+    ordered (round-2 verdict item 6).
     Update step: centroid := floor(Σ member q / count) per dimension —
     cosine is scale-invariant, so the floor-scaled integer sum vector is a
     valid spherical centroid, and every number is engine-portable (the
@@ -363,7 +368,13 @@ def _ivf_fit_centroids(
     """
     import numpy as np
 
-    seeds = base.orderBy("vid").limit(n_centroids).select("vid", "q").collect()
+    seed_key = md5_long_col(F.concat(F.lit("seed:"), F.col("vid").cast("string")))
+    seeds = (
+        base.orderBy(seed_key.asc(), F.col("vid").asc())
+        .limit(n_centroids)
+        .select("vid", "q")
+        .collect()
+    )
     cents = [(int(r.vid), list(map(int, r.q))) for r in seeds]
     spark = base.sparkSession
     for _ in range(n_iters):

@@ -111,6 +111,139 @@ def pdf_runs(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> 
     )
 
 
+def pdf_rulings(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """Parse vector ruling segments (spec.PDF_RULE_RE — `x1 y1 m x2 y2 l S`,
+    the moveto/lineto/stroke path ops Camelot's lattice flavor keys on) into
+    (doc_id, page, x1, y1, x2, y2). Same declarative shape as pdf_runs:
+    posexplode lines, regexp projections, page carried by a running last().
+    """
+    lines = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    page_m = F.regexp_extract("line", spec.PDF_PAGE_RE, 1)
+    parsed = lines.select(
+        "doc_id", "line_no",
+        F.when(page_m != "", page_m.cast("int")).alias("page_marker"),
+        *[
+            F.regexp_extract("line", spec.PDF_RULE_RE, i + 1).alias(c)
+            for i, c in enumerate(["x1s", "y1s", "x2s", "y2s"])
+        ],
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parsed.withColumn("page", F.last("page_marker", ignorenulls=True).over(w))
+        .filter((F.col("x1s") != "") & F.col("page").isNotNull())
+        .select(
+            "doc_id", "page",
+            F.col("x1s").cast("double").alias("x1"),
+            F.col("y1s").cast("double").alias("y1"),
+            F.col("x2s").cast("double").alias("x2"),
+            F.col("y2s").cast("double").alias("y2"),
+        )
+    )
+
+
+def detect_lattice_tables(
+    runs: DataFrame,
+    rulings: DataFrame,
+    min_cross: int = 2,
+) -> DataFrame:
+    """True lattice-table extraction from drawn ruling lines (completes S11;
+    reference camelot_extractor.py:11-14, flavor="lattice"): the grid comes
+    from horizontal/vertical segment INTERSECTIONS, so text needs no column
+    x-alignment at all — the case detect_layout_tables (q44) cannot handle.
+
+    Model (one grid per page — the reference's per-page lattice pass):
+    - h-lines (y1==y2) and v-lines (x1==x2) are kept only if they cross
+      ≥ min_cross perpendicular rules (mutual-intersection validation, as
+      Camelot does on its line mask);
+    - row bands = gaps between adjacent surviving h-line ys (descending),
+      col bands = gaps between adjacent v-line xs (ascending);
+    - a text run lands in the cell whose open interval contains its (x, y);
+      cell text = runs ordered by (x, txt) joined with ' '.
+
+    Output: (doc_id, page, row_idx, col_idx, cell_text) per NON-EMPTY cell.
+
+    Plan: the intersection checks and band assignment are equi-joins on
+    (doc_id, page) with range predicates — per-page work is
+    O(rules² + runs·bands) with per-page rule counts that are small
+    constants in practice; every shuffle keys on (doc_id, page) only.
+    """
+    h = (
+        rulings.filter((F.col("y1") == F.col("y2")) & (F.col("x1") != F.col("x2")))
+        .select(
+            "doc_id", "page", F.col("y1").alias("hy"),
+            F.least("x1", "x2").alias("hx_lo"), F.greatest("x1", "x2").alias("hx_hi"),
+        )
+    )
+    v = (
+        rulings.filter((F.col("x1") == F.col("x2")) & (F.col("y1") != F.col("y2")))
+        .select(
+            "doc_id", "page", F.col("x1").alias("vx"),
+            F.least("y1", "y2").alias("vy_lo"), F.greatest("y1", "y2").alias("vy_hi"),
+        )
+    )
+    cross = h.join(v, ["doc_id", "page"]).filter(
+        (F.col("hy") >= F.col("vy_lo")) & (F.col("hy") <= F.col("vy_hi"))
+        & (F.col("vx") >= F.col("hx_lo")) & (F.col("vx") <= F.col("hx_hi"))
+    )
+    good_h = (
+        cross.groupBy("doc_id", "page", "hy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_cross)
+        .select("doc_id", "page", "hy")
+        .distinct()
+    )
+    good_v = (
+        cross.groupBy("doc_id", "page", "vx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_cross)
+        .select("doc_id", "page", "vx")
+        .distinct()
+    )
+    w_h = Window.partitionBy("doc_id", "page").orderBy(F.col("hy").desc())
+    row_bands = (
+        good_h.withColumn("y_lo", F.lead("hy").over(w_h))
+        .filter(F.col("y_lo").isNotNull())
+        .select(
+            "doc_id", "page",
+            (F.row_number().over(w_h) - 1).alias("row_idx"),
+            F.col("hy").alias("y_hi"), "y_lo",
+        )
+    )
+    w_v = Window.partitionBy("doc_id", "page").orderBy(F.col("vx").asc())
+    col_bands = (
+        good_v.withColumn("x_hi", F.lead("vx").over(w_v))
+        .filter(F.col("x_hi").isNotNull())
+        .select(
+            "doc_id", "page",
+            (F.row_number().over(w_v) - 1).alias("col_idx"),
+            F.col("vx").alias("x_lo"), "x_hi",
+        )
+    )
+    placed = (
+        runs.join(row_bands, ["doc_id", "page"])
+        .filter((F.col("y") > F.col("y_lo")) & (F.col("y") < F.col("y_hi")))
+        .join(col_bands, ["doc_id", "page"])
+        .filter((F.col("x") > F.col("x_lo")) & (F.col("x") < F.col("x_hi")))
+    )
+    return placed.groupBy("doc_id", F.col("page").cast("int").alias("page"),
+                          "row_idx", "col_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", F.col("txt").alias("t")))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("cell_text")
+    )
+
+
 def detect_layout_tables(
     runs: DataFrame,
     y_tol: float = spec.PDF_Y_TOL,

@@ -347,9 +347,145 @@ def parse_fields_oracle(text: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def extract_real_pdf(payload: str) -> tuple[str, bool]:
+    """Independent row-at-a-time real-PDF text parse (the oracle twin of
+    operators/pdftext.py — different algorithm on purpose: a sequential
+    char-level scan over streams in FILE order, no object map / page-tree
+    walk). Covers the same subset: raw or FlateDecode content streams,
+    Tj / ' / " / TJ shows, literal-string escapes, hex strings; page
+    markers + the <OCR_MIN_CHARS trigger per spec."""
+    import zlib
+
+    data = payload.encode("latin-1", errors="ignore")
+    pages: list[str] = []
+    pos = 0
+    while True:
+        s = data.find(b"stream", pos)
+        if s < 0:
+            break
+        if data[max(0, s - 3):s] == b"end":  # the 'stream' inside 'endstream'
+            pos = s + 6
+            continue
+        dict_start = data.rfind(b"<<", pos, s)
+        head = data[dict_start:s] if dict_start >= 0 else b""
+        body_at = s + 6
+        if data[body_at : body_at + 2] == b"\r\n":
+            body_at += 2
+        elif data[body_at : body_at + 1] == b"\n":
+            body_at += 1
+        mlen = re.search(rb"/Length\s+(\d+)", head)
+        if mlen:
+            raw = data[body_at : body_at + int(mlen.group(1))]
+            pos = body_at + int(mlen.group(1))
+        else:
+            end = data.find(b"endstream", body_at)
+            if end < 0:
+                break
+            raw = data[body_at:end].rstrip(b"\r\n")
+            pos = end
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                pos += 1
+                continue
+        if b"BT" not in raw:
+            continue
+        # char-level token walk
+        text_parts: list[str] = []
+        strings: list[str] = []  # strings pending an operator
+        newline = False
+        i, n = 0, len(raw)
+        while i < n:
+            ch = raw[i]
+            if ch == 0x28:  # (
+                buf = []
+                depth = 1
+                i += 1
+                while i < n and depth:
+                    c = raw[i]
+                    if c == 0x5C and i + 1 < n:
+                        nx = raw[i + 1]
+                        table = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b",
+                                 0x66: "\f", 0x28: "(", 0x29: ")", 0x5C: "\\"}
+                        if nx in table:
+                            buf.append(table[nx]); i += 2
+                        elif 0x30 <= nx <= 0x37:
+                            j, o = i + 1, ""
+                            while j < n and len(o) < 3 and 0x30 <= raw[j] <= 0x37:
+                                o += chr(raw[j]); j += 1
+                            buf.append(chr(int(o, 8) & 0xFF)); i = j
+                        elif nx in (0x0A, 0x0D):
+                            i += 2
+                            if nx == 0x0D and i < n and raw[i] == 0x0A:
+                                i += 1
+                        else:
+                            buf.append(chr(nx)); i += 2
+                        continue
+                    if c == 0x28:
+                        depth += 1
+                    elif c == 0x29:
+                        depth -= 1
+                        if not depth:
+                            i += 1
+                            break
+                    buf.append(chr(c)); i += 1
+                strings.append("".join(buf))
+                continue
+            if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
+                end = raw.find(b">", i)
+                if end < 0:
+                    break
+                hx = re.sub(rb"\s", b"", raw[i + 1 : end])
+                if len(hx) % 2:
+                    hx += b"0"
+                try:
+                    strings.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                except ValueError:
+                    pass
+                i = end + 1
+                continue
+            # operator tokens
+            def flush(extra_newline: bool = False):
+                nonlocal newline
+                if not strings:
+                    return
+                if extra_newline:
+                    newline = True
+                if newline and text_parts:
+                    text_parts.append("\n")
+                newline = False
+                text_parts.extend(strings)
+                strings.clear()
+
+            if raw[i : i + 2] == b"Tj":
+                flush(); i += 2
+            elif raw[i : i + 2] == b"TJ":
+                flush(); i += 2
+            elif ch in (0x27, 0x22):  # ' or "
+                flush(extra_newline=True); i += 1
+            elif raw[i : i + 2] in (b"Td", b"TD", b"T*", b"Tm"):
+                strings.clear()  # positioning consumed any stray strings
+                newline = True
+                i += 2
+            else:
+                i += 1
+        pages.append("".join(text_parts))
+    if not pages:
+        raise RuntimeError("no parseable content streams in real-PDF payload")
+    text = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + body.strip()
+        for i, body in enumerate(pages)
+    ).strip()
+    needs_ocr = len("".join(pages).strip()) < spec.OCR_MIN_CHARS
+    return text, needs_ocr
+
+
 def sniff_payload_kind(text: str, tool: str | None = None) -> str:
     if text.startswith(spec.PDF_HEADER):
         return "pdf"
+    if text.startswith("%PDF-"):
+        return "pdf_real"
     lstripped = text.lstrip()
     if lstripped.startswith("<html") or lstripped.startswith("<!DOCTYPE") or tool == "html_paste":
         return "html"
@@ -362,6 +498,8 @@ def extract_turn(text: str, tool: str | None = None) -> dict:
     needs_ocr = False
     if kind == "pdf":
         extracted, needs_ocr = extract_pdf_stream(text)
+    elif kind == "pdf_real":
+        extracted, needs_ocr = extract_real_pdf(text)
     elif kind == "html":
         extracted = extract_html_main_content(text)
     else:

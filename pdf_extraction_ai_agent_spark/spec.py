@@ -85,6 +85,12 @@ HTML_BLOCK_JOINER = "\n\n"
 PDF_HEADER = "%PDF-SIM 1.0"
 PDF_PAGE_RE = r"^%%PAGE (\d+)$"
 PDF_RUN_RE = r"^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$"
+# Vector ruling segment (the lattice-table geometry Camelot's
+# flavor="lattice" keys on — camelot_extractor.py:11-14): a stroked
+# straight path `x1 y1 m x2 y2 l S`, mirroring the PDF path operators
+# moveto/lineto/stroke. Horizontal iff y1 == y2, vertical iff x1 == x2;
+# diagonal segments are ignored by the grid builder.
+PDF_RULE_RE = r"^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$"
 # Reading order: lines = y-clusters (descending y, cluster break when the
 # gap to the previous run's y exceeds PDF_Y_TOL); within a line, runs sort
 # by x ascending and join with a single space. Mirrors pdfplumber

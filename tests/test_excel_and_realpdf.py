@@ -66,6 +66,49 @@ def test_excel_source_spark(spark):
     assert all(r.sheet_pos == (0 if r.sheet_name == "A" else 1) for r in rows)
 
 
+def test_real_pdf_golden_no_optional_libs(spark):
+    """S2/S3 on REAL PDF bytes, fully in-sandbox (round-2 verdict item 5):
+    a corpus with vendored minipdf payloads (raw + FlateDecode, Tj + TJ,
+    multi-page) must extract identically in the vectorized engine and the
+    independent char-scanner oracle — page markers, needs_ocr, spans —
+    with no pdfplumber/fitz present (this image has neither)."""
+    import pandas as pd
+
+    from pdf_extraction_ai_agent_spark.fixtures import generate_transcripts
+    from pdf_extraction_ai_agent_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA
+    from pdf_extraction_ai_agent_spark.oracle import extract_turn_frame
+    from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
+
+    pdf = generate_transcripts(n_convs=20, seed=7, skew=False, include_real_pdf=True)
+    n_real = (pdf["text"].str.startswith("%PDF-1.")).sum()
+    assert n_real >= 5  # the mix must actually exercise the new kind
+
+    got = (
+        extract_pipeline(
+            spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA), with_fields=False
+        )
+        .select("conv_id", "turn_pos", "extracted_text", "needs_ocr", "payload_kind")
+        .toPandas()
+        .set_index(["conv_id", "turn_pos"])
+        .sort_index()
+    )
+    exp = extract_turn_frame(pdf)
+    exp = exp.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+    exp["turn_pos"] = exp.groupby("conv_id").cumcount() + 1
+    exp = exp.set_index(["conv_id", "turn_pos"]).sort_index()
+    assert len(got) == len(exp)
+    assert (exp["payload_kind"] == got["payload_kind"]).all()
+    assert (exp["payload_kind"] == "pdf_real").sum() >= 5
+    neq = exp["extracted_text"].compare(got["extracted_text"])
+    assert neq.empty, f"{len(neq)} real-pdf turns mismatch; first:\n{neq.head(1)}"
+    assert (exp["needs_ocr"] == got["needs_ocr"]).all()
+    # page markers present on a multi-page real-pdf turn
+    multi = exp[(exp["payload_kind"] == "pdf_real")
+                & exp["extracted_text"].str.contains("--- PAGE 2 ---")]
+    assert len(multi) >= 1
+    assert not pd.isna(multi.iloc[0]["extracted_text"])
+
+
 def test_real_pdf_dispatch_error_channel():
     """'%PDF-1.x' payloads route to the library chain; with no pdfplumber /
     fitz in this image the row lands in the error channel (job survives),

@@ -59,19 +59,33 @@ def test_record_split_no_extra_shuffle(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """recall@10 curve over nprobe ∈ {1, 2, 4, 6}: must be monotone
+    non-decreasing (more probes can only widen the candidate set) with a
+    floor at nprobe=1 — the md5-strided seeding must not collapse to a
+    degenerate partition of the corpus (round-2 verdict item 6)."""
     from pdf_extraction_ai_agent_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = [0, 1, 2, 3, 4]
     exact = similarity.cosine_topk_bruteforce(emb, qids, k=10).collect()
-    approx = similarity.cosine_topk_ivf(emb, qids, k=10, n_centroids=16, nprobe=6).collect()
-    es, as_ = {}, {}
+    es: dict = {}
     for r in exact:
         es.setdefault(r.query_id, set()).add(r.neighbor_id)
-    for r in approx:
-        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
-    recalls = [len(es[q] & as_.get(q, set())) / len(es[q]) for q in es]
-    assert sum(recalls) / len(recalls) >= 0.4, f"IVF recall too low: {recalls}"
+
+    curve = {}
+    for nprobe in (1, 2, 4, 6):
+        approx = similarity.cosine_topk_ivf(
+            emb, qids, k=10, n_centroids=16, nprobe=nprobe
+        ).collect()
+        as_: dict = {}
+        for r in approx:
+            as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(es[q] & as_.get(q, set())) / len(es[q]) for q in es]
+        curve[nprobe] = sum(recalls) / len(recalls)
+
+    assert curve[1] >= 0.15, f"nprobe=1 recall degenerate: {curve}"
+    assert curve[1] <= curve[2] <= curve[4] <= curve[6] + 1e-9, curve
+    assert curve[6] >= 0.4, f"IVF recall too low: {curve}"
 
 
 def test_near_dup_plan_has_no_cartesian(spark, sf_dir):
