@@ -70,11 +70,39 @@ def _cached_transcripts(spark) -> tuple[str, int]:
     return cache, n
 
 
-def _run_headline(spark) -> dict[str, float]:
+def _input_stats(df) -> tuple[int, int]:
+    """(rows, bytes) of every parquet source in the query's physical plan —
+    read from parquet footers, no extra Spark job. Recorded per headline
+    query so rounds can compare THROUGHPUT (rows/sec, bytes/sec), not just
+    wall seconds (the round-1↔2 harness discontinuity was avoidable
+    evidence loss — round-2 verdict item 7)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    paths = set(re.findall(r"InMemoryFileIndex\(\d+ paths\)\[file:([^\],]+)", plan))
+    rows = nbytes = 0
+    for p in paths:
+        files = [p] if os.path.isfile(p) else [
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(p)
+            for fn in fns
+        ]
+        for full in files:
+            if not full.endswith(".parquet"):
+                continue
+            nbytes += os.path.getsize(full)
+            rows += pq.ParquetFile(full).metadata.num_rows
+    return rows, nbytes
+
+
+def _run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
+    io_stats: dict[str, dict] = {}
     qs = entry.queries()
     for name in HEADLINE:
         fn = qs[name]
@@ -83,11 +111,15 @@ def _run_headline(spark) -> dict[str, float]:
         # force FULL evaluation of every output column — under a bare
         # count() Catalyst prunes unused projections, so projection-only
         # queries would time little more than the parquet scan
-        df.agg(
+        row = df.agg(
             F.count(F.lit(1)),
             F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
-        ).collect()
+        ).collect()[0]
         timings[name] = round(time.monotonic() - t0, 3)
+        in_rows, in_bytes = _input_stats(df)
+        io_stats[name] = {
+            "input_rows": in_rows, "input_bytes": in_bytes, "output_rows": int(row[0]),
+        }
 
     # production-hash variant of the minhash kernel (hash_impl='fast' —
     # vectorized siphash + reduceat; md5 stays the oracle-portable default):
@@ -99,7 +131,7 @@ def _run_headline(spark) -> dict[str, float]:
     sig = dedup.minhash_signatures(_docs(spark, SF_DIR), hash_impl="fast")
     sig.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in sig.columns]))).collect()
     timings["q13_minhash_signatures_fasthash"] = round(time.monotonic() - t0, 3)
-    return timings
+    return timings, io_stats
 
 
 def _scaling(transcripts_path: str) -> dict:
@@ -148,7 +180,31 @@ def _scaling(transcripts_path: str) -> dict:
     }
 
 
-def _write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
+def _arrow_batch_sweep(transcripts_path: str, cores: int) -> list[dict]:
+    """Spill/OOM evidence for the extract stage (round-2 verdict item 10):
+    the SAME extraction job at maxRecordsPerBatch ∈ {512, 2048, 8192},
+    recording wall time + peak JVM RSS + summed python-worker peak RSS —
+    justifies the Arrow batch cap in the 100-TB story (batch size bounds
+    the per-worker resident pandas frame; too small pays per-batch
+    overhead, too large risks executor memory)."""
+    child = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_extract_child.py"
+    )
+    out = []
+    for batch in (512, 2048, 8192):
+        env = dict(os.environ, SPARK_GRAFT_ARROW_BATCH=str(batch))
+        res = subprocess.run(
+            [sys.executable, child, str(cores), transcripts_path],
+            capture_output=True, text=True, timeout=1200, env=env,
+        )
+        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out.append(json.loads(line))
+    return out
+
+
+def _write_bench_md(scaling: dict, timings: dict[str, float],
+                    io_stats: dict[str, dict] | None = None,
+                    sweep: list[dict] | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scaling["levels"]
     with open("BENCH/BASELINE.md", "w") as f:
@@ -189,11 +245,37 @@ def _write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
             "golden suite.\n\n"
             "Spark conf: AQE on, shuffle.partitions = 2×cores, Arrow batch 2048,\n"
             "salted repartition (8 salt buckets) before the UDF stage.\n\n"
-            "## Headline query timings (sf0.1, local[%d])\n\n| query | sec |\n|---|---|\n"
+            "## Headline query timings (sf0.1, local[%d])\n\n"
+            "| query | sec | input rows | input MB | output rows | Mrows/sec |\n"
+            "|---|---|---|---|---|---|\n"
             % CPUS
         )
         for k, v in timings.items():
-            f.write(f"| {k} | {v} |\n")
+            st = (io_stats or {}).get(k)
+            if st:
+                mrps = (st["input_rows"] / v / 1e6) if v else 0.0
+                f.write(
+                    f"| {k} | {v} | {st['input_rows']} "
+                    f"| {st['input_bytes'] / 1e6:.1f} | {st['output_rows']} "
+                    f"| {mrps:.3f} |\n"
+                )
+            else:
+                f.write(f"| {k} | {v} | | | | |\n")
+        if sweep:
+            f.write(
+                "\n## Arrow batch sweep (extract stage, local[%d], %d turns)\n\n"
+                "maxRecordsPerBatch bounds the resident pandas frame per python "
+                "worker; this sweep is the measured basis for the default (2048).\n\n"
+                "| maxRecordsPerBatch | wall sec | JVM peak RSS MB | Σ py-worker peak RSS MB | workers |\n"
+                "|---|---|---|---|---|\n"
+                % (sweep[0]["cores"], sweep[0]["turns"])
+            )
+            for row in sweep:
+                f.write(
+                    f"| {row['arrow_batch']} | {row['wall_sec']} "
+                    f"| {row['jvm_peak_rss_mb']} | {row['py_workers_peak_rss_mb']} "
+                    f"| {row['n_py_workers']} |\n"
+                )
 
 
 def main():
@@ -201,19 +283,22 @@ def main():
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     cache, _n = _cached_transcripts(spark)
-    timings = _run_headline(spark)
+    timings, io_stats = _run_headline(spark)
     spark.stop()
 
     scaling = None
+    sweep = None
     if not SKIP_SCALING:
         scaling = _scaling(cache)
-        _write_bench_md(scaling, timings)
+        sweep = _arrow_batch_sweep(cache, scaling["levels"][-1])
+        _write_bench_md(scaling, timings, io_stats, sweep)
 
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_io": io_stats,
         "sf": SF_DIR,
     }
     if scaling:
@@ -225,6 +310,8 @@ def main():
                 "scaling_efficiency": scaling["scaling_efficiency"],
             }
         )
+    if sweep:
+        result["arrow_batch_sweep"] = sweep
     print(json.dumps(result))
 
 

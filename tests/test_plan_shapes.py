@@ -136,6 +136,79 @@ def test_ann_exact_topk_plan_is_two_stage(spark, sf_dir):
     assert i_final < i_exchange < i_partial, plan
 
 
+def test_salted_rollup_matches_unsalted(spark, sf_dir):
+    """q43's fact join with explicit salting (skew known up front — e.g. a
+    mega-customer's orders) must produce the identical rollup, and the plan
+    must show the dim replicated via the salt explode with the salt in the
+    join keys (round-2 verdict item 9)."""
+    from pdf_extraction_ai_agent_spark.plans.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    plain = li.join(o, ["l_orderkey"]).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    salted = salted_join(li, o, ["l_orderkey"], n_salts=4).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    plan = _plan(salted)
+    assert "__salt" in plan and "Generate explode" in plan, plan
+
+
+def test_aqe_skew_join_split_engages(spark, tmp_path_factory):
+    """AQE's skew-join split is the runtime answer for skew discovered at
+    execution: with one hot key dominating the fact side and split
+    thresholds scaled to the fixture, the final adaptive plan must mark the
+    sort-merge join skew=true (round-2 verdict item 9)."""
+    base = str(tmp_path_factory.mktemp("skew"))
+    # hot key 0 carries ~97% of the fact rows
+    spark.range(0, 200_000).select(
+        F.when(F.col("id") % 30 != 0, F.lit(0)).otherwise(F.col("id") % 997).alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("payload"),
+    ).write.mode("overwrite").parquet(base + "/fact")
+    spark.range(0, 997).select(
+        F.col("id").alias("k"), F.col("id").alias("dim_val")
+    ).write.mode("overwrite").parquet(base + "/dim")
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(base + "/fact")
+        dim = spark.read.parquet(base + "/dim")
+        # count rows per partition so the action executes THIS DataFrame's
+        # query execution (a .write/.count wraps the plan in a new one and
+        # the adaptive final plan would not be visible on `joined`)
+        joined = fact.join(dim, "k")
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ivf_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path_factory):
     """The IVF scale story end-to-end: corpus written partitioned by
     centroid_id → an nprobe query's scan reads ONLY the probed partitions
