@@ -220,6 +220,7 @@ def ext6_oracles() -> dict[str, str]:
         "q43_region_rollup": _Q43_SQL,
         "q44_layout_tables": _q44_sql(),
         "q45_lattice_tables": _q45_sql(),
+        "q46_lattice_normalize": _q46_sql(),
     }
 
 
@@ -533,3 +534,108 @@ GROUP BY 1, 2, 3, 4
 
 
 EXT6_QUERIES["q45_lattice_tables"] = q45_lattice_tables
+
+
+# ---------------------------------------------------------------------------
+# q46 — lattice cells → typed claim rows (the X5/F12 composition the lattice
+# grid feeds): header row resolved by the F12 candidate-alignment operator
+# (normalize.find_col_idx_col), dates through the U1 ladder, money through
+# the U4 DECIMAL coercion. End-to-end: ruling geometry → grid → schema.
+# ---------------------------------------------------------------------------
+
+
+def _q45_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q45_lattice_tables(spark, sf_dir)
+
+
+def q46_lattice_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dates import normalize_date_col
+    from .functions.money import money_coerce_col
+    from .operators.normalize import find_col_idx_col
+
+    cells = _q45_cells(spark, sf_dir)
+    rows = cells.groupBy("doc_id", "page", "row_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("col_idx", F.col("cell_text").alias("c")))),
+            lambda s: s["c"],
+        ).alias("cells")
+    )
+    headers = rows.filter(F.col("row_idx") == 0).select(
+        "doc_id", "page", F.col("cells").alias("headers")
+    )
+    data = rows.filter(F.col("row_idx") > 0)
+    j = data.join(headers, ["doc_id", "page"])
+    i_claim = find_col_idx_col(F.col("headers"), ["claim", "claim number"])
+    i_date = find_col_idx_col(F.col("headers"), ["date", "loss date"])
+    i_paid = find_col_idx_col(F.col("headers"), ["paid", "total paid"])
+
+    def cell(idx):
+        v = F.when(idx.isNotNull() & (idx <= F.size("cells")),
+                   F.trim(F.element_at(F.col("cells"), idx)))
+        return F.coalesce(v, F.lit(""))
+
+    raw_date = cell(i_date)
+    return j.select(
+        "doc_id",
+        "row_idx",
+        cell(i_claim).alias("claim_no"),
+        # X5 passthrough semantics: normalized yyyy-MM-dd or the raw cell
+        F.coalesce(normalize_date_col(F.nullif(raw_date, F.lit(""))), raw_date).alias("loss_date"),
+        money_coerce_col(cell(i_paid)).cast("double").alias("paid"),
+    )
+
+
+def _q46_sql() -> str:
+    # find_col_idx_col twin: exact lowercase match in candidate order, then
+    # first header CONTAINING any candidate (1-based; NULL when absent)
+    def idx_sql(cands: list[str]) -> str:
+        exact = ", ".join(f"NULLIF(list_position(lh, '{c}'), 0)" for c in cands)
+        contains = " OR ".join(f"contains(lh[CAST(i AS INTEGER)], '{c}')" for c in cands)
+        return (
+            f"COALESCE({exact}, "
+            f"(list_filter(range(1, len(lh) + 1), i -> {contains}))[1])"
+        )
+
+    def cell_sql(idx: str) -> str:
+        return (
+            f"COALESCE(CASE WHEN {idx} IS NOT NULL AND {idx} <= len(cells) "
+            f"THEN trim(cells[CAST({idx} AS INTEGER)]) END, '')"
+        )
+
+    c_claim, c_date, c_paid = (cell_sql(f"i_{f}") for f in ("claim", "date", "paid"))
+    money = (
+        "CASE WHEN REPLACE(REPLACE(REPLACE(CASE WHEN c LIKE '(%' AND c LIKE '%)' "
+        "THEN substr(c, 2, len(c) - 2) ELSE c END, '$', ''), ',', ''), ' ', '') IN ('', '-') THEN 0.0 "
+        "ELSE COALESCE(TRY_CAST(REPLACE(REPLACE(REPLACE(CASE WHEN c LIKE '(%' AND c LIKE '%)' "
+        "THEN substr(c, 2, len(c) - 2) ELSE c END, '$', ''), ',', ''), ' ', '') AS DECIMAL(18,2)) "
+        "* (CASE WHEN c LIKE '(%' AND c LIKE '%)' THEN -1 ELSE 1 END), 0.0) END"
+    )
+    return f"""
+WITH cells_src AS ({_q45_sql()}),
+rows_ AS (
+  SELECT doc_id, page, row_idx,
+         list(cell_text ORDER BY col_idx) AS cells
+  FROM cells_src GROUP BY 1, 2, 3
+),
+hdr AS (
+  SELECT doc_id, page, list_transform(cells, h -> lower(trim(h))) AS lh
+  FROM rows_ WHERE row_idx = 0
+),
+joined AS (
+  SELECT d.doc_id, d.row_idx, d.cells,
+         CAST({idx_sql(["claim", "claim number"])} AS INTEGER) AS i_claim,
+         CAST({idx_sql(["date", "loss date"])} AS INTEGER) AS i_date,
+         CAST({idx_sql(["paid", "total paid"])} AS INTEGER) AS i_paid
+  FROM (SELECT * FROM rows_ WHERE row_idx > 0) d
+  JOIN hdr h ON d.doc_id = h.doc_id AND d.page = h.page
+)
+SELECT doc_id, row_idx,
+       {c_claim} AS claim_no,
+       (SELECT COALESCE(strftime(try_strptime(rd, '%m/%d/%Y'), '%Y-%m-%d'), rd)
+        FROM (SELECT {c_date} AS rd)) AS loss_date,
+       CAST((SELECT {money} FROM (SELECT {c_paid} AS c)) AS DOUBLE) AS paid
+FROM joined
+"""
+
+
+EXT6_QUERIES["q46_lattice_normalize"] = q46_lattice_normalize

@@ -35,7 +35,10 @@ def money_coerce_col(col: Column) -> Column:
     is_paren = s.startswith("(") & s.endswith(")")
     inner = F.when(is_paren, F.regexp_replace(s, r"^\((.*)\)$", "$1")).otherwise(s)
     cleaned = F.regexp_replace(inner, r"[$, ]", "")
-    num = cleaned.cast("decimal(18,2)")  # non-ANSI cast: junk → NULL
+    # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    # THROWS on junk ("12.3.4") instead of yielding NULL — latent until a
+    # fixture produced a merged two-number cell (q46)
+    num = cleaned.try_cast("decimal(18,2)")  # junk → NULL
     signed = F.when(is_paren, -num).otherwise(num)
     return F.when(col.isNull() | cleaned.isin("", "-"), zero).otherwise(F.coalesce(signed, zero))
 
