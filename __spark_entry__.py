@@ -78,9 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import EXT4_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import EXT5_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import EXT6_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext7 import EXT7_QUERIES
 
     merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
-              **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES}
+              **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES}
     return {name: _release_then(fn) for name, fn in merged.items()}
 
 
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext4 import ext4_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import ext5_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import ext6_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext7 import ext7_oracles
 
     return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
-            **ext4_oracles(), **ext5_oracles(), **ext6_oracles()}
+            **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles()}

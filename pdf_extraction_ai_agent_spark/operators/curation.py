@@ -1,0 +1,97 @@
+"""Training-data curation operators — the corpus-level bookkeeping every
+LLM data pipeline runs after dedup/quality and before tokenization:
+
+- deterministic_split: stable train/val/test assignment from a salted hash
+  of the document id. Hash-based (NOT random/sample()) so membership is
+  reproducible across runs, engines, and corpus growth — a doc never
+  migrates between splits when other docs are added or the partitioning
+  changes. Map-only; no shuffle at all.
+- contamination: benchmark-decontamination flags (the GPT-3/Pile-style
+  n-gram overlap check): a document is contaminated in proportion to how
+  many of its distinct word-k-gram hashes appear in the evaluation set's
+  gram inventory. Plan: the eval inventory is DISTINCT hashes (small —
+  eval sets are thousands of docs, not billions) broadcast into a
+  left-semi probe of the corpus gram stream; one groupBy(doc_id) with
+  map-side partial counts. The corpus grams never shuffle on the gram key.
+
+Both use the portable md5 hash (functions/hashing.py) so the DuckDB
+oracles replay identical assignments and ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_col
+from .dedup import shingles_col
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+) -> DataFrame:
+    """df + a ``split`` column: bucket = md5_long('split:<salt>:'||id) % 100,
+    assigned by cumulative weights (must sum to 100)."""
+    total = sum(w for _, w in splits)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    if len(splits) == 1:
+        return df.withColumn("split", F.lit(splits[0][0]))
+    bucket = md5_long_col(
+        F.concat(F.lit(f"split:{salt}:"), F.col(id_col).cast("string"))
+    ) % 100
+    expr = None
+    acc = 0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(F.lit(splits[-1][0])))
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, h) — md5-long of each DISTINCT word-k-gram per document.
+    Map-only explode; the hash (8 bytes) is what flows, never the gram."""
+    grams = F.array_distinct(shingles_col(F.col(text_col), k))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .filter(F.col("g") != "")
+        .select("doc_id", md5_long_col(F.col("g")).alias("h"))
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated, contamination) per corpus document
+    with ≥1 gram: the fraction of its distinct k-gram hashes present in the
+    eval set's gram inventory. Drop/flag thresholds are the caller's policy
+    (the standard pipeline drops ≥ 0.8 and audits ≥ 0.2)."""
+    corpus = _gram_hashes(docs, id_col, text_col, k)
+    ev = _gram_hashes(eval_docs, id_col, text_col, k).select("h").distinct()
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(ev), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
+    )
