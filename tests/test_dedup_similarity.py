@@ -162,6 +162,44 @@ def test_near_dup_lsh_recall_vs_allpairs(spark, sf_dir):
     assert len(blocked) / len(exact) >= 0.9
 
 
+def test_near_dup_prod_geometry_recall_on_planted_dups(spark, sf_dir):
+    """The production configuration (threshold 0.9, 64 planes × 8-bit
+    bands — selective buckets, bench 'q36_near_dups_prod_geometry') must
+    recover ≥95% of PLANTED near-duplicates: each planted copy perturbs one
+    dimension by 3%, cosine ≈ 0.999. Random pairs sit near cosine 0, so the
+    8-bit bands admit ~3% of background pairs — selectivity AND recall."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x * F.lit(1.03)).otherwise(x).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            corpus, threshold=0.9, n_planes=64, band_bits=8
+        ).collect()
+    }
+    planted = {(int(r.vec_id), int(r.vec_id) + 100000) for r in emb.select("vec_id").collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"prod-geometry recall {recall}"
+    # verify stage is exact: anything emitted must truly be >= threshold
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs_allpairs(
+            corpus, threshold=0.9
+        ).collect()
+    }
+    assert got <= exact
+
+
 def test_jaccard_on_lsh_candidates_matches_restriction(docs):
     """jaccard_pairs(pairs=cand) == the quadratic form restricted to cand."""
     sig = dedup.minhash_signatures(docs)
