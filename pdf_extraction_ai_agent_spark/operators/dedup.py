@@ -474,7 +474,11 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             f"duplicate_clusters did not converge within {max_iters} rounds — "
             "component diameter exceeds 2^rounds; raise max_iters"
         )
-    return labels
+    # the final generation's localCheckpoint blocks outlive the return —
+    # register them so a long session's release_tracked() can drop them
+    from ..plans.cache import track
+
+    return track(labels)
 
 
 # ---------------------------------------------------------------------------

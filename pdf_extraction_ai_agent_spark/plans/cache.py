@@ -30,6 +30,13 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-cached frame (e.g. a localCheckpoint) for
+    deferred release without persisting it again."""
+    _TRACKED.append(df)
+    return df
+
+
 def release_tracked() -> int:
     """Unpersist every tracked frame (blocking=False); returns the count."""
     n = len(_TRACKED)
