@@ -58,7 +58,8 @@ def _dict_of(body: bytes) -> bytes:
 def _value_of(d: bytes, key: bytes) -> bytes:
     """Raw token(s) following /key in a dict (up to the next /name at the
     same nesting or the dict end) — enough for refs, arrays and names."""
-    m = re.search(re.escape(key) + rb"\s*", d)
+    # name-boundary lookahead: /Contents must not match /ContentsFoo
+    m = re.search(re.escape(key) + rb"(?![A-Za-z0-9])\s*", d)
     if not m:
         return b""
     rest = d[m.end():]
