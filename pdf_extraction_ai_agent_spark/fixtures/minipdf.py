@@ -28,14 +28,32 @@ def _esc(s: str) -> str:
     )
 
 
-def _content_stream(page_text: str, tj_arrays: bool) -> bytes:
-    """BT … ET text block: first line positioned with an absolute Td, each
-    following line a relative `0 -16 Td` (the standard line-advance idiom
-    real generators emit). ``tj_arrays`` renders every other line as a TJ
-    array with kerning numbers — the second text-showing operator family a
-    tokenizer must understand."""
+def _content_stream(page, tj_arrays: bool) -> bytes:
+    """Content stream for one page.
+
+    ``page`` is either a plain string (text block: first line positioned
+    with an absolute Td, each following line a relative `0 -16 Td` — the
+    standard line-advance idiom real generators emit; ``tj_arrays`` renders
+    every other line as a TJ array with kerning numbers), or a list of
+    structured ops for geometry-bearing fixtures:
+
+      ("text", x, y, s)          → BT /F1 12 Tf x y Td (s) Tj ET
+      ("line", x1, y1, x2, y2)   → x1 y1 m x2 y2 l S   (stroked ruling)
+    """
+    if not isinstance(page, str):
+        ops = []
+        for item in page:
+            if item[0] == "text":
+                _, x, y, s = item
+                ops.append(f"BT /F1 12 Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET")
+            elif item[0] == "line":
+                _, x1, y1, x2, y2 = item
+                ops.append(f"{x1:g} {y1:g} m {x2:g} {y2:g} l S")
+            else:
+                raise ValueError(f"unknown content op {item[0]!r}")
+        return "\n".join(ops).encode("latin-1")
     ops = ["BT", "/F1 12 Tf", "72 720 Td"]
-    for i, line in enumerate(page_text.split("\n")):
+    for i, line in enumerate(page.split("\n")):
         if i > 0:
             ops.append("0 -16 Td")
         if tj_arrays and i % 2 == 1 and len(line) > 2:

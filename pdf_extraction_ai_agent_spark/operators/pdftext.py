@@ -231,6 +231,117 @@ def _tokenize_content(content: bytes) -> str:
     return "".join(out)
 
 
+_NUM = rb"-?[0-9]+(?:\.[0-9]+)?"
+_SEG_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+m\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+l\s+S"
+)
+_MOVE_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b|(?:"
+    + _NUM + rb"\s+){4}(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b|BT\b"
+)
+
+
+def _page_contents(data: bytes):
+    """Shared page walk: yields each page's concatenated decoded content
+    bytes, or None overall when the file is out of scope."""
+    objs = _objects(data)
+    page_nums = _page_objects(objs)
+    if not page_nums:
+        return None
+    out: list[bytes] = []
+    for num in page_nums:
+        refs = _value_of(_dict_of(objs[num]), b"/Contents")
+        content = b""
+        for m in _REF_RE.finditer(refs):
+            ref = int(m.group(1))
+            if ref not in objs:
+                return None
+            part = _stream_data(objs[ref])
+            if part is None:
+                return None
+            content += part + b"\n"
+        out.append(content)
+    return out
+
+
+def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, float]]] | None:
+    """Per-page stroked straight segments `x1 y1 m x2 y2 l S` — the vector
+    ruling geometry lattice-table extraction keys on (Camelot's line mask).
+    None when the file is out of this rung's scope."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    pages = _page_contents(data)
+    if pages is None:
+        return None
+    return [
+        [tuple(float(g) for g in m.groups()) for m in _SEG_RE.finditer(content)]
+        for content in pages
+    ]
+
+
+def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | None:
+    """Per-page POSITIONED text runs (x, y, text): tracks the text-line
+    origin through BT (reset), Td/TD (relative line move) and Tm (absolute,
+    e/f translation); each shown string is recorded at the current origin.
+    Feeds detect_lattice_tables' cell placement on REAL PDF bytes. TJ
+    kerning offsets are ignored (a run's x is its line origin) — exact for
+    grid fixtures, approximate for kerned prose, which is fine: rulings
+    define the cells, text only needs to land inside the right one."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    pages = _page_contents(data)
+    if pages is None:
+        return None
+    out: list[list[tuple[float, float, str]]] = []
+    for content in pages:
+        runs: list[tuple[float, float, str]] = []
+        x = y = 0.0
+        # strip geometry segments so their numbers can't confuse the walk
+        body = _SEG_RE.sub(b" ", content)
+        i, n = 0, len(body)
+        while i < n:
+            sm = _MOVE_RE.match(body, i)
+            if sm:
+                if sm.group(0) == b"BT":
+                    x = y = 0.0
+                elif sm.group(3):  # Td / TD
+                    x += float(sm.group(1))
+                    y += float(sm.group(2))
+                else:  # Tm — translation components e, f
+                    x = float(sm.group(4))
+                    y = float(sm.group(5))
+                i = sm.end()
+                continue
+            if body[i] == 0x28:  # literal string → reuse the text scanner
+                txt = _tokenize_content(body[i:_string_end(body, i)])
+                runs.append((x, y, txt))
+                i = _string_end(body, i)
+                continue
+            i += 1
+        out.append(runs)
+    return out
+
+
+def _string_end(body: bytes, start: int) -> int:
+    """Index one past the closing paren of the literal string at ``start``
+    (escape- and nesting-aware)."""
+    depth = 0
+    i = start
+    while i < len(body):
+        c = body[i]
+        if c == 0x5C:
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(body)
+
+
 def tokenize_pdf_text(data: bytes) -> list[str] | None:
     """Per-page extracted text for a real PDF, or None when the file is
     outside this rung's scope (caller falls through to pdfplumber/fitz)."""

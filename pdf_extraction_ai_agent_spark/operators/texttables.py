@@ -148,6 +148,65 @@ def pdf_rulings(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") 
     )
 
 
+def real_pdf_runs(df: DataFrame, payload_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, page, line_no, x, y, txt) positioned text runs parsed from
+    REAL PDF bytes (latin-1 string payloads) by the dependency-free
+    tokenizer (operators/pdftext.py::tokenize_pdf_runs). Map-only Arrow
+    kernel; rows the tokenizer cannot parse produce no runs (the extract
+    error channel is where parse failures surface). Same output shape as
+    ``pdf_runs`` so detect_lattice_tables/detect_layout_tables work on
+    genuine PDF bytes without pdfplumber."""
+    import pandas as pd
+
+    from .pdftext import tokenize_pdf_runs
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[doc_col], pdf[payload_col]):
+                pages = tokenize_pdf_runs(str(payload).encode("latin-1", errors="ignore"))
+                if not pages:
+                    continue
+                for pno, runs in enumerate(pages, start=1):
+                    for ln, (x, y, txt) in enumerate(runs):
+                        rows.append((int(doc_id), pno, ln, x, y, txt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "line_no", "x", "y", "txt"]
+            )
+
+    return df.select(F.col(doc_col), F.col(payload_col)).mapInPandas(
+        kernel, schema="doc_id long, page int, line_no int, x double, y double, txt string"
+    )
+
+
+def real_pdf_rulings(df: DataFrame, payload_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, page, x1, y1, x2, y2) stroked ruling segments from REAL PDF
+    bytes (pdftext.tokenize_pdf_rulings). Map-only Arrow kernel; with
+    ``real_pdf_runs`` this runs detect_lattice_tables on genuine scanned-
+    form PDFs with zero optional libraries."""
+    import pandas as pd
+
+    from .pdftext import tokenize_pdf_rulings
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[doc_col], pdf[payload_col]):
+                pages = tokenize_pdf_rulings(str(payload).encode("latin-1", errors="ignore"))
+                if not pages:
+                    continue
+                for pno, segs in enumerate(pages, start=1):
+                    for x1, y1, x2, y2 in segs:
+                        rows.append((int(doc_id), pno, x1, y1, x2, y2))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "x1", "y1", "x2", "y2"]
+            )
+
+    return df.select(F.col(doc_col), F.col(payload_col)).mapInPandas(
+        kernel, schema="doc_id long, page int, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
 def detect_lattice_tables(
     runs: DataFrame,
     rulings: DataFrame,

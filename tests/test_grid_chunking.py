@@ -153,3 +153,42 @@ def test_lattice_rulings_beat_alignment(spark):
         (1, 0): "W-1", (1, 1): "100.00",
         (2, 0): "W-2", (2, 1): "200.00 ex",  # two runs, x-ordered
     }
+
+
+def test_lattice_on_real_pdf_bytes(spark):
+    """The full S11 story on GENUINE PDF bytes with zero optional libs:
+    a vendored real PDF (objects, page tree, xref; FlateDecode) carrying
+    stroked ruling segments and per-row-jittered cell text; the
+    dependency-free tokenizers recover positioned runs + rulings, and
+    detect_lattice_tables extracts the 3×2 grid that x-alignment cannot."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.texttables import (
+        detect_lattice_tables, real_pdf_rulings, real_pdf_runs,
+    )
+
+    page = [
+        ("text", 30, 400, "Prose above the grid"),
+        ("line", 40, 310, 400, 310), ("line", 40, 290, 400, 290),
+        ("line", 40, 270, 400, 270), ("line", 40, 250, 400, 250),
+        ("line", 40, 250, 40, 310), ("line", 220, 250, 220, 310),
+        ("line", 400, 250, 400, 310),
+        ("text", 50, 300, "Claim"), ("text", 230, 300, "Paid"),
+        ("text", 61, 280, "W-1"), ("text", 247, 280, "100.00"),
+        ("text", 83, 260, "W-2"), ("text", 255, 260, "200.00"),
+        ("text", 90, 120, "Prose below"),
+    ]
+    data = write_minimal_pdf([page, "second page, just prose"], compress=True)
+    df = spark.createDataFrame(
+        [(9, data.decode("latin-1"))], "doc_id long, text string"
+    )
+    got = {
+        (r.page, r.row_idx, r.col_idx): r.cell_text
+        for r in detect_lattice_tables(
+            real_pdf_runs(df), real_pdf_rulings(df)
+        ).collect()
+    }
+    assert got == {
+        (1, 0, 0): "Claim", (1, 0, 1): "Paid",
+        (1, 1, 0): "W-1", (1, 1, 1): "100.00",
+        (1, 2, 0): "W-2", (1, 2, 1): "200.00",
+    }
