@@ -249,7 +249,14 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
     """Real PDF 1.4 bytes (fixtures/minipdf.py) carrying the same claim
     paragraphs — exercises the dependency-free tokenizer rung of
     extract_real_pdf_text end-to-end on genuine PDF structure (objects,
-    page tree, xref; optionally FlateDecode + TJ arrays)."""
+    page tree, xref; optionally FlateDecode + TJ arrays).
+
+    Half the pages are emitted as POSITIONED items in SHUFFLED stream
+    order (with ≥PDF_PARA_GAP paragraph gaps), so the reading-order
+    assembly (y-cluster/x-sort, blank-line paragraphs) is load-bearing on
+    real bytes exactly as it is for the pseudo-PDF payloads; the other
+    half stay sequential Td-advance text blocks (the common generator
+    idiom, exercising relative line-origin accumulation)."""
     from .minipdf import write_minimal_pdf
 
     if near_empty:
@@ -258,11 +265,28 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
         # minipdf writes latin-1 literal strings (no font-encoding tables by
         # design) — transliterate anything outside it, like a Type1-only
         # generator would
-        pages = [
-            "\n".join(_wrap_words(_claim_paragraph(rng)))
-            .encode("latin-1", errors="replace").decode("latin-1")
-            for _ in range(rng.randint(1, 3))
-        ]
+        pages = []
+        for _ in range(rng.randint(1, 3)):
+            paras = [
+                _wrap_words(_claim_paragraph(rng))
+                for _ in range(rng.randint(1, 3))
+            ]
+            if rng.random() < 0.5:
+                # blank line between paragraphs → an empty-text run at its
+                # own y → assembly preserves it (X1 record split works)
+                body = "\n\n".join("\n".join(p) for p in paras)
+                pages.append(body.encode("latin-1", errors="replace").decode("latin-1"))
+            else:
+                items = []
+                y = 720.0
+                for para in paras:
+                    for seg in para:
+                        seg = seg.encode("latin-1", errors="replace").decode("latin-1")
+                        items.append(("text", 72 + rng.randint(0, 9), y, seg))
+                        y -= PDF_LEADING
+                    y -= PDF_LEADING * 2  # ≥ PDF_PARA_GAP → blank line
+                rng.shuffle(items)  # emit out of reading order
+                pages.append(items)
     data = write_minimal_pdf(
         pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5
     )

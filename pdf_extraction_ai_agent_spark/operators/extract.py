@@ -226,18 +226,24 @@ def extract_real_pdf_text(payload) -> tuple[str, bool]:
     )
     pages: list[str] | None = None
     # rung 0 — the vendored dependency-free tokenizer (operators/pdftext.py):
-    # handles well-formed raw/Flate PDFs with zero optional libs, so simple
-    # PDFs extract even on images without pdfplumber/fitz and the golden
-    # suite exercises this path in-sandbox on real bytes
-    from .pdftext import tokenize_pdf_text
+    # positioned runs + the SPEC reading order (y-cluster desc, x asc,
+    # paragraph blank lines — pdfminer-style layout parsing, the north-star
+    # contract), so adversarially-ordered content streams extract in visual
+    # order even on images without pdfplumber/fitz, and the golden suite
+    # exercises this path in-sandbox on real bytes
+    from .pdftext import assemble_reading_order, tokenize_pdf_runs
 
-    pages = tokenize_pdf_text(data)
-    if pages is not None:
+    pages_runs = tokenize_pdf_runs(data)
+    if pages_runs is not None:
+        bodies = assemble_reading_order(pages_runs)
         text = "\n".join(
-            spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + (body or "").strip()
-            for i, body in enumerate(pages)
+            spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + body.strip()
+            for i, body in enumerate(bodies)
         ).strip()
-        needs_ocr = len("".join(pages).strip()) < spec.OCR_MIN_CHARS
+        total_chars = sum(
+            len(t.strip()) for runs in pages_runs for _, _, t in runs
+        )
+        needs_ocr = total_chars < spec.OCR_MIN_CHARS
         return text, needs_ocr
     try:
         import pdfplumber  # type: ignore

@@ -237,7 +237,7 @@ _SEG_RE = re.compile(
 )
 _MOVE_RE = re.compile(
     rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b|(?:"
-    + _NUM + rb"\s+){4}(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b|BT\b"
+    + _NUM + rb"\s+){4}(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b|BT\b|T\*"
 )
 
 
@@ -281,12 +281,13 @@ def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, fl
 
 def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | None:
     """Per-page POSITIONED text runs (x, y, text): tracks the text-line
-    origin through BT (reset), Td/TD (relative line move) and Tm (absolute,
-    e/f translation); each shown string is recorded at the current origin.
-    Feeds detect_lattice_tables' cell placement on REAL PDF bytes. TJ
-    kerning offsets are ignored (a run's x is its line origin) — exact for
-    grid fixtures, approximate for kerned prose, which is fine: rulings
-    define the cells, text only needs to land inside the right one."""
+    origin through BT (reset), Td/TD (relative line move), Tm (absolute,
+    e/f translation) and T* (merge barrier; leading defaults to 0); each
+    shown string is recorded at the current origin, and CONSECUTIVE shows
+    with no intervening position op merge into one run (so a TJ array's
+    kerned halves reassemble into their visual run — the pdfminer text-box
+    model). Feeds both reading-order assembly (assemble_reading_order) and
+    detect_lattice_tables' cell placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
     pages = _page_contents(data)
@@ -296,6 +297,7 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     for content in pages:
         runs: list[tuple[float, float, str]] = []
         x = y = 0.0
+        moved = True
         # strip geometry segments so their numbers can't confuse the walk
         body = _SEG_RE.sub(b" ", content)
         i, n = 0, len(body)
@@ -307,18 +309,58 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 elif sm.group(3):  # Td / TD
                     x += float(sm.group(1))
                     y += float(sm.group(2))
-                else:  # Tm — translation components e, f
+                elif sm.group(4):  # Tm — translation components e, f
                     x = float(sm.group(4))
                     y = float(sm.group(5))
+                # T* — position formally unchanged (leading 0); still a barrier
+                moved = True
                 i = sm.end()
                 continue
             if body[i] == 0x28:  # literal string → reuse the text scanner
-                txt = _tokenize_content(body[i:_string_end(body, i)])
-                runs.append((x, y, txt))
-                i = _string_end(body, i)
+                end = _string_end(body, i)
+                txt = _tokenize_content(body[i:end])
+                if runs and not moved:
+                    px, py, pt = runs[-1]
+                    runs[-1] = (px, py, pt + txt)
+                else:
+                    runs.append((x, y, txt))
+                moved = False
+                i = end
                 continue
             i += 1
         out.append(runs)
+    return out
+
+
+def assemble_reading_order(pages_runs: list[list[tuple[float, float, str]]]) -> list[str]:
+    """Positioned runs → per-page text under the spec reading order (the
+    same contract the pseudo-PDF path implements): runs sorted by y desc
+    then x asc (stable), clustered into lines when the y gap ≤ PDF_Y_TOL,
+    runs within a line joined with one space, a blank line emitted when
+    consecutive lines are ≥ PDF_PARA_GAP apart (preserves the blank-line
+    record-split contract on real PDFs)."""
+    from .. import spec
+
+    out: list[str] = []
+    for runs in pages_runs:
+        runs_sorted = sorted(runs, key=lambda r: (-r[1], r[0]))
+        lines: list[list[tuple[float, float, str]]] = []
+        prev_y: float | None = None
+        for run in runs_sorted:
+            if prev_y is None or (prev_y - run[1]) > spec.PDF_Y_TOL:
+                lines.append([run])
+            else:
+                lines[-1].append(run)
+            prev_y = run[1]
+        rendered: list[str] = []
+        prev_line_y: float | None = None
+        for line_runs in lines:
+            line_y = line_runs[0][1]
+            if prev_line_y is not None and (prev_line_y - line_y) >= spec.PDF_PARA_GAP:
+                rendered.append("")
+            rendered.append(" ".join(t for _, _, t in sorted(line_runs, key=lambda r: r[0])))
+            prev_line_y = line_y
+        out.append("\n".join(rendered))
     return out
 
 

@@ -165,6 +165,14 @@ def extract_pdf_stream(payload: str) -> tuple[str, bool]:
         if m and current is not None:
             current.append((float(m.group(1)), float(m.group(2)), m.group(3)))
 
+    return _assemble_layout(pages)
+
+
+def _assemble_layout(pages: list[tuple[int, list[tuple[float, float, str]]]]) -> tuple[str, bool]:
+    """Shared layout assembly (spec reading order) for BOTH the pseudo-PDF
+    grammar and real-PDF positioned runs: y-desc/x-asc sort, y-cluster
+    lines (PDF_Y_TOL), single-space run join, paragraph blank line at
+    PDF_PARA_GAP, page markers; needs_ocr from total stripped run chars."""
     total_chars = 0
     out_pages: list[str] = []
     for page_no, runs in pages:
@@ -348,16 +356,19 @@ def parse_fields_oracle(text: str) -> dict:
 
 
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
-    """Independent row-at-a-time real-PDF text parse (the oracle twin of
+    """Independent row-at-a-time real-PDF layout parse (the oracle twin of
     operators/pdftext.py — different algorithm on purpose: a sequential
     char-level scan over streams in FILE order, no object map / page-tree
-    walk). Covers the same subset: raw or FlateDecode content streams,
-    Tj / ' / " / TJ shows, literal-string escapes, hex strings; page
-    markers + the <OCR_MIN_CHARS trigger per spec."""
+    walk; operand numbers buffered inline rather than regex-matched).
+    Covers the same subset: raw or FlateDecode content streams, Tj/'/"/TJ
+    shows with line-origin tracking (BT/Td/TD/Tm/T*), literal-string
+    escapes, hex strings — then the SAME spec reading-order assembly as
+    the pseudo-PDF path (_assemble_layout: y-cluster lines, x sort,
+    paragraph gaps, page markers, <OCR_MIN_CHARS trigger)."""
     import zlib
 
     data = payload.encode("latin-1", errors="ignore")
-    pages: list[str] = []
+    pages: list[list[tuple[float, float, str]]] = []
     pos = 0
     while True:
         s = data.find(b"stream", pos)
@@ -391,11 +402,30 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 continue
         if b"BT" not in raw:
             continue
-        # char-level token walk
-        text_parts: list[str] = []
-        strings: list[str] = []  # strings pending an operator
-        newline = False
+        # char-level token walk with text-line-origin tracking: numbers are
+        # buffered so Td/TD (relative) and Tm (absolute e, f) can consume
+        # their operands; consecutive shows with no position op in between
+        # merge into one run (TJ halves reassemble — pdfminer's box model)
+        runs: list[tuple[float, float, str]] = []
+        strings: list[str] = []  # strings pending a show operator
+        nums: list[float] = []
+        x = y = 0.0
+        moved = True
         i, n = 0, len(raw)
+
+        def show():
+            nonlocal moved
+            if not strings:
+                return
+            txt = "".join(strings)
+            strings.clear()
+            if runs and not moved:
+                px, py, pt = runs[-1]
+                runs[-1] = (px, py, pt + txt)
+            else:
+                runs.append((x, y, txt))
+            moved = False
+
         while i < n:
             ch = raw[i]
             if ch == 0x28:  # (
@@ -445,40 +475,50 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                     pass
                 i = end + 1
                 continue
-            # operator tokens
-            def flush(extra_newline: bool = False):
-                nonlocal newline
-                if not strings:
-                    return
-                if extra_newline:
-                    newline = True
-                if newline and text_parts:
-                    text_parts.append("\n")
-                newline = False
-                text_parts.extend(strings)
+            m_num = re.match(rb"-?[0-9]+(?:\.[0-9]+)?", raw[i:])
+            if m_num and (ch == 0x2D or 0x30 <= ch <= 0x39):
+                nums.append(float(m_num.group(0)))
+                if len(nums) > 6:
+                    nums.pop(0)
+                i += m_num.end()
+                continue
+            if raw[i : i + 2] in (b"Tj", b"TJ"):
+                show(); i += 2
+            elif ch in (0x27, 0x22):  # ' / " — show at the current origin
+                show(); i += 1
+            elif raw[i : i + 2] in (b"Td", b"TD"):
                 strings.clear()
-
-            if raw[i : i + 2] == b"Tj":
-                flush(); i += 2
-            elif raw[i : i + 2] == b"TJ":
-                flush(); i += 2
-            elif ch in (0x27, 0x22):  # ' or "
-                flush(extra_newline=True); i += 1
-            elif raw[i : i + 2] in (b"Td", b"TD", b"T*", b"Tm"):
-                strings.clear()  # positioning consumed any stray strings
-                newline = True
+                if len(nums) >= 2:
+                    x += nums[-2]
+                    y += nums[-1]
+                moved = True
+                nums.clear()
                 i += 2
+            elif raw[i : i + 2] == b"Tm":
+                strings.clear()
+                if len(nums) >= 2:
+                    x, y = nums[-2], nums[-1]
+                moved = True
+                nums.clear()
+                i += 2
+            elif raw[i : i + 2] == b"T*":
+                strings.clear()
+                moved = True
+                i += 2
+            elif raw[i : i + 2] == b"BT":
+                x = y = 0.0
+                moved = True
+                nums.clear()
+                i += 2
+            elif ch in (0x20, 0x0A, 0x0D, 0x09, 0x0C):
+                i += 1  # whitespace separates operands — keep them
             else:
+                nums.clear()  # any other operator consumes its operands
                 i += 1
-        pages.append("".join(text_parts))
+        pages.append(runs)
     if not pages:
         raise RuntimeError("no parseable content streams in real-PDF payload")
-    text = "\n".join(
-        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + body.strip()
-        for i, body in enumerate(pages)
-    ).strip()
-    needs_ocr = len("".join(pages).strip()) < spec.OCR_MIN_CHARS
-    return text, needs_ocr
+    return _assemble_layout([(i + 1, runs) for i, runs in enumerate(pages)])
 
 
 def sniff_payload_kind(text: str, tool: str | None = None) -> str:
