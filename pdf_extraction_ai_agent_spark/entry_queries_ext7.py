@@ -81,4 +81,73 @@ def ext7_oracles() -> dict[str, str]:
     return {
         "q47_deterministic_split": _q47_sql(),
         "q48_contamination": _q48_sql(),
+        **_EXT7_ORACLES_EXTRA,
     }
+
+
+# ---------------------------------------------------------------------------
+# q49 — real-PDF round trip under the ORACLE GATE: per document, build a
+# genuine PDF (fixtures/minipdf.py — page tree, xref, FlateDecode on odd
+# ids) whose positioned items are emitted in REVERSED stream order, extract
+# it back through the dependency-free rung (positioned runs + reading-order
+# assembly), and emit (doc_id, extracted_text, needs_ocr). The DuckDB twin
+# computes the expected text DIRECTLY from the table — equality proves the
+# entire write→tokenize→layout-assemble loop is the identity on semantics.
+# ---------------------------------------------------------------------------
+
+
+def q49_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_minimal_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                l1 = f"Claim C{doc_id}"
+                l2 = f"Body {norm30}"
+                l3 = f"Total {doc_id % 97}.00"
+                # l3 sits a full paragraph gap below l2 → blank line in the
+                # assembled text; reversed emission order makes the
+                # reading-order sort load-bearing
+                items = [
+                    ("text", 72, 720, l1),
+                    ("text", 72, 704, l2),
+                    ("text", 72, 664, l3),
+                ][::-1]
+                data = write_minimal_pdf([items], compress=bool(doc_id % 2))
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(rows, columns=["doc_id", "extracted_text", "needs_ocr"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+_Q49_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT7_QUERIES["q49_real_pdf_roundtrip"] = q49_real_pdf_roundtrip
+
+
+_EXT7_ORACLES_EXTRA = {"q49_real_pdf_roundtrip": _Q49_SQL}
