@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _release_then(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Release the PREVIOUS query's tracked operator caches before building
-    the next plan — the driver runs all 44 queries in one JVM, and
+    the next plan — the driver runs the full query pack in one JVM, and
     operator-internal persists (LSH signatures, token tables) escape
     through the returned DataFrame so they can only be dropped once the
     caller's action is done. Bounds storage to one query's working set."""

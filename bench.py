@@ -81,7 +81,15 @@ def _input_stats(df) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    paths = set(re.findall(r"InMemoryFileIndex\(\d+ paths\)\[file:([^\],]+)", plan))
+    # capture the WHOLE bracketed path list (a scan may have several roots;
+    # plan toString may elide the tail with '...' — only complete entries
+    # count, so multi-root stats are a lower bound, not first-path-only)
+    paths = {
+        p.strip().removeprefix("file:")
+        for m in re.findall(r"InMemoryFileIndex\(\d+ paths\)\[([^\]]+)\]", plan)
+        for p in m.split(",")
+        if p.strip().startswith("file:")
+    }
     rows = nbytes = 0
     for p in paths:
         files = [p] if os.path.isfile(p) else [
@@ -212,8 +220,17 @@ def _arrow_batch_sweep(transcripts_path: str, cores: int) -> list[dict]:
             [sys.executable, child, str(cores), transcripts_path],
             capture_output=True, text=True, timeout=1200, env=env,
         )
-        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out.append(json.loads(line))
+        lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+        if res.returncode != 0 or not lines:
+            # a dying child (e.g. OOM at the largest batch — the exact risk
+            # this sweep probes) is a RESULT, not a reason to lose the rest
+            # of the bench: record the failure row and keep sweeping
+            out.append({
+                "cores": cores, "arrow_batch": batch, "error":
+                f"exit {res.returncode}: {res.stderr.strip()[-300:]}",
+            })
+            continue
+        out.append(json.loads(lines[-1]))
     return out
 
 
@@ -283,9 +300,15 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
                 "worker; this sweep is the measured basis for the default (2048).\n\n"
                 "| maxRecordsPerBatch | wall sec | JVM peak RSS MB | Σ py-worker peak RSS MB | workers |\n"
                 "|---|---|---|---|---|\n"
-                % (sweep[0]["cores"], sweep[0]["turns"])
+                % (
+                    sweep[0]["cores"],
+                    next((r["turns"] for r in sweep if "turns" in r), 0),
+                )
             )
             for row in sweep:
+                if "error" in row:
+                    f.write(f"| {row['arrow_batch']} | FAILED: {row['error']} | | | |\n")
+                    continue
                 f.write(
                     f"| {row['arrow_batch']} | {row['wall_sec']} "
                     f"| {row['jvm_peak_rss_mb']} | {row['py_workers_peak_rss_mb']} "

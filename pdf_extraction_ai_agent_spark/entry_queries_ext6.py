@@ -553,13 +553,9 @@ def q46_lattice_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.money import money_coerce_col
     from .operators.normalize import find_col_idx_col
 
-    cells = _q45_cells(spark, sf_dir)
-    rows = cells.groupBy("doc_id", "page", "row_idx").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("col_idx", F.col("cell_text").alias("c")))),
-            lambda s: s["c"],
-        ).alias("cells")
-    )
+    from .operators.texttables import lattice_cells_to_padded_rows
+
+    rows = lattice_cells_to_padded_rows(_q45_cells(spark, sf_dir))
     headers = rows.filter(F.col("row_idx") == 0).select(
         "doc_id", "page", F.col("cells").alias("headers")
     )
@@ -612,10 +608,16 @@ def _q46_sql() -> str:
     )
     return f"""
 WITH cells_src AS ({_q45_sql()}),
+mx AS (SELECT doc_id, page, MAX(col_idx) AS mx FROM cells_src GROUP BY 1, 2),
 rows_ AS (
-  SELECT doc_id, page, row_idx,
-         list(cell_text ORDER BY col_idx) AS cells
-  FROM cells_src GROUP BY 1, 2, 3
+  SELECT r.doc_id, r.page, r.row_idx,
+         list_transform(range(0, m.mx + 1),
+                        i -> coalesce(map_extract(cmap, CAST(i AS INTEGER))[1], '')) AS cells
+  FROM (
+    SELECT doc_id, page, row_idx,
+           map_from_entries(list(struct_pack(k := col_idx, v := cell_text))) AS cmap
+    FROM cells_src GROUP BY 1, 2, 3
+  ) r JOIN mx m ON r.doc_id = m.doc_id AND r.page = m.page
 ),
 hdr AS (
   SELECT doc_id, page, list_transform(cells, h -> lower(trim(h))) AS lh

@@ -25,13 +25,47 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_LEN_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct /Length only — an indirect length (`/Length 7 0 R`) is out of this
+# rung's scope and must NOT be misread as a 1-digit literal length
+_LEN_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)\b")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    """N 0 obj bodies, stream-extent-aware: an object whose body carries a
+    content stream ends at the `endobj` AFTER the stream data — a naive
+    non-greedy `obj(.*?)endobj` regex would truncate at the literal word
+    'endobj' occurring INSIDE an uncompressed stream (e.g. a PDF about
+    PDFs), returning silently wrong text. Matches that start inside a
+    previous object's stream are skipped via the cursor."""
+    objs: dict[int, bytes] = {}
+    cursor = 0
+    for m in _OBJ_START_RE.finditer(data):
+        if m.start() < cursor:
+            continue  # spurious 'N 0 obj' inside a previous stream
+        start = m.end()
+        s_at = data.find(b"stream", start)
+        e_at = data.find(b"endobj", start)
+        if s_at != -1 and (e_at == -1 or s_at < e_at) and data[s_at - 3 : s_at] != b"end":
+            body_at = s_at + 6
+            if data[body_at : body_at + 2] == b"\r\n":
+                body_at += 2
+            elif data[body_at : body_at + 1] == b"\n":
+                body_at += 1
+            lm = _LEN_RE.search(data[start:s_at])
+            if lm:
+                stream_end = body_at + int(lm.group(1))
+            else:
+                stream_end = data.find(b"endstream", body_at)
+                if stream_end < 0:
+                    stream_end = body_at
+            e_at = data.find(b"endobj", stream_end)
+        if e_at < 0:
+            e_at = len(data)
+        objs[int(m.group(1))] = data[start:e_at]
+        cursor = e_at
+    return objs
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -236,8 +270,11 @@ _SEG_RE = re.compile(
     rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+m\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+l\s+S"
 )
 _MOVE_RE = re.compile(
-    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b|(?:"
-    + _NUM + rb"\s+){4}(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b|BT\b|T\*"
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b"
+    rb"|(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b"
+    rb"|BT\b"
+    rb"|(T\*|TL\b|cm\b)"  # constructs this rung does NOT model → bail
 )
 
 
@@ -281,12 +318,18 @@ def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, fl
 
 def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | None:
     """Per-page POSITIONED text runs (x, y, text): tracks the text-line
-    origin through BT (reset), Td/TD (relative line move), Tm (absolute,
-    e/f translation) and T* (merge barrier; leading defaults to 0); each
-    shown string is recorded at the current origin, and CONSECUTIVE shows
-    with no intervening position op merge into one run (so a TJ array's
-    kerned halves reassemble into their visual run — the pdfminer text-box
-    model). Feeds both reading-order assembly (assemble_reading_order) and
+    origin through BT (reset), Td/TD (relative line move) and Tm with a
+    pure-translation matrix (e/f); each shown string — literal or hex —
+    is recorded at the current origin, and CONSECUTIVE shows with no
+    intervening position op merge into one run (so a TJ array's kerned
+    halves reassemble into their visual run — the pdfminer text-box model).
+
+    Returns None (→ caller falls through to pdfplumber/fitz) on constructs
+    this rung does NOT model rather than producing wrong positions: T*/TL
+    leading-based line advance, ' / \" show-with-newline, cm transforms,
+    rotated/scaled Tm — and as a safety net, any page whose content shows
+    text (Tj/TJ present) that the walk failed to capture. Feeds both
+    reading-order assembly (assemble_reading_order) and
     detect_lattice_tables' cell placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
@@ -298,36 +341,67 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
         runs: list[tuple[float, float, str]] = []
         x = y = 0.0
         moved = True
+        in_tj_array = False
         # strip geometry segments so their numbers can't confuse the walk
         body = _SEG_RE.sub(b" ", content)
         i, n = 0, len(body)
+
+        def record(txt: str):
+            nonlocal moved
+            if runs and not moved:
+                px, py, pt = runs[-1]
+                runs[-1] = (px, py, pt + txt)
+            else:
+                runs.append((x, y, txt))
+            moved = False
+
         while i < n:
             sm = _MOVE_RE.match(body, i)
             if sm:
+                if sm.group(10):  # T* / TL / cm — out of scope
+                    return None
                 if sm.group(0) == b"BT":
                     x = y = 0.0
                 elif sm.group(3):  # Td / TD
                     x += float(sm.group(1))
                     y += float(sm.group(2))
-                elif sm.group(4):  # Tm — translation components e, f
-                    x = float(sm.group(4))
-                    y = float(sm.group(5))
-                # T* — position formally unchanged (leading 0); still a barrier
+                else:  # Tm — only the pure-translation form is modeled
+                    a, b, c, d = (float(sm.group(k)) for k in (4, 5, 6, 7))
+                    if (a, b, c, d) != (1.0, 0.0, 0.0, 1.0):
+                        return None
+                    x = float(sm.group(8))
+                    y = float(sm.group(9))
                 moved = True
                 i = sm.end()
                 continue
-            if body[i] == 0x28:  # literal string → reuse the text scanner
+            ch = body[i]
+            if ch == 0x28:  # literal string → reuse the text scanner
                 end = _string_end(body, i)
-                txt = _tokenize_content(body[i:end])
-                if runs and not moved:
-                    px, py, pt = runs[-1]
-                    runs[-1] = (px, py, pt + txt)
-                else:
-                    runs.append((x, y, txt))
-                moved = False
+                record(_tokenize_content(body[i:end]))
                 i = end
                 continue
+            if ch == 0x3C and body[i : i + 2] != b"<<":  # <hex> show
+                end = body.find(b">", i)
+                if end < 0:
+                    return None
+                hexs = re.sub(rb"\s", b"", body[i + 1 : end])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                try:
+                    record(bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+                except ValueError:
+                    return None
+                i = end + 1
+                continue
+            if ch == 0x5B:
+                in_tj_array = True
+            elif ch == 0x5D:
+                in_tj_array = False
+            elif ch in (0x27, 0x22) and not in_tj_array:
+                return None  # ' / " shows imply leading-based line advance
             i += 1
+        if not runs and (b"Tj" in body or b"TJ" in body):
+            return None  # text is shown but the walk captured none of it
         out.append(runs)
     return out
 
@@ -385,25 +459,13 @@ def _string_end(body: bytes, start: int) -> int:
 
 
 def tokenize_pdf_text(data: bytes) -> list[str] | None:
-    """Per-page extracted text for a real PDF, or None when the file is
-    outside this rung's scope (caller falls through to pdfplumber/fitz)."""
+    """Per-page extracted text for a real PDF in STREAM order (flat; the
+    layout-aware path is tokenize_pdf_runs + assemble_reading_order), or
+    None when the file is outside this rung's scope (caller falls through
+    to pdfplumber/fitz)."""
     if not data.startswith(b"%PDF-"):
         return None
-    objs = _objects(data)
-    page_nums = _page_objects(objs)
-    if not page_nums:
+    pages = _page_contents(data)
+    if pages is None:
         return None
-    pages: list[str] = []
-    for num in page_nums:
-        refs = _value_of(_dict_of(objs[num]), b"/Contents")
-        content = b""
-        for m in _REF_RE.finditer(refs):
-            ref = int(m.group(1))
-            if ref not in objs:
-                return None
-            part = _stream_data(objs[ref])
-            if part is None:
-                return None
-            content += part + b"\n"
-        pages.append(_tokenize_content(content))
-    return pages
+    return [_tokenize_content(content) for content in pages]

@@ -303,6 +303,27 @@ def detect_lattice_tables(
     )
 
 
+def lattice_cells_to_padded_rows(cells: DataFrame) -> DataFrame:
+    """(doc_id, page, row_idx, cells: array<string>) from lattice cell
+    output, PADDED to the table's full width: cells are keyed by col_idx
+    (map) and missing columns become '' — positional compaction of only
+    the non-empty cells would silently shift later columns on any row with
+    a blank cell and misalign header-resolved field indices."""
+    mx = cells.groupBy("doc_id", "page").agg(F.max("col_idx").alias("mx"))
+    return (
+        cells.groupBy("doc_id", "page", "row_idx")
+        .agg(F.map_from_entries(F.collect_list(F.struct("col_idx", "cell_text"))).alias("cmap"))
+        .join(mx, ["doc_id", "page"])
+        .select(
+            "doc_id", "page", "row_idx",
+            F.transform(
+                F.sequence(F.lit(0), F.col("mx")),
+                lambda i: F.coalesce(F.element_at(F.col("cmap"), i), F.lit("")),
+            ).alias("cells"),
+        )
+    )
+
+
 def detect_layout_tables(
     runs: DataFrame,
     y_tol: float = spec.PDF_Y_TOL,

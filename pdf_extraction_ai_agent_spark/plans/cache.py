@@ -6,7 +6,7 @@ frames escape through the returned DataFrame, so the operator itself cannot
 unpersist before the caller's action runs. The contract:
 
 - operators call ``tracked_persist(df)`` instead of ``df.persist()``;
-- a long-lived session (selfcheck over 44 queries, bench, the driver's
+- a long-lived session (selfcheck over the full query pack, bench, the driver's
   query loop) calls ``release_tracked()`` once the consuming action is
   done — ``__spark_entry__.queries()`` wraps every entry to release the
   PREVIOUS query's caches before building the next plan, so storage is

@@ -27,6 +27,12 @@ streaming: pairs this bucket emitted in EARLIER microbatches were already
 delivered and cannot be retracted, whereas the batch form emits none.
 Pinned in tests/test_multimodal_streaming.py::
 test_streaming_lsh_capped_bucket_poisons.
+
+STATE SCHEMA v2 (`seen array<long>, poisoned boolean`): checkpoints
+written by the v1 schema (`seen array<long>` only) cannot resume into this
+version — applyInPandasWithState rejects the schema change. Upgrading a
+live stream requires draining it and starting from a fresh checkpoint (the
+batch path backfills candidates for anything missed in between).
 """
 
 from __future__ import annotations

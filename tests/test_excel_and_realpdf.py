@@ -107,6 +107,96 @@ def test_minipdf_tokenizer_property_roundtrip():
     check()
 
 
+def test_pdf_tokenizer_hex_shows_and_endobj_in_stream():
+    """Two review-found gaps: (a) hex-string shows (<hex> Tj) must produce
+    positioned runs identical to the oracle; (b) the literal word 'endobj'
+    inside an uncompressed content stream must not truncate the object."""
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs, tokenize_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    # (a) hand-build a content stream mixing hex and literal shows
+    import re as _re
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+
+    def swap_content(pdf_bytes: bytes, old: bytes, new: bytes) -> bytes:
+        out = pdf_bytes.replace(old, new)
+        assert out != pdf_bytes, old
+        m = _re.search(rb"stream\n(.*?)\nendstream", out, _re.S)
+        return _re.sub(rb"/Length \d+", b"/Length %d" % len(m.group(1)), out, count=1)
+
+    base = write_minimal_pdf(["placeholder"])
+    hexed = swap_content(base, b"(placeholder) Tj", b"<48656C6C6F> Tj 0 -16 Td (world) Tj")
+    assert tokenize_pdf_runs(hexed) == [[(72.0, 720.0, "Hello"), (72.0, 704.0, "world")]]
+    eng, _ = extract_real_pdf_text(hexed)
+    orc, _ = extract_real_pdf(hexed.decode("latin-1"))
+    assert eng == orc == "--- PAGE 1 ---\nHello\nworld"
+
+    # (b) 'endobj' inside the (uncompressed) stream text
+    tricky = write_minimal_pdf(["the endobj keyword mid-stream\nsecond line"])
+    assert tokenize_pdf_text(tricky) == ["the endobj keyword mid-stream\nsecond line"]
+    eng2, _ = extract_real_pdf_text(tricky)
+    orc2, _ = extract_real_pdf(tricky.decode("latin-1"))
+    assert eng2 == orc2
+    assert "endobj keyword mid-stream" in eng2
+
+
+def test_pdf_tokenizer_bails_on_unsupported_constructs():
+    """The rung must return None (→ library fallback, error channel here)
+    rather than produce wrong positions: TL/T* leading-based advance,
+    quote shows, cm transforms, rotated Tm, indirect /Length."""
+    import pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_runs
+
+    base = write_minimal_pdf(["line one\nline two"])
+    mutations = [
+        (b"0 -16 Td", b"16 TL T*"),                      # leading-based advance
+        (b"(line two) Tj", b"(line two) '"),             # quote show
+        (b"BT\n/F1 12 Tf", b"2 0 0 2 0 0 cm\nBT\n/F1 12 Tf"),  # cm transform
+        (b"72 720 Td", b"0 1 -1 0 72 720 Tm"),           # rotated Tm
+    ]
+    for old, new in mutations:
+        mutated = base.replace(old, new)
+        assert mutated != base, old
+        assert tokenize_pdf_runs(mutated) is None, old
+        with pytest.raises(RuntimeError):  # no pdf libs in this sandbox
+            extract_real_pdf_text(mutated)
+    # indirect /Length: out of the direct-slice path; the endstream-search
+    # fallback still parses this simple raw stream (never silently short)
+    m = __import__("re").search(rb"/Length \d+", base)
+    indirect = base[: m.start()] + b"/Length 99 0 R" + base[m.end():]
+    got = tokenize_pdf_runs(indirect)
+    assert got is None or [t for _, _, t in got[0]] == ["line one", "line two"]
+
+
+def test_lattice_padded_rows_keep_columns_aligned(spark):
+    """Review finding: a lattice row with an EMPTY cell must not shift its
+    later columns — padded rows key cells by col_idx."""
+    from pdf_extraction_ai_agent_spark.operators.texttables import (
+        lattice_cells_to_padded_rows,
+    )
+
+    cells = spark.createDataFrame(
+        [
+            (1, 1, 0, 0, "Claim"), (1, 1, 0, 1, "Date"), (1, 1, 0, 2, "Paid"),
+            # row 1 has NO Date cell
+            (1, 1, 1, 0, "W-1"), (1, 1, 1, 2, "9.00"),
+        ],
+        "doc_id long, page int, row_idx int, col_idx int, cell_text string",
+    )
+    rows = {r.row_idx: r.cells for r in lattice_cells_to_padded_rows(cells).collect()}
+    assert rows[0] == ["Claim", "Date", "Paid"]
+    assert rows[1] == ["W-1", "", "9.00"]  # Paid stays in column 2
+
+
 def test_minipdf_chaos_never_aborts():
     """Mutated/truncated PDF bytes must flow to the per-row error channel
     (or extract as best-effort), never abort the batch kernel."""
