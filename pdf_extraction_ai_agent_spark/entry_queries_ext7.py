@@ -151,3 +151,45 @@ EXT7_QUERIES["q49_real_pdf_roundtrip"] = q49_real_pdf_roundtrip
 
 
 _EXT7_ORACLES_EXTRA = {"q49_real_pdf_roundtrip": _Q49_SQL}
+
+
+# ---------------------------------------------------------------------------
+# q50 — deterministic stratified sampling: the language-rebalancing mix
+# (down-sample the dominant language, keep the rest) with hash-bucket
+# membership reproducible across runs/engines; rollup audits realized rates.
+# ---------------------------------------------------------------------------
+
+_Q50_RATES = {"en": 0.25, "de": 0.8, "fr": 1.0}
+
+
+def q50_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sampled = curation.deterministic_sample(
+        _docs_full(spark, sf_dir), rates=_Q50_RATES, strata_col="lang", default_rate=0.5
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+    )
+
+
+def _docs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q50_sql() -> str:
+    h = _md5l("'sample:sample:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * 10000))}" for s, r in _Q50_RATES.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT *, ({h}) % 10000 AS b FROM documents)
+WHERE b < (CASE {whens} ELSE 5000 END)
+GROUP BY lang
+"""
+
+
+EXT7_QUERIES["q50_stratified_sample"] = q50_stratified_sample
+_EXT7_ORACLES_EXTRA["q50_stratified_sample"] = _q50_sql()

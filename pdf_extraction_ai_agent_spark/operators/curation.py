@@ -54,6 +54,38 @@ def deterministic_split(
     return df.withColumn("split", expr.otherwise(F.lit(splits[-1][0])))
 
 
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Stratified subsample with REPRODUCIBLE membership: keep a row iff
+    md5_long('sample:<salt>:'||id) % 10000 < rate(stratum)·10000. Unlike
+    sample()/sampleBy(), membership is a pure function of (salt, id) — it
+    does not change with partitioning, Spark version, or corpus growth, so
+    downstream runs (and the DuckDB oracle) reproduce the exact subset.
+    The standard curation shape: up/down-weight languages or sources when
+    assembling a training mix. Map-only; no shuffle. Strata not listed get
+    ``default_rate``."""
+    bucket = md5_long_col(
+        F.concat(F.lit(f"sample:{salt}:"), F.col(id_col).cast("string"))
+    ) % 10000
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        thr = int(round(rate * 10000))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(int(round(default_rate * 10000))))
+        if expr is not None
+        else F.lit(int(round(default_rate * 10000)))
+    )
+    return df.filter(bucket < thr_col)
+
+
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc_id, h) — md5-long of each DISTINCT word-k-gram per document.
     Map-only explode; the hash (8 bytes) is what flows, never the gram."""
