@@ -32,6 +32,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 100 TB reality)
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "160000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") == "1"
+# the A/B arm rides with full bench runs; skip with scaling (iteration mode)
+SKIP_AB = os.environ.get("SPARK_GRAFT_BENCH_SKIP_AB") == "1" or SKIP_SCALING
+AB_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_AB_REPS", "3"))
 
 # headline subset: one per operator family (full pack runs in selfcheck)
 HEADLINE = [
@@ -48,6 +51,10 @@ HEADLINE = [
     # round-2 scale paths, tracked for regressions
     "q36_embedding_near_dups",
     "q42_detect_text_tables",
+    # round-4: the lattice pipeline is the heaviest operator family (95,883
+    # output rows at sf0.1) — tracked so regressions are visible (verdict 6)
+    "q45_lattice_tables",
+    "q46_lattice_normalize",
 ]
 
 
@@ -157,6 +164,96 @@ def _run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
     return timings, io_stats
 
 
+def _baseline_worktree() -> tuple[str, str] | None:
+    """(path, sha) of a detached worktree at the previous round's commit —
+    the A arm of the variance-proof headline protocol. Ref override:
+    $SPARK_GRAFT_BENCH_AB_REF; default = newest commit whose message starts
+    with 'round ' (the driver's per-round bookkeeping commit). Returns None
+    (→ A/B skipped) when no such ref exists or the worktree can't be made."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref = os.environ.get("SPARK_GRAFT_BENCH_AB_REF")
+    try:
+        if not ref:
+            ref = subprocess.run(
+                ["git", "rev-list", "-1", "--grep", "^round ", "HEAD"],
+                capture_output=True, text=True, cwd=here, timeout=60,
+            ).stdout.strip()
+        if not ref:
+            return None
+        sha = subprocess.run(
+            ["git", "rev-parse", ref], capture_output=True, text=True,
+            cwd=here, timeout=60,
+        ).stdout.strip()
+        if not sha:
+            return None
+        path = os.path.join(here, ".bench_cache", f"ab_{sha[:12]}")
+        if not os.path.isdir(os.path.join(path, "pdf_extraction_ai_agent_spark")):
+            subprocess.run(["git", "worktree", "remove", "--force", path],
+                           capture_output=True, cwd=here, timeout=60)
+            r = subprocess.run(
+                ["git", "worktree", "add", "--detach", path, sha],
+                capture_output=True, text=True, cwd=here, timeout=120,
+            )
+            if r.returncode != 0:
+                return None
+        return path, sha
+    except Exception:
+        return None
+
+
+def _headline_ab(reps: int = 3) -> dict | None:
+    """Variance-proof headline comparison (round-3 verdict item 2): HEAD vs
+    the previous round's commit, run INTERLEAVED (B,H) × reps in fresh JVMs
+    within this one bench session, per-query median/min/max both arms plus
+    the median-ratio delta column. A ~20% machine-drift burst hits both
+    arms, so only a genuine code change moves the ratio."""
+    base = _baseline_worktree()
+    if base is None:
+        return None
+    base_path, base_sha = base
+    here = os.path.dirname(os.path.abspath(__file__))
+    child = os.path.join(here, "scripts", "bench_headline_child.py")
+    arms = {"base": base_path, "head": here}
+    samples: dict[str, dict[str, list[float]]] = {a: {} for a in arms}
+    for _ in range(reps):
+        for arm, root in arms.items():  # base first, then head — interleaved
+            # HEAD's child script also drives the baseline tree (old trees
+            # may predate it); queries missing there report null
+            out = subprocess.run(
+                [sys.executable, child, root, SF_DIR, str(CPUS)] + HEADLINE,
+                capture_output=True, text=True, timeout=1800,
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                return {"error": f"{arm} child failed: {out.stderr.strip()[-300:]}"}
+            for q, sec in json.loads(lines[-1])["queries"].items():
+                if sec is not None:
+                    samples[arm].setdefault(q, []).append(sec)
+
+    def stats(vals: list[float]) -> dict:
+        s = sorted(vals)
+        return {
+            "median": round(s[len(s) // 2], 3),
+            "min": s[0],
+            "max": s[-1],
+        }
+
+    queries = {}
+    for q in HEADLINE:
+        h, b = samples["head"].get(q), samples["base"].get(q)
+        row: dict = {}
+        if h:
+            row["head"] = stats(h)
+        if b:
+            row["base"] = stats(b)
+        if h and b:
+            row["ratio_head_over_base"] = round(
+                stats(h)["median"] / max(stats(b)["median"], 1e-9), 3
+            )
+        queries[q] = row
+    return {"baseline_sha": base_sha, "reps": reps, "queries": queries}
+
+
 def _scaling(transcripts_path: str) -> dict:
     """N vs 4N parallelism on identical input (fresh JVM each).
 
@@ -236,7 +333,8 @@ def _arrow_batch_sweep(transcripts_path: str, cores: int) -> list[dict]:
 
 def _write_bench_md(scaling: dict, timings: dict[str, float],
                     io_stats: dict[str, dict] | None = None,
-                    sweep: list[dict] | None = None) -> None:
+                    sweep: list[dict] | None = None,
+                    ab: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scaling["levels"]
     with open("BENCH/BASELINE.md", "w") as f:
@@ -293,6 +391,26 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
                 )
             else:
                 f.write(f"| {k} | {v} | | | | |\n")
+        if ab and "queries" in ab:
+            f.write(
+                "\n## Variance-proof A/B headline (HEAD vs %s, %d reps each, "
+                "interleaved fresh JVMs)\n\n"
+                "Both arms run in THIS session, alternating, so host-interference "
+                "bursts hit them equally; only a code change moves the ratio. "
+                "ratio < 1 = HEAD faster.\n\n"
+                "| query | head med (min–max) | base med (min–max) | head/base |\n"
+                "|---|---|---|---|\n"
+                % (ab["baseline_sha"][:12], ab["reps"])
+            )
+            for q, row in ab["queries"].items():
+                def fmt(s):
+                    return (f"{s['median']} ({s['min']}–{s['max']})") if s else "—"
+                f.write(
+                    f"| {q} | {fmt(row.get('head'))} | {fmt(row.get('base'))} "
+                    f"| {row.get('ratio_head_over_base', '—')} |\n"
+                )
+        elif ab and "error" in ab:
+            f.write(f"\n## A/B headline: SKIPPED — {ab['error']}\n")
         if sweep:
             f.write(
                 "\n## Arrow batch sweep (extract stage, local[%d], %d turns)\n\n"
@@ -326,10 +444,13 @@ def main():
 
     scaling = None
     sweep = None
+    ab = None
+    if not SKIP_AB:
+        ab = _headline_ab(AB_REPS)
     if not SKIP_SCALING:
         scaling = _scaling(cache)
         sweep = _arrow_batch_sweep(cache, scaling["levels"][-1])
-        _write_bench_md(scaling, timings, io_stats, sweep)
+        _write_bench_md(scaling, timings, io_stats, sweep, ab)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -350,6 +471,8 @@ def main():
         )
     if sweep:
         result["arrow_batch_sweep"] = sweep
+    if ab:
+        result["headline_ab"] = ab
     print(json.dumps(result))
 
 

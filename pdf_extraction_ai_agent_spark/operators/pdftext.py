@@ -310,9 +310,50 @@ def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, fl
     pages = _page_contents(data)
     if pages is None:
         return None
+    return [_top_level_segments(content) for content in pages]
+
+
+def _content_chunks(content: bytes) -> list[tuple[bool, bytes]]:
+    """Split content into alternating (is_string, bytes) chunks: literal
+    strings (escape/nesting aware) and <hex> strings verbatim, top-level
+    operator gaps in between. The walk jumps between string delimiters with
+    C-level ``find`` — cost scales with the NUMBER of strings, not bytes —
+    so callers can run their regexes per gap at C speed while never
+    touching shown-text bytes (a raw-bytes regex would fire on ruling-like
+    text INSIDE a string: "(move 10 20 m 30 40 l S done)")."""
+    chunks: list[tuple[bool, bytes]] = []
+    i = gap_start = 0
+    n = len(content)
+    while True:
+        p_lit = content.find(b"(", i)
+        p_hex = content.find(b"<", i)
+        cand = min((p for p in (p_lit, p_hex) if p != -1), default=-1)
+        if cand == -1:
+            chunks.append((False, content[gap_start:]))
+            return chunks
+        if content[cand] == 0x3C and content[cand : cand + 2] == b"<<":
+            i = cand + 2  # dict open — not a hex string
+            continue
+        if content[cand] == 0x28:
+            end = _string_end(content, cand)
+        else:
+            gt = content.find(b">", cand)
+            end = n if gt < 0 else gt + 1
+        chunks.append((False, content[gap_start:cand]))
+        chunks.append((True, content[cand:end]))
+        i = gap_start = end
+
+
+def _top_level_segments(content: bytes) -> list[tuple[float, float, float, float]]:
+    """_SEG_RE matches outside literal/hex strings only (phantom-geometry
+    guard — see _content_chunks). A segment never spans a string (the
+    regex's inter-token \\s+ can't cross string bytes), so per-gap finditer
+    ≡ the top-level subset of a whole-content finditer."""
     return [
-        [tuple(float(g) for g in m.groups()) for m in _SEG_RE.finditer(content)]
-        for content in pages
+        tuple(float(g) for g in m.groups())
+        for is_str, chunk in _content_chunks(content)
+        if not is_str
+        for m in _SEG_RE.finditer(chunk)
     ]
 
 
@@ -342,8 +383,15 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
         x = y = 0.0
         moved = True
         in_tj_array = False
-        # strip geometry segments so their numbers can't confuse the walk
-        body = _SEG_RE.sub(b" ", content)
+        # strip geometry segments so their numbers can't confuse the walk —
+        # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
+        # delete ruling-like substrings INSIDE literal strings ("(move 10 20
+        # m 30 40 l S done)"), which must reach the '(' branch verbatim to
+        # stay per-turn equal with the oracle char-scanner.
+        body = b"".join(
+            chunk if is_str else _SEG_RE.sub(b" ", chunk)
+            for is_str, chunk in _content_chunks(content)
+        )
         i, n = 0, len(body)
 
         def record(txt: str):

@@ -484,8 +484,16 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 continue
             if raw[i : i + 2] in (b"Tj", b"TJ"):
                 show(); i += 2
-            elif ch in (0x27, 0x22):  # ' / " — show at the current origin
-                show(); i += 1
+            elif ch in (0x27, 0x22):
+                # ' / " are T*-then-show (leading-based line advance), which
+                # neither twin models; the engine rung bails to the library
+                # chain here (pdftext.py returns None), so the oracle must
+                # raise — not silently show at the current origin with wrong
+                # line positions — to keep per-turn equality two-sided.
+                raise RuntimeError(
+                    "real-PDF quote-show (' / \") uses leading-based line "
+                    "advance — out of the deterministic twins' scope"
+                )
             elif raw[i : i + 2] in (b"Td", b"TD"):
                 strings.clear()
                 if len(nums) >= 2:

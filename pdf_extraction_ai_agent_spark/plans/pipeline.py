@@ -89,9 +89,17 @@ def extract_pipeline(
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
     df = with_extraction(df).drop("text", "tool")
+    df = with_turn_pos(df)
     # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
     # pass a pyspark Observation to read them after an action, else they
-    # land in QueryExecution.observedMetrics for listeners / lineage rows)
+    # land in QueryExecution.observedMetrics for listeners / lineage rows).
+    # Placement matters: observe sits ABOVE the two-phase ordering join (a
+    # 1:1 inner join, so the counts are unchanged) — a CollectMetrics BELOW
+    # it would pin the extraction columns into the ordering's counts branch
+    # and force the Arrow UDF to execute twice; above the diamond, Catalyst
+    # prunes the counts branch down to a NARROW re-scan (conv_id, turn_idx
+    # only — a pushed-down 2-column read on parquet/Iceberg sources) with
+    # zero UDF nodes (pinned by test_turn_ordering_never_full_conv_sorts).
     df = df.observe(
         observation if observation is not None else "extract_metrics",
         F.count(F.lit(1)).alias("turns"),
@@ -99,7 +107,6 @@ def extract_pipeline(
         F.count(F.when(F.col("error").isNotNull(), 1)).alias("error_turns"),
         F.sum(F.length("extracted_text")).alias("extracted_chars"),
     )
-    df = with_turn_pos(df)
     if with_fields:
         df = with_parsed_fields(df, "extracted_text")
     if with_lob:

@@ -6,8 +6,8 @@ to use which:
    in tests/test_plan_shapes.py::test_aqe_skew_join_split_engages.
 2. Explicit salting (``salted_join``): for skew KNOWN up front (a
    mega-customer, a null-ish default key) or engines/stages where AQE
-   can't split (e.g. a skewed side feeding a stateful op). Deterministic:
-   the fact side gets salt = pmod(xxhash64(entire row), n_salts); the dim
+   can't split (e.g. a skewed side feeding a stateful op). The fact side
+   gets salt = pmod(xxhash64(row position, entire row), n_salts); the dim
    side is replicated n_salts× with an exploded salt column, and the join
    keys become (key, salt). Any salt assignment is CORRECT for an inner
    equi-join — each fact row meets exactly the dim copy carrying its salt —
@@ -38,8 +38,20 @@ def salted_join(
     column set identical to ``fact.join(dim, on, how)``."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # Salt = hash(row values + per-row position). The positional component
+    # (monotonically_increasing_id = partition_id<<33 | row offset) matters:
+    # a values-only hash sends IDENTICAL duplicate rows on the hot key to ONE
+    # salt bucket — the exact degenerate hot-key case salting exists to
+    # spread. Position makes duplicates fan out round-robin-ish. Still
+    # deterministic for reruns over the same input layout (Spark's file-split
+    # planning is deterministic for fixed files/config); any salt assignment
+    # is CORRECT regardless (each fact row meets exactly its dim copy).
     salted_fact = fact.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *fact.columns),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     salted_dim = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))

@@ -177,6 +177,65 @@ def test_pdf_tokenizer_bails_on_unsupported_constructs():
     assert got is None or [t for _, _, t in got[0]] == ["line one", "line two"]
 
 
+def test_pdf_ruling_like_text_in_literal_string_is_kept():
+    """Round-4 advice (medium): a pre-pass _SEG_RE.sub over raw content
+    bytes deleted ruling-like substrings INSIDE literal strings. Rulings
+    must be skipped by the scanner loop instead, so string text survives
+    verbatim and engine ≡ oracle per turn."""
+    import re as _re
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_rulings, tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    def swap_content(pdf_bytes: bytes, old: bytes, new: bytes) -> bytes:
+        out = pdf_bytes.replace(old, new)
+        assert out != pdf_bytes, old
+        m = _re.search(rb"stream\n(.*?)\nendstream", out, _re.S)
+        return _re.sub(rb"/Length \d+", b"/Length %d" % len(m.group(1)), out, count=1)
+
+    base = write_minimal_pdf(["placeholder"])
+    # text whose literal string CONTAINS a ruling-op lookalike, plus a REAL
+    # ruling segment in the same stream (must still be skipped as geometry)
+    mutated = swap_content(
+        base,
+        b"(placeholder) Tj",
+        b"(move 10 20 m 30 40 l S done) Tj 100 700 m 200 700 l S 0 -16 Td (after) Tj",
+    )
+    runs = tokenize_pdf_runs(mutated)
+    assert runs == [
+        [(72.0, 720.0, "move 10 20 m 30 40 l S done"), (72.0, 704.0, "after")]
+    ]
+    # the genuine geometry is still visible to the lattice rung
+    assert tokenize_pdf_rulings(mutated) == [[(100.0, 700.0, 200.0, 700.0)]]
+    eng, _ = extract_real_pdf_text(mutated)
+    orc, _ = extract_real_pdf(mutated.decode("latin-1"))
+    assert eng == orc == "--- PAGE 1 ---\nmove 10 20 m 30 40 l S done\nafter"
+
+
+def test_oracle_real_pdf_quote_show_raises_like_engine():
+    """Round-4 advice (low): the engine bails on ' / \" shows (leading-based
+    advance, out of scope); the oracle must raise too — not silently show at
+    the current origin with wrong line positions."""
+    import pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    base = write_minimal_pdf(["line one\nline two"])
+    mutated = base.replace(b"(line two) Tj", b"(line two) '")
+    assert mutated != base
+    with pytest.raises(RuntimeError):
+        extract_real_pdf(mutated.decode("latin-1"))
+
+
 def test_lattice_padded_rows_keep_columns_aligned(spark):
     """Review finding: a lattice row with an EMPTY cell must not shift its
     later columns — padded rows key cells by col_idx."""

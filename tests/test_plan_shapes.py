@@ -22,13 +22,68 @@ def test_pipeline_plan_shape(spark, transcripts_df, tmp_path_factory):
     plan = _plan(extract_pipeline(t, num_partitions=4))
 
     # column pruning reaches the scan: role is never read
-    m = re.search(r"ReadSchema: ([^\n]+)", plan)
-    assert m and "role" not in m.group(1)
-    # exactly the two mandated exchanges (salted pre-UDF + ordering window)
-    assert plan.count("Exchange") == 2
-    # one Arrow stage, one window
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert schemas and all("role" not in s for s in schemas)
+    # two WIDE exchanges (salted pre-UDF + bucketed ordering window) plus the
+    # ordering diamond's narrow branch: a pruned re-scan (no text column),
+    # its repartition + final-count agg, the tiny offsets window, and the
+    # offsets broadcast — 6 exchange nodes total, only 2 carrying text
+    assert plan.count("Exchange") == 6
+    assert plan.count("BroadcastExchange") == 1
+    assert len(schemas) == 2 and any("text" not in s for s in schemas)
+    # the Arrow extraction stage runs ONCE (the counts branch prunes it out)
     assert plan.count("ArrowEvalPython") == 1
-    assert plan.count("Window") == 1
+    # two windows: bucketed row_number + the tiny cumulative-offsets window
+    assert plan.count("Window") == 2
+
+
+def test_turn_ordering_never_full_conv_sorts(spark):
+    """Round-4 (VERDICT item 1): the ordering stage is two-phase — the heavy
+    row_number window partitions by (conv_id, __turn_bkt), NEVER conv_id
+    alone, so a mega-conversation's sort fans out across bucket tasks."""
+    from pdf_extraction_ai_agent_spark.operators.ordering import with_turn_pos
+
+    df = spark.createDataFrame(
+        [("c", i % 7, None, "t") for i in range(50)],
+        "conv_id string, turn_idx int, ts timestamp, text string",
+    )
+    plan = _plan(with_turn_pos(df, bucket_width=4))
+    # no window partitioned on conv_id alone over the data (the old shape)
+    assert not re.search(r"windowspecdefinition\(conv_id#\d+, turn_idx#", plan)
+    # the big window is bucketed
+    assert re.search(r"windowspecdefinition\(conv_id#\d+, __turn_bkt#", plan)
+
+
+def test_turn_ordering_two_phase_matches_window(spark):
+    """Differential: bucketed two-phase ≡ the single conv-wide window, on a
+    skewed fixture with duplicate turn_idx values and multiple buckets per
+    conversation (incl. a null turn_idx landing nulls-first)."""
+    import datetime
+    import random
+
+    from pdf_extraction_ai_agent_spark.operators.ordering import with_turn_pos
+
+    rng = random.Random(11)
+    rows = []
+    for conv, n in [("mega", 700), ("small", 9), ("dup", 120)]:
+        for i in range(n):
+            ti = rng.randrange(0, 40) if conv == "dup" else i
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                seconds=rng.randrange(0, 10**6)
+            )
+            rows.append((conv, ti, ts))
+    rows.append(("mega", None, datetime.datetime(2024, 1, 1)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+
+    two_phase = {
+        (r.conv_id, r.turn_idx, r.ts): r.turn_pos
+        for r in with_turn_pos(df, bucket_width=16).collect()
+    }
+    window = {
+        (r.conv_id, r.turn_idx, r.ts): r.turn_pos
+        for r in with_turn_pos(df, bucket_width=None).collect()
+    }
+    assert two_phase == window
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
