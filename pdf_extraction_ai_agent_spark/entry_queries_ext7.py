@@ -193,3 +193,72 @@ GROUP BY lang
 
 EXT7_QUERIES["q50_stratified_sample"] = q50_stratified_sample
 _EXT7_ORACLES_EXTRA["q50_stratified_sample"] = _q50_sql()
+
+
+# ---------------------------------------------------------------------------
+# q51 — MODERN-PDF (object-stream) round trip under the ORACLE GATE: same
+# contract as q49, but the per-document PDF is written in the PDF 1.5 shape
+# that dominates real-world files — catalog/page dicts packed in a
+# compressed /ObjStm container and a binary xref STREAM (W [1 3 1], Flate,
+# PNG Up predictor 12) instead of a classic xref table. Items are emitted
+# in reversed stream order so the reading-order sort stays load-bearing.
+# Equality against the DuckDB twin proves the object-stream expansion,
+# predictor decode and /Root-from-xref-stream lookup are the identity on
+# semantics (round-3 verdict item 3; reference extract_text.py:39-66
+# reaches these files only via pdfplumber/fitz).
+# ---------------------------------------------------------------------------
+
+
+def q51_objstm_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_objstm_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                items = [
+                    ("text", 72, 720, f"Claim C{doc_id}"),
+                    ("text", 72, 704, f"Body {norm30}"),
+                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
+                ][::-1]
+                data = write_objstm_pdf(
+                    [items],
+                    compress=bool(doc_id % 2),
+                    predictor=bool(doc_id % 3),
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+_Q51_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT7_QUERIES["q51_objstm_pdf_roundtrip"] = q51_objstm_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q51_objstm_pdf_roundtrip"] = _Q51_SQL

@@ -16,6 +16,7 @@ latin-1 before parsing — operators/extract.py real-pdf branch).
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 
@@ -108,4 +109,116 @@ def write_minimal_pdf(
     out += (
         f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
     ).encode("latin-1")
+    return bytes(out)
+
+
+def _png_up_encode(rows: list[bytes]) -> bytes:
+    """PNG Up-predictor (tag 2) encoding of fixed-width rows — the filter
+    real generators apply to xref streams (/Predictor 12)."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for r in rows:
+        out.append(2)
+        out += bytes((a - b) & 0xFF for a, b in zip(r, prev))
+        prev = r
+    return bytes(out)
+
+
+def write_objstm_pdf(
+    pages: list, compress: bool = True, predictor: bool = True
+) -> bytes:
+    """PDF 1.5 variant of ``write_minimal_pdf``: the catalog, page-tree
+    node, font and every page DICTIONARY are packed into a compressed
+    object stream (``/Type /ObjStm`` — the dominant modern-PDF shape), and
+    the cross-reference is a binary XREF STREAM (``/Type /XRef``,
+    ``/W [1 3 1]``, FlateDecode, PNG Up predictor 12 when ``predictor``)
+    instead of a classic `xref` table + trailer. Content streams stay
+    top-level (the spec forbids stream-bearing objects inside an ObjStm),
+    Flate-compressed when ``compress``.
+
+    Exercises operators/pdftext.py's object-stream expansion, predictor
+    decode, and /Root-from-xref-stream catalog lookup — round-3 verdict
+    item 3."""
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1"),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    top: dict[int, bytes] = {}
+    for i, page in enumerate(pages):
+        page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        packed[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        data = _content_stream(page, tj_arrays=False)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        top[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    objstm_num = max(list(packed) + list(top)) + 1
+    xref_num = objstm_num + 1
+
+    member_nums = sorted(packed)
+    bodies = [packed[m] for m in member_nums]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1  # bodies joined by single '\n'
+    header = (
+        " ".join(f"{m} {o}" for m, o in zip(member_nums, offs)).encode("latin-1")
+        + b"\n"
+    )
+    stm = header + b"\n".join(bodies) + b"\n"
+    zstm = zlib.compress(stm)
+    top[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(member_nums)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(zstm)} >>".encode("latin-1")
+        + b"\nstream\n" + zstm + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1") + top[num] + b"\nendobj\n"
+
+    xref_at = len(out)
+    size = xref_num + 1
+    raw_rows: list[bytes] = []
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 255
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_at, 0
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        elif num in packed:
+            t, f2, f3 = 2, objstm_num, member_nums.index(num)
+        else:
+            t, f2, f3 = 0, 0, 255
+        raw_rows.append(bytes([t]) + struct.pack(">I", f2)[1:] + bytes([f3]))
+    if predictor:
+        xdata = _png_up_encode(raw_rows)
+        parms = b"/DecodeParms << /Predictor 12 /Columns 5 >> "
+    else:
+        xdata = b"".join(raw_rows)
+        parms = b""
+    zx = zlib.compress(xdata)
+    out += f"{xref_num} 0 obj\n".encode("latin-1")
+    out += (
+        f"<< /Type /XRef /Size {size} /W [1 3 1] /Index [0 {size}] "
+        f"/Root 1 0 R /Filter /FlateDecode ".encode("latin-1")
+        + parms
+        + f"/Length {len(zx)} >>".encode("latin-1")
+        + b"\nstream\n" + zx + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode("latin-1")
     return bytes(out)

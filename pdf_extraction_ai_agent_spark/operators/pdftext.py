@@ -6,18 +6,24 @@ cluster without the libs still extracts simple PDFs).
 
 Scope (returns None → caller falls through to the library chain):
 - object parse: `N 0 obj … endobj` bodies, page tree walked from the
-  catalog (/Pages → /Kids recursively → /Type /Page in tree order);
-- content streams: raw or /Filter /FlateDecode (zlib is stdlib); any other
-  filter, or a malformed tree, aborts the rung;
+  catalog (/Pages → /Kids recursively → /Type /Page in tree order); the
+  catalog ref prefers the newest xref STREAM's trailer /Root when present;
+- PDF 1.5 object streams: `/Type /ObjStm` containers are unpacked (N
+  `objnum offset` header pairs relative to /First) so catalogs/page dicts
+  packed the modern way resolve; xref streams themselves need no table
+  decode — objects are located by the linear scan;
+- content streams: raw or /Filter /FlateDecode (zlib is stdlib), incl.
+  /DecodeParms PNG predictors 10–15 (Up=12 is the xref/objstm standard);
+  any other filter or predictor, or a malformed tree, aborts the rung;
 - text operators: Tj, ' and " (show + newline), TJ arrays (kerning numbers
   ignored), literal strings with escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f,
   octal \\ddd, line continuations) and <hex> strings;
 - line structure: Td/TD/T*/Tm between shows emit a newline — the idiom
   every mainstream generator uses for line advance.
 
-NOT a general PDF renderer: no encryption, object streams, CID fonts, or
-layout reconstruction — exactly the subset a trustworthy fallback can
-promise, with everything else handed to the real libraries.
+NOT a general PDF renderer: no encryption, CID fonts, or full layout
+reconstruction — exactly the subset a trustworthy fallback can promise,
+with everything else handed to the real libraries.
 """
 
 from __future__ import annotations
@@ -65,7 +71,47 @@ def _objects(data: bytes) -> dict[int, bytes]:
             e_at = len(data)
         objs[int(m.group(1))] = data[start:e_at]
         cursor = e_at
+    _expand_object_streams(objs)
     return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack every `/Type /ObjStm` container (PDF 1.5 object streams — the
+    dominant modern-PDF shape) into the object map: the decoded stream
+    opens with N `objnum offset` integer pairs, offsets relative to /First;
+    member bodies are plain dicts (the spec forbids nested streams).
+    Top-level definitions win on collision (``setdefault``): a member never
+    silently shadows a directly-scanned object. A malformed container is
+    skipped — its members simply stay unresolved and the page-tree walk
+    falls through to the library chain."""
+    for num in list(objs):
+        body = objs[num]
+        d = _dict_of(body)
+        if b"/ObjStm" not in d or b"/Type" not in d:
+            continue
+        raw = _stream_data(body)
+        if raw is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", d)
+        f_m = re.search(rb"/First\s+(\d+)", d)
+        if not n_m or not f_m:
+            continue
+        n_objs, first = int(n_m.group(1)), int(f_m.group(1))
+        header = raw[:first].split()
+        if len(header) < 2 * n_objs:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(n_objs)
+            ]
+        except ValueError:
+            continue
+        for idx, (onum, off) in enumerate(pairs):
+            end = first + pairs[idx + 1][1] if idx + 1 < n_objs else len(raw)
+            member = raw[first + off : end].strip()
+            if member:
+                objs.setdefault(onum, member)
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -138,18 +184,102 @@ def _stream_data(body: bytes) -> bytes | None:
             raw = zlib.decompress(raw)
         except zlib.error:
             return None
+        pm = re.search(rb"/Predictor\s+(\d+)", d)
+        if pm:
+            pred = int(pm.group(1))
+            if pred >= 10:  # PNG predictors (xref/objstm streams use Up=12)
+                cm = re.search(rb"/Columns\s+(\d+)", d)
+                co = re.search(rb"/Colors\s+(\d+)", d)
+                bm = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+                raw = _png_unpredict(
+                    raw,
+                    int(cm.group(1)) if cm else 1,
+                    int(co.group(1)) if co else 1,
+                    int(bm.group(1)) if bm else 8,
+                )
+                if raw is None:
+                    return None
+            elif pred != 1:
+                return None  # TIFF predictor 2 — out of this rung's scope
     return raw
 
 
-def _page_objects(objs: dict[int, bytes]) -> list[int] | None:
-    """Page object numbers in page-tree order."""
+def _png_unpredict(raw: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes | None:
+    """Reverse PNG row predictors (tags 0–4: None/Sub/Up/Average/Paeth) —
+    /DecodeParms /Predictor ≥ 10, standard on xref streams. None on a
+    malformed tag or truncated row."""
+    bpp = max(1, (colors * bpc) // 8)
+    stride = columns * bpp
+    if stride <= 0:
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    i, n = 0, len(raw)
+    while i < n:
+        tag = raw[i]
+        row = bytearray(raw[i + 1 : i + 1 + stride])
+        if len(row) < stride:
+            return None
+        i += 1 + stride
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for j in range(bpp, stride):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(stride):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(stride):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(stride):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        else:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _catalog_from_xref_stream(objs: dict[int, bytes]) -> int | None:
+    """Catalog object number per the LAST `/Type /XRef` stream's /Root —
+    xref streams carry the trailer fields inline (PDF 1.5+); the last one
+    in file order is the newest incremental revision."""
     root = None
-    for num, body in objs.items():
-        if b"/Type" in body and b"/Catalog" in body:
-            m = _REF_RE.search(_value_of(_dict_of(body), b"/Pages"))
+    for body in objs.values():
+        d = _dict_of(body)
+        if b"/XRef" in d and b"/Type" in d and b"/Root" in d:
+            m = _REF_RE.search(_value_of(d, b"/Root"))
             if m:
                 root = int(m.group(1))
-            break
+    return root
+
+
+def _page_objects(objs: dict[int, bytes]) -> list[int] | None:
+    """Page object numbers in page-tree order. The catalog comes from the
+    xref-stream trailer's /Root when one exists (authoritative under
+    incremental updates), else from a /Type /Catalog scan."""
+    cat = _catalog_from_xref_stream(objs)
+    root = None
+    if cat is not None and cat in objs:
+        m = _REF_RE.search(_value_of(_dict_of(objs[cat]), b"/Pages"))
+        if m:
+            root = int(m.group(1))
+    if root is None:
+        for num, body in objs.items():
+            if b"/Type" in body and b"/Catalog" in body:
+                m = _REF_RE.search(_value_of(_dict_of(body), b"/Pages"))
+                if m:
+                    root = int(m.group(1))
+                break
     if root is None or root not in objs:
         return None
     pages: list[int] = []
