@@ -262,3 +262,119 @@ FROM parts
 
 EXT7_QUERIES["q51_objstm_pdf_roundtrip"] = q51_objstm_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q51_objstm_pdf_roundtrip"] = _Q51_SQL
+
+
+# ---------------------------------------------------------------------------
+# q52 — incremental cross-run dedup (round-3 verdict item 5): batch 1 (even
+# doc_ids) persists its md5 minhash signatures as the prior-run state table;
+# batch 2 (odd doc_ids) computes its own signatures and probes the union —
+# emitting exactly the candidate pairs that involve ≥1 new document. The
+# DuckDB twin computes the ONE-SHOT band-join over all documents and keeps
+# the pairs touching an odd id: equality proves incremental ≡ one-shot.
+# ---------------------------------------------------------------------------
+
+
+def q52_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+    from .plans.cache import tracked_persist
+
+    docs = _docs(spark, sf_dir)
+    prior = tracked_persist(
+        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    new = tracked_persist(
+        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+    return dedup.incremental_lsh_candidates(prior, new)
+
+
+def _q52_sql() -> str:
+    from .entry_queries_ext import _band_rows_sql, _q13_sql
+
+    return f"""
+WITH sig AS ({_q13_sql()}),
+bands AS (
+  SELECT doc_id, u.b['band_idx'] AS band_idx, u.b['band_key'] AS band_key
+  FROM sig, LATERAL (SELECT unnest([{_band_rows_sql()}]) AS b) u
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+WHERE (l.doc_id % 2 = 1) OR (r.doc_id % 2 = 1)
+"""
+
+
+EXT7_QUERIES["q52_incremental_dedup"] = q52_incremental_dedup
+_EXT7_ORACLES_EXTRA["q52_incremental_dedup"] = _q52_sql()
+
+
+# ---------------------------------------------------------------------------
+# q53 — sequence-level decontamination (round-3 verdict item 7): per-doc
+# rollup of MAXIMAL contaminated spans (overlapping eval-hit 3-grams merged
+# — the unit real pipelines cut out, vs q48's whole-doc ratio). Engine =
+# zero-shuffle Arrow kernel with broadcast inventory + a tiny rollup; twin
+# = gaps-and-islands over gram positions in SQL. Same eval set as q48
+# (every 97th doc).
+# ---------------------------------------------------------------------------
+
+
+def q53_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    spans = curation.contaminated_spans(docs, ev)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("end_word") - F.col("start_word") + 1).alias("span_words"),
+        F.max("total_words").alias("total_words"),
+        F.round(
+            F.sum(F.col("end_word") - F.col("start_word") + 1).cast("double")
+            / F.max("total_words"),
+            6,
+        ).alias("span_frac"),
+    )
+
+
+def _q53_sql() -> str:
+    from .entry_queries_ext import _WORDS_SQL, _md5l
+
+    gram = "wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]"
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, {_WORDS_SQL.format(v='text')} AS wl FROM documents
+),
+g AS (
+  SELECT doc_id, len(wl) AS total_words, i AS pos, {_md5l(gram)} AS h
+  FROM wrds, LATERAL (SELECT unnest(range(1, len(wl) - 1)) AS i) r
+  WHERE len(wl) >= 3
+),
+ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT * FROM g WHERE h IN (SELECT h FROM ev)),
+brk AS (
+  SELECT doc_id, total_words, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 3
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, total_words, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, ANY_VALUE(total_words) AS total_words,
+         MIN(pos) AS start_word, MAX(pos) + 2 AS end_word
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(end_word - start_word + 1) AS BIGINT) AS span_words,
+       MAX(total_words) AS total_words,
+       ROUND(CAST(SUM(end_word - start_word + 1) AS DOUBLE) / MAX(total_words), 6)
+         AS span_frac
+FROM spans GROUP BY doc_id
+"""
+
+
+EXT7_QUERIES["q53_contaminated_spans"] = q53_contaminated_spans
+_EXT7_ORACLES_EXTRA["q53_contaminated_spans"] = _q53_sql()

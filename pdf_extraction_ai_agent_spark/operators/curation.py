@@ -182,3 +182,88 @@ def contamination(
             ).alias("contamination"),
         )
     )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Sequence-level decontamination (round-3 verdict item 7): one row per
+    MAXIMAL contaminated span — overlapping hit k-grams merged — with
+    1-based word coordinates over the normalized token stream. Real
+    pipelines act on the span (cut it out), not the whole document; the
+    per-doc ratio from ``contamination`` only says how much to cut.
+
+    Two hit grams merge iff they overlap (next_start − prev_start < k);
+    spans are therefore disjoint and each covers every word from
+    ``start_word`` to ``end_word`` = last hit start + k − 1.
+
+    Plan: same zero-shuffle shape as ``contamination_map_only`` — the eval
+    gram-hash inventory is a collected fit parameter (8 bytes/gram)
+    broadcast into an Arrow kernel; a document's grams never leave its row,
+    so the operator is a stateless map that also runs on streaming frames.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_long_py
+
+    ev_rows = (
+        _gram_hashes(eval_docs, id_col, text_col, k).select("h").distinct().collect()
+    )
+    ev = np.array(sorted(int(r.h) for r in ev_rows), dtype=np.int64)
+    bc = docs.sparkSession.sparkContext.broadcast(ev)
+
+    def kernel(batches):
+        import re as _re
+
+        ev_sorted = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(
+                    " +", " ", _re.sub("[^a-z0-9]+", " ", str(text).lower())
+                ).strip()
+                w = norm.split(" ")
+                if norm == "" or len(w) < k:
+                    continue
+                total = len(w)
+                grams = [" ".join(w[i : i + k]) for i in range(total - k + 1)]
+                cache: dict[str, int] = {}
+                hs = np.fromiter(
+                    (
+                        cache.setdefault(g, md5_long_py(g))
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                if len(ev_sorted):
+                    idx = np.searchsorted(ev_sorted, hs)
+                    idx[idx >= len(ev_sorted)] = len(ev_sorted) - 1
+                    hit_pos = np.nonzero(ev_sorted[idx] == hs)[0]
+                else:
+                    hit_pos = np.array([], dtype=np.int64)
+                start = prev = None
+                for p in hit_pos:
+                    p = int(p)
+                    if start is None:
+                        start = prev = p
+                    elif p - prev < k:
+                        prev = p
+                    else:
+                        rows.append((int(doc_id), start + 1, prev + k, total))
+                        start = prev = p
+                if start is not None:
+                    rows.append((int(doc_id), start + 1, prev + k, total))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "start_word", "end_word", "total_words"]
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel,
+        schema="doc_id long, start_word long, end_word long, total_words long",
+    )

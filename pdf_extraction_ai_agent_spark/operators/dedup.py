@@ -245,6 +245,62 @@ def lsh_candidates(sig: DataFrame, max_bucket: int | None = None) -> DataFrame:
     )
 
 
+def incremental_lsh_candidates(
+    prior_sig: DataFrame, new_sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Cross-run incremental near-dup (the daily-crawl-increment workflow,
+    round-3 verdict item 5): candidate pairs involving ≥1 NEW document,
+    probed against the union of a PERSISTED prior-run signature table and
+    the new batch. prior×prior pairs were reported by earlier runs, so
+    per-run outputs union to exactly the one-shot candidate set over all
+    documents (pinned by test_incremental_lsh_equals_one_shot).
+
+    Resubmitted doc_ids are dropped from the new batch first (left_anti on
+    the prior table) — reruns are idempotent. Signatures must be
+    hash_impl='md5': version-stable by construction, so a table written by
+    one deployment joins correctly in the next (_hash_tokens_fast's pandas
+    caveat above makes 'fast' unsuitable for persistence).
+
+    Scale: prior signatures arrive as a parquet/Iceberg table scan; the
+    only wide shuffle is the band-key equi-join carrying (band_idx,
+    band_key, doc_id). ``max_bucket`` caps are computed over the UNION —
+    identical semantics to the one-shot cap on the full corpus, so a
+    bucket that overflowed only after the increment stops emitting pairs
+    exactly as a fresh full run would."""
+    fresh_sig = new_sig.join(prior_sig.select("doc_id"), "doc_id", "left_anti")
+    all_sig = prior_sig.unionByName(fresh_sig)
+    bands_all = lsh_bands(all_sig)
+    bands_new = lsh_bands(fresh_sig)
+    if max_bucket is not None:
+        ok = (
+            bands_all.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        bands_all = bands_all.join(ok, ["band_idx", "band_key"])
+        bands_new = bands_new.join(ok, ["band_idx", "band_key"])
+    left = bands_new.select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
+    right = bands_all.select(F.col("doc_id").alias("other_id"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def signature_state_union(prior_sig: DataFrame, new_sig: DataFrame) -> DataFrame:
+    """Next run's persisted signature state: prior ∪ (new minus resubmitted
+    ids). Write this back to the signatures table after
+    incremental_lsh_candidates."""
+    fresh = new_sig.join(prior_sig.select("doc_id"), "doc_id", "left_anti")
+    return prior_sig.unionByName(fresh)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 3, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs from LSH buckets (lsh_candidates), scored by

@@ -264,3 +264,48 @@ def test_ann_bruteforce_self_consistency(spark, sf_dir):
     cosines = [r.cosine for r in out]
     assert cosines == sorted(cosines, reverse=True)
     assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_incremental_lsh_equals_one_shot(spark, sf_dir):
+    """Round-4 (verdict item 5): two-batch incremental run ≡ one-shot —
+    pairs(batch1) ∪ incremental(batch2 | batch1 state) == pairs(all docs),
+    and a resubmitted doc_id in the new batch is a no-op."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    sig1 = dedup.minhash_signatures(b1).cache()
+    sig2 = dedup.minhash_signatures(b2).cache()
+    sig_all = dedup.minhash_signatures(docs)
+
+    run1 = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sig1).collect()}
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_lsh_candidates(sig1, sig2).collect()
+    }
+    one_shot = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sig_all).collect()}
+    assert run1 | incr == one_shot
+    assert run1.isdisjoint(incr)  # incremental never re-reports prior pairs
+
+    # resubmitted ids are dropped (idempotent rerun): feeding batch1's own
+    # signatures as the "new" batch yields nothing
+    assert dedup.incremental_lsh_candidates(sig1, sig1).count() == 0
+
+    # capped: incremental with max_bucket over the union equals the
+    # new-involving subset of the one-shot capped candidate set
+    cap = 5
+    capped_one_shot = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidates(sig_all, max_bucket=cap).collect()
+    }
+    capped_incr = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_lsh_candidates(sig1, sig2, max_bucket=cap).collect()
+    }
+    expected = {p for p in capped_one_shot if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert capped_incr == expected
+
+    # state update: union carries every signature exactly once
+    state = dedup.signature_state_union(sig1, sig2)
+    assert state.count() == docs.count()
+    sig1.unpersist(); sig2.unpersist()

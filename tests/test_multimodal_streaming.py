@@ -265,3 +265,35 @@ def test_streaming_embedding_lsh_matches_batch(spark, tmp_path_factory, sf_dir):
     assert got == expected
     # state must carry across triggers: at least one even-odd (cross-batch) pair
     assert any((a + b) % 2 == 1 for a, b in got)
+
+
+def test_contaminated_spans_merge_semantics(spark):
+    """Sequence-level decontamination: overlapping hit 3-grams merge into
+    one maximal span; hits separated by ≥k words make separate spans;
+    1-based inclusive word coordinates; clean docs emit nothing."""
+    from pdf_extraction_ai_agent_spark.operators import curation
+
+    # eval doc contributes grams of "aa bb cc dd" → hits in corpus docs
+    eval_docs = spark.createDataFrame(
+        [(100, "aa bb cc dd")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # overlapping hits: "aa bb cc" @1 and "bb cc dd" @2 → one span 1..5
+            (1, "aa bb cc dd zz"),
+            # two disjoint hits: "aa bb cc" @1 and @7 (gap ≥ 3) → two spans
+            (2, "aa bb cc xx yy zz aa bb cc"),
+            # no hits
+            (3, "nothing to see here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.start_word, r.end_word, r.total_words)
+        for r in curation.contaminated_spans(docs, eval_docs).collect()
+    )
+    assert rows == [
+        (1, 1, 4, 5),
+        (2, 1, 3, 9),
+        (2, 7, 9, 9),
+    ], rows

@@ -143,6 +143,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert curve[6] >= 0.4, f"IVF recall too low: {curve}"
 
 
+def test_ivf_topk_fits_kmeans_once(spark, sf_dir, monkeypatch):
+    """Round-4 (verdict item 4): cosine_topk_ivf threads ONE fitted
+    centroids frame through assignment + probe selection — the fit
+    (2× Lloyd scans + collects) must run exactly once per query."""
+    from pdf_extraction_ai_agent_spark.operators import similarity
+
+    calls = {"n": 0}
+    real_fit = similarity._ivf_fit_centroids
+
+    def counting_fit(*a, **kw):
+        calls["n"] += 1
+        return real_fit(*a, **kw)
+
+    monkeypatch.setattr(similarity, "_ivf_fit_centroids", counting_fit)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.cosine_topk_ivf(emb, [0, 1], k=5, n_centroids=8, nprobe=2).collect()
+    assert calls["n"] == 1, calls
+
+
 def test_near_dup_plan_has_no_cartesian(spark, sf_dir):
     """q36's production plan must be band-bucket equi-joins + kernel verify:
     no all-pairs nested loop anywhere (round-1 verdict item 1)."""
