@@ -259,10 +259,15 @@ def _headline_ab(reps: int = 3) -> dict | None:
         for arm, root in arms.items():  # base first, then head — interleaved
             # HEAD's child script also drives the baseline tree (old trees
             # may predate it); queries missing there report null
-            out = subprocess.run(
-                [sys.executable, child, root, SF_DIR, str(CPUS)] + HEADLINE,
-                capture_output=True, text=True, timeout=1800,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, child, root, SF_DIR, str(CPUS)] + HEADLINE,
+                    capture_output=True, text=True, timeout=1800,
+                )
+            except (subprocess.TimeoutExpired, OSError) as e:
+                # a wedged child must degrade to the skip path, not lose the
+                # whole bench session's evidence
+                return {"error": f"{arm} child {type(e).__name__}: {e}"}
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if out.returncode != 0 or not lines:
                 return {"error": f"{arm} child failed: {out.stderr.strip()[-300:]}"}
@@ -501,7 +506,9 @@ def main():
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     cache, _n = _cached_transcripts(spark)
     timings, io_stats = _run_headline(spark)
-    ordering_probe = _ordering_skew_probe(spark)
+    # the 5M-row skew probe rides with FULL runs only — headline-only
+    # iteration mode (SKIP_SCALING) stays quick
+    ordering_probe = None if SKIP_SCALING else _ordering_skew_probe(spark)
     spark.stop()
 
     scaling = None
@@ -535,7 +542,8 @@ def main():
         result["arrow_batch_sweep"] = sweep
     if ab:
         result["headline_ab"] = ab
-    result["ordering_skew_probe"] = ordering_probe
+    if ordering_probe:
+        result["ordering_skew_probe"] = ordering_probe
     print(json.dumps(result))
 
 

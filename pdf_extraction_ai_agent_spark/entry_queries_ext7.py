@@ -244,24 +244,13 @@ def q51_objstm_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q51_SQL = r"""
-WITH parts AS (
-  SELECT doc_id,
-         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
-         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
-         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3
-  FROM documents
-)
-SELECT doc_id,
-       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || chr(10) || l3
-         AS extracted_text,
-       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
-FROM parts
-"""
+# Same contract as q49 — the oracle computes expected text from the table,
+# independent of which PDF flavor carried it — so q51 REUSES q49's SQL twin
+# (one maintained copy; review finding).
 
 
 EXT7_QUERIES["q51_objstm_pdf_roundtrip"] = q51_objstm_pdf_roundtrip
-_EXT7_ORACLES_EXTRA["q51_objstm_pdf_roundtrip"] = _Q51_SQL
+_EXT7_ORACLES_EXTRA["q51_objstm_pdf_roundtrip"] = _Q49_SQL
 
 
 # ---------------------------------------------------------------------------

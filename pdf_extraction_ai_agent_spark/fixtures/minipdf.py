@@ -191,6 +191,13 @@ def write_objstm_pdf(
         out += f"{num} 0 obj\n".encode("latin-1") + top[num] + b"\nendobj\n"
 
     xref_at = len(out)
+    if xref_at >= (1 << 24):
+        # W [1 3 1] gives 3-byte offsets; a silent modulo-2^24 wrap would
+        # corrupt the xref for real readers on cluster images
+        raise ValueError(
+            f"write_objstm_pdf: file body {xref_at} bytes exceeds the 3-byte "
+            "offset field (16 MB) — fewer/smaller pages, or widen /W"
+        )
     size = xref_num + 1
     raw_rows: list[bytes] = []
     for num in range(size):

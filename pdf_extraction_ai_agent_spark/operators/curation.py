@@ -232,14 +232,14 @@ def contaminated_spans(
                     continue
                 total = len(w)
                 grams = [" ".join(w[i : i + k]) for i in range(total - k + 1)]
+                # hash each DISTINCT gram once (setdefault would evaluate
+                # md5_long_py eagerly per occurrence)
                 cache: dict[str, int] = {}
+                for g in grams:
+                    if g not in cache:
+                        cache[g] = md5_long_py(g)
                 hs = np.fromiter(
-                    (
-                        cache.setdefault(g, md5_long_py(g))
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
+                    (cache[g] for g in grams), dtype=np.int64, count=len(grams)
                 )
                 if len(ev_sorted):
                     idx = np.searchsorted(ev_sorted, hs)

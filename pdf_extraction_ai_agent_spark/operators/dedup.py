@@ -267,7 +267,7 @@ def incremental_lsh_candidates(
     identical semantics to the one-shot cap on the full corpus, so a
     bucket that overflowed only after the increment stops emitting pairs
     exactly as a fresh full run would."""
-    fresh_sig = new_sig.join(prior_sig.select("doc_id"), "doc_id", "left_anti")
+    fresh_sig = _fresh_signatures(prior_sig, new_sig)
     all_sig = prior_sig.unionByName(fresh_sig)
     bands_all = lsh_bands(all_sig)
     bands_new = lsh_bands(fresh_sig)
@@ -293,12 +293,18 @@ def incremental_lsh_candidates(
     )
 
 
+def _fresh_signatures(prior_sig: DataFrame, new_sig: DataFrame) -> DataFrame:
+    """New-batch signatures minus resubmitted doc_ids — the ONE definition
+    of the resubmission rule (prior wins), shared by the candidate probe
+    and the state update so they can never drift."""
+    return new_sig.join(prior_sig.select("doc_id"), "doc_id", "left_anti")
+
+
 def signature_state_union(prior_sig: DataFrame, new_sig: DataFrame) -> DataFrame:
     """Next run's persisted signature state: prior ∪ (new minus resubmitted
     ids). Write this back to the signatures table after
     incremental_lsh_candidates."""
-    fresh = new_sig.join(prior_sig.select("doc_id"), "doc_id", "left_anti")
-    return prior_sig.unionByName(fresh)
+    return prior_sig.unionByName(_fresh_signatures(prior_sig, new_sig))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -82,10 +82,13 @@ def with_turn_pos(
         F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
     )
     # distinct column names per join leg (no shared-plan .alias() self-join
-    # mis-resolution — CLAUDE.md gotcha)
+    # mis-resolution — CLAUDE.md gotcha); eqNullSafe on conv_id so a NULL
+    # conv_id row keeps its position (the window path numbers the NULL
+    # partition too — a plain == join would silently DROP those rows and
+    # break the 1:1 contract pipeline.py's observe() placement relies on)
     joined = local.join(
         offsets,
-        (local["conv_id"] == offsets["__oc"])
+        local["conv_id"].eqNullSafe(offsets["__oc"])
         & (local["__turn_bkt"] == offsets["__ob"]),
         "inner",
     )

@@ -411,6 +411,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         nums: list[float] = []
         x = y = 0.0
         moved = True
+        in_tj_array = False
         i, n = 0, len(raw)
 
         def show():
@@ -484,6 +485,12 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 continue
             if raw[i : i + 2] in (b"Tj", b"TJ"):
                 show(); i += 2
+            elif ch == 0x5B:
+                in_tj_array = True; nums.clear(); i += 1
+            elif ch == 0x5D:
+                in_tj_array = False; nums.clear(); i += 1
+            elif ch in (0x27, 0x22) and in_tj_array:
+                i += 1  # stray quote between array strings — engine skips too
             elif ch in (0x27, 0x22):
                 # ' / " are T*-then-show (leading-based line advance), which
                 # neither twin models; the engine rung bails to the library

@@ -73,6 +73,10 @@ def test_turn_ordering_two_phase_matches_window(spark):
             )
             rows.append((conv, ti, ts))
     rows.append(("mega", None, datetime.datetime(2024, 1, 1)))
+    # NULL conv_id rows must survive (eqNullSafe offsets join) with the same
+    # positions the window path assigns within the NULL partition
+    rows.append((None, 1, datetime.datetime(2024, 1, 2)))
+    rows.append((None, 2, datetime.datetime(2024, 1, 3)))
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
 
     two_phase = {
