@@ -214,8 +214,13 @@ def _baseline_worktree() -> tuple[str, str] | None:
     ref = os.environ.get("SPARK_GRAFT_BENCH_AB_REF")
     try:
         if not ref:
+            # anchored to the driver's bookkeeping SUBJECT ("round N: …") —
+            # a bare "^round " also matches wrapped body lines of ordinary
+            # commits (bit us: the first r4 A/B baselined against an r4
+            # commit whose body wrapped onto "round A/B headline protocol")
             ref = subprocess.run(
-                ["git", "rev-list", "-1", "--grep", "^round ", "HEAD"],
+                ["git", "rev-list", "-1", "-E", "--grep", r"^round [0-9]+:",
+                 "HEAD"],
                 capture_output=True, text=True, cwd=here, timeout=60,
             ).stdout.strip()
         if not ref:
