@@ -427,6 +427,10 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
             "Spark conf: AQE on, shuffle.partitions = 2×cores, Arrow batch 2048,\n"
             "salted repartition (8 salt buckets) before the UDF stage.\n\n"
             "## Headline query timings (sf0.1, local[%d])\n\n"
+            "Single warm-session pass (one number per query, shared JVM) — "
+            "useful for IO/throughput columns; for ROUND-OVER-ROUND "
+            "comparison read the A/B table below instead (fresh-JVM "
+            "medians, interleaved with the previous round's commit).\n\n"
             "| query | sec | input rows | input MB | output rows | Mrows/sec |\n"
             "|---|---|---|---|---|---|\n"
             % CPUS
