@@ -147,6 +147,14 @@ def _run_headline(spark) -> tuple[dict[str, float], dict[str, dict]]:
     sig.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in sig.columns]))).collect()
     timings["q13_minhash_signatures_fasthash"] = round(time.monotonic() - t0, 3)
 
+    # 'fnv' — vectorized canonical FNV-1a-64: version-stable by construction
+    # (the persistable production hash for cross-run incremental dedup) and
+    # measured FASTER than siphash on shingle-length tokens
+    t0 = time.monotonic()
+    sig = dedup.minhash_signatures(_docs(spark, SF_DIR), hash_impl="fnv")
+    sig.agg(F.count(F.lit(1)), F.max(F.xxhash64(*[F.col(c) for c in sig.columns]))).collect()
+    timings["q13_minhash_signatures_fnvhash"] = round(time.monotonic() - t0, 3)
+
     # production-geometry near-dup (threshold 0.9, 64 planes × 8-bit bands —
     # the selective-bucket configuration the docstring mandates for real
     # thresholds; the oracle-checked q36 keeps the demo 16×2 geometry for

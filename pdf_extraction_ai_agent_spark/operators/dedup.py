@@ -112,13 +112,51 @@ def _hash_tokens_fast(tokens: list) -> "np.ndarray":  # noqa: F821
     but is not a contract). hash_impl='fast' signatures are therefore only
     comparable WITHIN a deployment that pins one pandas version across all
     executors; for cross-run incremental dedup (signatures persisted in one
-    run, joined in a later one) either pin pandas in the cluster image or
-    use hash_impl='md5', whose values are stable by construction."""
+    run, joined in a later one) use hash_impl='fnv' (vectorized, stable
+    by construction) or 'md5' (stable + oracle-portable), or pin pandas in
+    the cluster image."""
     import numpy as np
     import pandas as pd
 
     h = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
     return (h & np.uint64((1 << 60) - 1)).astype(np.int64)
+
+
+def _hash_tokens_fnv(tokens: list) -> "np.ndarray":  # noqa: F821
+    """Vectorized CANONICAL FNV-1a-64 over each token's UTF-8 bytes, masked
+    to a non-negative 60-bit int64 — ROADMAP item 8: version-stable BY
+    CONSTRUCTION (public constants 0xcbf29ce484222325 / 0x100000001b3,
+    pinned against an independent scalar reference in tests), unlike
+    pandas' hash_array contract. The portable PRODUCTION hash for
+    persisted cross-run signature tables (incremental_lsh_candidates):
+    a table written by one deployment joins correctly under any future
+    numpy/pandas. Tokens are zero-padded into an (n, maxlen) uint8 matrix;
+    each column applies `h = (h ^ byte) * prime` only to rows still inside
+    their token (np.where mask), so values equal the byte-at-a-time FNV-1a
+    of the exact string."""
+    import numpy as np
+
+    bs = [t.encode("utf-8") for t in tokens]
+    n = len(bs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    width = max(int(lens.max()), 1)
+    buf = bytearray(n * width)
+    for i, b in enumerate(bs):
+        buf[i * width : i * width + len(b)] = b
+    mat = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, width)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            active = lens > j
+            hx = (h ^ mat[:, j].astype(np.uint64)) * prime
+            h = np.where(active, hx, h)
+    return (h & np.uint64((1 << 60) - 1)).astype(np.int64)
+
+
+_FAST_HASHES = {"fast": _hash_tokens_fast, "fnv": _hash_tokens_fnv}
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -138,7 +176,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     the DuckDB oracles replay, one hashlib call per shingle; 'fast' =
     vectorized siphash over the whole batch's shingles at once + segment
     minima via ``np.minimum.reduceat`` — same signatures semantics,
-    different (non-oracle) hash values; bench records the speedup.
+    different (non-oracle) hash values; 'fnv' = vectorized canonical
+    FNV-1a-64 (_hash_tokens_fnv): near-'fast' speed AND version-stable by
+    construction — the production choice when signatures are PERSISTED
+    across runs. Bench records the speedups.
     """
     import numpy as np
     import pandas as pd
@@ -158,7 +199,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 .str.replace(" +", " ", regex=True)
                 .str.strip()
             )
-            if hash_impl == "fast":
+            if hash_impl in _FAST_HASHES:
                 # flat shingle list + doc boundaries → ONE vectorized hash
                 # call and one reduceat per permutation for the whole batch
                 flat: list = []
@@ -175,7 +216,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 if not ids:
                     yield pd.DataFrame(columns=cols).astype("int64")
                     continue
-                hs = _hash_tokens_fast(flat)
+                hs = _FAST_HASHES[hash_impl](flat)
                 perms = (A * (hs[None, :] % MERSENNE_P) + B) % MERSENNE_P  # (16, n)
                 mins = np.minimum.reduceat(perms, np.array(bounds), axis=1)  # (16, docs)
                 out = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64)})
@@ -257,9 +298,10 @@ def incremental_lsh_candidates(
 
     Resubmitted doc_ids are dropped from the new batch first (left_anti on
     the prior table) — reruns are idempotent. Signatures must be
-    hash_impl='md5': version-stable by construction, so a table written by
-    one deployment joins correctly in the next (_hash_tokens_fast's pandas
-    caveat above makes 'fast' unsuitable for persistence).
+    hash_impl='md5' or 'fnv': both version-stable by construction, so a
+    table written by one deployment joins correctly in the next
+    (_hash_tokens_fast's pandas caveat above makes 'fast' unsuitable for
+    persistence; 'fnv' keeps the vectorized speed).
 
     Scale: prior signatures arrive as a parquet/Iceberg table scan; the
     only wide shuffle is the band-key equi-join carrying (band_idx,
@@ -368,7 +410,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 .str.replace(" +", " ", regex=True)
                 .str.strip()
             )
-            if hash_impl == "fast":
+            if hash_impl in _FAST_HASHES:
                 flat: list = []
                 bounds: list[int] = []
                 ids: list[int] = []
@@ -382,7 +424,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 if not ids:
                     yield pd.DataFrame(columns=["doc_id", "simhash"]).astype("int64")
                     continue
-                hs = _hash_tokens_fast(flat)
+                hs = _FAST_HASHES[hash_impl](flat)
                 signs = np.where(((hs[:, None] >> bits[None, :]) & 1) == 1, 1, -1)
                 sums = np.add.reduceat(signs, np.array(bounds), axis=0)  # (docs, 32)
                 sigs = ((sums > 0).astype(np.int64) << bits).sum(axis=1)

@@ -309,3 +309,38 @@ def test_incremental_lsh_equals_one_shot(spark, sf_dir):
     state = dedup.signature_state_union(sig1, sig2)
     assert state.count() == docs.count()
     sig1.unpersist(); sig2.unpersist()
+
+
+def test_fnv_hash_stable_and_same_semantics(docs):
+    """hash_impl='fnv' (ROADMAP 8): canonical FNV-1a-64 — (a) values match
+    an independent scalar byte-at-a-time reference AND golden constants
+    pinned here forever (version stability is the whole point: these exact
+    numbers must survive any numpy/pandas upgrade), (b) the minhash/simhash
+    kernels keep md5-path semantics."""
+    from pdf_extraction_ai_agent_spark.operators.dedup import _hash_tokens_fnv
+
+    def ref(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h & ((1 << 60) - 1)
+
+    toks = ["", "a", "minhash", "quick brown fox", "ü ñ unicode", "x" * 200]
+    assert list(_hash_tokens_fnv(toks)) == [ref(t) for t in toks]
+    # golden pin (hard constants — NOT derived from the ref impl, so a bug
+    # in both implementations can't silently agree)
+    assert list(_hash_tokens_fnv(["", "a", "minhash"])) == [
+        860922984064492325,
+        1108972154487172236,
+        1074443552266060967,
+    ]
+
+    sig = {r.doc_id: tuple(r)[1:] for r in
+           dedup.minhash_signatures(docs, hash_impl="fnv").collect()}
+    assert sig[1] == sig[2] == sig[3]
+    assert sig[1] != sig[5]
+    sim = {r.doc_id: r.simhash for r in dedup.simhash(docs, hash_impl="fnv").collect()}
+    assert sim[1] == sim[2] == sim[3]
+    # the exact distance is hash-family-dependent (FNV measures 9 here);
+    # near-dup must stay far below the ~32-bit random baseline
+    assert bin(sim[1] ^ sim[4]).count("1") <= 12
