@@ -367,3 +367,52 @@ FROM spans GROUP BY doc_id
 
 EXT7_QUERIES["q53_contaminated_spans"] = q53_contaminated_spans
 _EXT7_ORACLES_EXTRA["q53_contaminated_spans"] = _q53_sql()
+
+
+# ---------------------------------------------------------------------------
+# q54 — ENCRYPTED-PDF round trip under the ORACLE GATE: the q49 contract
+# over files encrypted with the PDF standard security handler (V1/R2
+# 40-bit RC4, empty user password — the ubiquitous "owner-locked" shape;
+# per-doc owner passwords vary). The dependency-free rung derives the key
+# from /O //P //ID, verifies /U, and RC4-decrypts each content stream
+# before parsing; the oracle char-scanner twin does the same with its own
+# independent implementation. Reuses q49's SQL twin (same text contract,
+# orthogonal to the carrier format).
+# ---------------------------------------------------------------------------
+
+
+def q54_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_encrypted_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                items = [
+                    ("text", 72, 720, f"Claim C{doc_id}"),
+                    ("text", 72, 704, f"Body {norm30}"),
+                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
+                ][::-1]
+                data = write_encrypted_pdf(
+                    [items], owner_pwd=b"owner-%d" % (doc_id % 7)
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+EXT7_QUERIES["q54_encrypted_pdf_roundtrip"] = q54_encrypted_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q54_encrypted_pdf_roundtrip"] = _Q49_SQL

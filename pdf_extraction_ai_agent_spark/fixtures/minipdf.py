@@ -229,3 +229,125 @@ def write_objstm_pdf(
     )
     out += f"startxref\n{xref_at}\n%%EOF\n".encode("latin-1")
     return bytes(out)
+
+
+# --- PDF standard security handler (V1/R2, 40-bit RC4) -------------------
+
+PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (symmetric) — stdlib-only, fixture-scale throughput."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pwd: bytes) -> bytes:
+    return (pwd + PDF_PAD)[:32]
+
+
+def derive_rc4_key(o_value: bytes, p: int, file_id: bytes, user_pwd: bytes = b"") -> bytes:
+    """Algorithm 2 (R2): md5(padded user pwd ‖ O ‖ P as int32-LE ‖ ID[0])[:5]."""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5()
+    h.update(_pad_password(user_pwd))
+    h.update(o_value)
+    h.update(_struct.pack("<i", p))
+    h.update(file_id)
+    return h.digest()[:5]
+
+
+def object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: md5(key ‖ objnum 3B-LE ‖ gen 2B-LE)[: len(key)+5]."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(base_key)
+    h.update(bytes([num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF]))
+    h.update(bytes([gen & 0xFF, (gen >> 8) & 0xFF]))
+    return h.digest()[: min(len(base_key) + 5, 16)]
+
+
+def write_encrypted_pdf(
+    pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
+    permissions: int = -44,
+) -> bytes:
+    """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
+    security handler, V1/R2 (40-bit RC4) and an EMPTY user password — the
+    ubiquitous "owner-locked" shape (viewers open it without prompting).
+    Every stream is RC4-encrypted under its per-object key; the /Encrypt
+    dict and /ID land in the trailer. pdftext.py's rung decrypts these
+    dependency-free; any non-empty user password (which it cannot know)
+    makes the rung bail to the library chain."""
+    import hashlib
+
+    plain = write_minimal_pdf(pages)
+    file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
+    o_value = rc4(
+        hashlib.md5(_pad_password(owner_pwd)).digest()[:5], _pad_password(user_pwd)
+    )
+    key = derive_rc4_key(o_value, permissions, file_id, user_pwd)
+    u_value = rc4(key, PDF_PAD)
+
+    # re-emit every object, encrypting stream bodies under per-object keys
+    objs: dict[int, bytes] = {}
+    pos = 0
+    enc_re = __import__("re").compile(rb"(\d+) 0 obj\n(.*?)\nendobj\n", __import__("re").S)
+    # object bodies in write_minimal_pdf are newline-delimited and contain
+    # no nested 'endobj'; streams carry explicit /Length so the match is
+    # unambiguous for THIS writer's output
+    for m in enc_re.finditer(plain):
+        num, body = int(m.group(1)), m.group(2)
+        s_at = body.find(b"\nstream\n")
+        if s_at >= 0:
+            head, data = body[:s_at], body[s_at + len(b"\nstream\n"):]
+            assert data.endswith(b"\nendstream")
+            data = data[: -len(b"\nendstream")]
+            data = rc4(object_rc4_key(key, num), data)
+            head = __import__("re").sub(
+                rb"/Length \d+", b"/Length %d" % len(data), head
+            )
+            body = head + b"\nstream\n" + data + b"\nendstream"
+        objs[num] = body
+    enc_num = max(objs) + 1
+    objs[enc_num] = (
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40 "
+        + b"/O <" + o_value.hex().encode() + b"> "
+        + b"/U <" + u_value.hex().encode() + b"> "
+        + (b"/P %d >>" % permissions)
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    total = max(objs) + 1
+    out += b"xref\n0 %d\n" % total
+    out += b"0000000000 65535 f \n"
+    for num in range(1, total):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        % (total, enc_num, file_id.hex().encode(), file_id.hex().encode())
+        + b"startxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)

@@ -163,9 +163,129 @@ def _value_of(d: bytes, key: bytes) -> bytes:
     return rest[: nxt.start()] if nxt else rest
 
 
-def _stream_data(body: bytes) -> bytes | None:
+# --- PDF standard security handler (V1/R2, 40-bit RC4) --------------------
+# Engine-side implementation; the oracle char-scanner and the fixture
+# writer each carry their OWN copy (the per-turn-equality invariant forbids
+# shared logic between the twins). Constants are the public PDF spec's.
+
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+class _UnsupportedEncryption(Exception):
+    """Encrypted with settings this rung does not model → caller returns
+    None and the library chain / error channel takes over."""
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(base_key)
+    h.update(bytes([num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF]))
+    h.update(bytes([gen & 0xFF, (gen >> 8) & 0xFF]))
+    return h.digest()[: min(len(base_key) + 5, 16)]
+
+
+def _hex_or_literal(v: bytes) -> bytes | None:
+    """A string value from a dict: <hex> or (literal, escape-light)."""
+    v = v.strip()
+    if v.startswith(b"<"):
+        end = v.find(b">")
+        if end < 0:
+            return None
+        hx = re.sub(rb"\s", b"", v[1:end])
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    if v.startswith(b"("):
+        end = _string_end(v, 0)
+        body = v[1 : end - 1]
+        # escapes beyond \( \) \\ are out of scope for O/U values
+        return body.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
+    return None
+
+
+def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """None = not encrypted. bytes = the RC4 base key for a file encrypted
+    with the STANDARD handler, V1/R2 (40-bit RC4) and an EMPTY user
+    password (verified against /U — the ubiquitous owner-locked shape).
+    Raises _UnsupportedEncryption for every other configuration (AES,
+    V≥2 with non-default lengths, real user passwords, encrypted files
+    using xref streams/ObjStm, malformed /Encrypt)."""
+    import hashlib
+    import struct as _struct
+
+    t_at = data.rfind(b"trailer")
+    if t_at < 0:
+        # no classic trailer: if an xref-stream trailer mentions /Encrypt,
+        # the file is encrypted in a layout this rung does not model
+        for body in objs.values():
+            if b"/XRef" in body and b"/Encrypt" in body:
+                raise _UnsupportedEncryption("encrypted xref-stream layout")
+        return None
+    td = _dict_of(data[t_at:])
+    if b"/Encrypt" not in td:
+        return None
+    for body in objs.values():
+        if b"/ObjStm" in body:
+            raise _UnsupportedEncryption("encrypted + object streams")
+    m = _REF_RE.search(_value_of(td, b"/Encrypt"))
+    if not m or int(m.group(1)) not in objs:
+        raise _UnsupportedEncryption("unresolvable /Encrypt ref")
+    idv = re.findall(rb"<([0-9A-Fa-f \r\n]+)>", _value_of(td, b"/ID"))
+    if not idv:
+        raise _UnsupportedEncryption("missing /ID")
+    file_id = bytes.fromhex(re.sub(rb"\s", b"", idv[0]).decode("ascii"))
+    d = _dict_of(objs[int(m.group(1))])
+    if b"/Standard" not in d:
+        raise _UnsupportedEncryption("non-standard security handler")
+    vm = re.search(rb"/V\s+(\d+)", d)
+    rm = re.search(rb"/R\s+(\d+)", d)
+    if not vm or not rm or int(vm.group(1)) != 1 or int(rm.group(1)) != 2:
+        raise _UnsupportedEncryption("only V1/R2 RC4 is modeled")
+    o_val = _hex_or_literal(_value_of(d, b"/O"))
+    u_val = _hex_or_literal(_value_of(d, b"/U"))
+    pm = re.search(rb"/P\s+(-?\d+)", d)
+    if o_val is None or u_val is None or len(o_val) != 32 or not pm:
+        raise _UnsupportedEncryption("malformed /O //U //P")
+    h = hashlib.md5()
+    h.update(_PDF_PAD)  # empty user password → padded pwd IS the pad
+    h.update(o_val)
+    h.update(_struct.pack("<i", int(pm.group(1))))
+    h.update(file_id)
+    key = h.digest()[:5]
+    if _rc4(key, _PDF_PAD) != u_val:
+        raise _UnsupportedEncryption("user password is not empty")
+    return key
+
+
+def _stream_data(body: bytes, num: int | None = None,
+                 enc_key: bytes | None = None) -> bytes | None:
     """Decoded stream content of an object body; None when absent or the
-    filter is unsupported."""
+    filter is unsupported. With ``enc_key`` (and the object number), the
+    raw bytes are RC4-decrypted under the per-object key BEFORE filter
+    decode — decryption wraps compression in the PDF model."""
     d = _dict_of(body)
     at = body.find(b"stream")
     if at < 0:
@@ -183,6 +303,8 @@ def _stream_data(body: bytes) -> bytes | None:
         if end < 0:
             return None
         raw = body[at:end].rstrip(b"\r\n")
+    if enc_key is not None and num is not None:
+        raw = _rc4(_object_rc4_key(enc_key, num), raw)
     if b"/Filter" in d:
         if b"/FlateDecode" not in d:
             return None  # unsupported filter → let the libraries try
@@ -420,8 +542,14 @@ _MOVE_RE = re.compile(
 
 def _page_contents(data: bytes):
     """Shared page walk: yields each page's concatenated decoded content
-    bytes, or None overall when the file is out of scope."""
+    bytes, or None overall when the file is out of scope. Handles the
+    standard-handler V1/R2 RC4 empty-user-password encryption in-line
+    (_encryption_key); any other encrypted configuration bails."""
     objs = _objects(data)
+    try:
+        enc_key = _encryption_key(data, objs)
+    except _UnsupportedEncryption:
+        return None
     page_nums = _page_objects(objs)
     if not page_nums:
         return None
@@ -433,7 +561,7 @@ def _page_contents(data: bytes):
             ref = int(m.group(1))
             if ref not in objs:
                 return None
-            part = _stream_data(objs[ref])
+            part = _stream_data(objs[ref], num=ref, enc_key=enc_key)
             if part is None:
                 return None
             content += part + b"\n"

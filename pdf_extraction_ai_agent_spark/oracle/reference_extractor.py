@@ -354,6 +354,82 @@ def parse_fields_oracle(text: str) -> dict:
 # Per-turn dispatch (payload sniff → extract)
 # ---------------------------------------------------------------------------
 
+# PDF standard-security-handler twin (V1/R2 RC4, empty user password) —
+# ORACLE-SIDE independent implementation (the engine's lives in
+# operators/pdftext.py; per-turn equality forbids sharing). Public spec
+# constants; structured as straight-line helpers over the raw byte string.
+
+_ORACLE_PDF_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _oracle_rc4(key: bytes, data: bytes) -> bytes:
+    S = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) % 256
+        S[i], S[j] = S[j], S[i]
+    res = bytearray()
+    a = b = 0
+    for c in data:
+        a = (a + 1) % 256
+        b = (b + S[a]) % 256
+        S[a], S[b] = S[b], S[a]
+        res.append(c ^ S[(S[a] + S[b]) % 256])
+    return bytes(res)
+
+
+def _oracle_object_key(base: bytes, num: int) -> bytes:
+    import hashlib
+    import struct as _struct
+
+    packed = _struct.pack("<I", num)[:3] + b"\x00\x00"  # gen 0
+    return hashlib.md5(base + packed).digest()[: min(len(base) + 5, 16)]
+
+
+def _oracle_encryption_key(data: bytes) -> bytes | None:
+    """None when the trailer has no /Encrypt; the 5-byte RC4 key for the
+    V1/R2 empty-user-password shape; RuntimeError otherwise (the engine
+    rung bails to the library chain there — error channel in-sandbox)."""
+    import hashlib
+    import struct as _struct
+
+    t = data.rfind(b"trailer")
+    if t < 0 or b"/Encrypt" not in data[t:]:
+        if b"/Encrypt" in data and b"/XRef" in data:
+            raise RuntimeError("encrypted xref-stream PDF — out of twin scope")
+        return None
+    trailer = data[t:]
+    em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", trailer)
+    im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]+)>", trailer)
+    if not em or not im:
+        raise RuntimeError("malformed /Encrypt trailer")
+    om = re.search(
+        rb"%d\s+0\s+obj(.*?)endobj" % int(em.group(1)), data, re.S
+    )
+    if not om:
+        raise RuntimeError("unresolvable /Encrypt object")
+    ed = om.group(1)
+    if (b"/Standard" not in ed
+            or not re.search(rb"/V\s+1\b", ed)
+            or not re.search(rb"/R\s+2\b", ed)):
+        raise RuntimeError("only Standard V1/R2 RC4 is modeled")
+    ov = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", ed)
+    pv = re.search(rb"/P\s+(-?\d+)", ed)
+    uv = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", ed)
+    if not ov or not pv or not uv:
+        raise RuntimeError("non-hex /O //U or missing /P")
+    o_val = bytes.fromhex(re.sub(rb"\s", b"", ov.group(1)).decode())
+    file_id = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
+    key = hashlib.md5(
+        _ORACLE_PDF_PAD + o_val + _struct.pack("<i", int(pv.group(1))) + file_id
+    ).digest()[:5]
+    u_val = bytes.fromhex(re.sub(rb"\s", b"", uv.group(1)).decode())
+    if _oracle_rc4(key, _ORACLE_PDF_PAD) != u_val:
+        raise RuntimeError("user password is not empty — out of twin scope")
+    return key
+
 
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
     """Independent row-at-a-time real-PDF layout parse (the oracle twin of
@@ -368,6 +444,13 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     import zlib
 
     data = payload.encode("latin-1", errors="ignore")
+    enc_key = _oracle_encryption_key(data)  # None = plaintext; raises on
+    # any encryption the twins don't model (mirrors the engine rung's bail)
+    obj_starts = (
+        [(m.start(), int(m.group(1)))
+         for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data)]
+        if enc_key is not None else []
+    )
     pages: list[list[tuple[float, float, str]]] = []
     pos = 0
     while True:
@@ -394,6 +477,17 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 break
             raw = data[body_at:end].rstrip(b"\r\n")
             pos = end
+        if enc_key is not None:
+            # per-object RC4: the owning object is the last `N 0 obj`
+            # before this stream (decryption wraps compression)
+            onum = None
+            for at, num in obj_starts:
+                if at > s:
+                    break
+                onum = num
+            if onum is None:
+                continue
+            raw = _oracle_rc4(_oracle_object_key(enc_key, onum), raw)
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)

@@ -645,3 +645,43 @@ def test_executed_ocr_differential_when_deps_present():
     # differential: OCR of the rendered page recovers the text layer's
     # words (allow one OCR miss — tesseract on synthetic Helvetica)
     assert len({"HELLO", "OCR", "WORLD"} & ocr_words) >= 2, ocr_words
+
+
+def test_encrypted_pdf_golden_no_optional_libs():
+    """RC4-encrypted PDFs (standard handler V1/R2, empty user password —
+    the ubiquitous owner-locked shape): the dependency-free rung derives
+    the key from /O //P //ID, verifies /U, decrypts each stream under its
+    per-object key, and stays bit-equal to the independent oracle twin.
+    Files with a REAL user password make both twins refuse (engine: bail
+    to the library chain; oracle: raise) — never silently-wrong output."""
+    import pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_encrypted_pdf, write_minimal_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        assemble_reading_order, tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["Encrypted alpha\nline two", "Second page\nmore text"]
+    for owner in (b"", b"owner-secret"):
+        data = write_encrypted_pdf(pages, owner_pwd=owner)
+        runs = tokenize_pdf_runs(data)
+        assert runs is not None and assemble_reading_order(runs) == pages
+        eng, eng_ocr = extract_real_pdf_text(data)
+        orc, orc_ocr = extract_real_pdf(data.decode("latin-1"))
+        assert eng == orc and eng_ocr is False and orc_ocr is False
+        # encrypted and plaintext carriers extract identically
+        plain, _ = extract_real_pdf_text(write_minimal_pdf(pages))
+        assert eng == plain
+
+    locked = write_encrypted_pdf(pages, user_pwd=b"userpw")
+    assert tokenize_pdf_runs(locked) is None
+    with pytest.raises(RuntimeError):
+        extract_real_pdf_text(locked)  # library chain absent in sandbox
+    with pytest.raises(RuntimeError):
+        extract_real_pdf(locked.decode("latin-1"))
