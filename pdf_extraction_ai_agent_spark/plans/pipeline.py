@@ -47,14 +47,21 @@ def auto_salt_buckets(
     artificial fan-out). The pre-pass is one partial-agg job over a single
     column — at 100 TB that's the cheapest full scan there is, and it runs
     once per batch, not per consumer."""
+    mx = _max_conv_rows(transcripts)
+    return max(1, min(cap, -(-mx // target_rows_per_task)))
+
+
+def _max_conv_rows(transcripts: DataFrame) -> int:
+    """Largest conversation's row count — the one runtime stat both the
+    salt fan-out and the ordering strategy derive from (a single-column
+    partial-agg scan; the cheapest full pass there is)."""
     row = (
         transcripts.groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("mx"))
         .collect()[0]
     )
-    mx = row.mx or 0
-    return max(1, min(cap, -(-mx // target_rows_per_task)))
+    return int(row.mx or 0)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
@@ -77,19 +84,30 @@ def extract_pipeline(
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
-    ``salt_buckets='auto'`` runs the auto_salt_buckets pre-pass (salt
-    derived from the largest conversation's row count).
+    ``salt_buckets='auto'`` runs the _max_conv_rows pre-pass once and
+    derives BOTH tunables from it: the salt fan-out (auto_salt_buckets
+    formula) AND the ordering strategy — when the largest conversation
+    fits a single ordering bucket, the two-phase diamond buys nothing, so
+    the plain conv-wide window (no counts re-scan, no offsets join) is
+    used instead (ROADMAP round-5 item 2). Static configurations keep the
+    two-phase default: safe at any skew, modest constant overhead.
 
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
     [, lob, lobs]).
     """
+    from ..operators.ordering import DEFAULT_TURN_BUCKET_WIDTH
+
+    ordering_bucket_width: int | None = DEFAULT_TURN_BUCKET_WIDTH
     if salt_buckets == "auto":
-        salt_buckets = auto_salt_buckets(transcripts)
+        mx = _max_conv_rows(transcripts)
+        salt_buckets = max(1, min(512, -(-mx // 50_000)))
+        if mx <= DEFAULT_TURN_BUCKET_WIDTH:
+            ordering_bucket_width = None  # no conv needs the fan-out
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
     df = with_extraction(df).drop("text", "tool")
-    df = with_turn_pos(df)
+    df = with_turn_pos(df, bucket_width=ordering_bucket_width)
     # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
     # pass a pyspark Observation to read them after an action, else they
     # land in QueryExecution.observedMetrics for listeners / lineage rows).

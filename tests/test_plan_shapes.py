@@ -387,3 +387,31 @@ def test_sinks_roundtrip(spark, tmp_path_factory):
     # per-LOB partition readable directly (the "per-LOB workbook")
     auto = spark.read.parquet(base + "/lob/lob=AUTO")
     assert auto.count() == 1
+
+
+def test_auto_ordering_strategy(spark, transcripts_df):
+    """salt_buckets='auto': when no conversation exceeds one ordering
+    bucket, the pipeline uses the plain conv-wide window (no diamond); a
+    corpus with a bucket-exceeding conversation keeps the two-phase plan."""
+    from pdf_extraction_ai_agent_spark.plans import pipeline as P
+
+    small = P.extract_pipeline(
+        transcripts_df, num_partitions=4, salt_buckets="auto",
+        with_fields=False, with_lob=False,
+    )
+    plan = _plan(small)
+    assert "__turn_bkt" not in plan  # single-window path chosen
+    assert re.search(r"windowspecdefinition\(conv_id#\d+, turn_idx#", plan)
+
+    # force the threshold down so the fixture LOOKS mega → two-phase kept
+    import pdf_extraction_ai_agent_spark.operators.ordering as O
+    orig = O.DEFAULT_TURN_BUCKET_WIDTH
+    try:
+        O.DEFAULT_TURN_BUCKET_WIDTH = 4
+        big = P.extract_pipeline(
+            transcripts_df, num_partitions=4, salt_buckets="auto",
+            with_fields=False, with_lob=False,
+        )
+        assert "__turn_bkt" in _plan(big)
+    finally:
+        O.DEFAULT_TURN_BUCKET_WIDTH = orig
