@@ -371,9 +371,9 @@ _EXT7_ORACLES_EXTRA["q53_contaminated_spans"] = _q53_sql()
 
 # ---------------------------------------------------------------------------
 # q54 — ENCRYPTED-PDF round trip under the ORACLE GATE: the q49 contract
-# over files encrypted with the PDF standard security handler (V1/R2
-# 40-bit RC4, empty user password — the ubiquitous "owner-locked" shape;
-# per-doc owner passwords vary). The dependency-free rung derives the key
+# over files encrypted with the PDF standard security handler (mixed
+# V1/R2 40-bit and V2/R3 128-bit RC4 per doc parity, empty user password —
+# the ubiquitous "owner-locked" shapes; per-doc owner passwords vary). The dependency-free rung derives the key
 # from /O //P //ID, verifies /U, and RC4-decrypts each content stream
 # before parsing; the oracle char-scanner twin does the same with its own
 # independent implementation. Reuses q49's SQL twin (same text contract,
@@ -401,7 +401,9 @@ def q54_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ("text", 72, 664, f"Total {doc_id % 97}.00"),
                 ][::-1]
                 data = write_encrypted_pdf(
-                    [items], owner_pwd=b"owner-%d" % (doc_id % 7)
+                    [items],
+                    owner_pwd=b"owner-%d" % (doc_id % 7),
+                    revision=3 if doc_id % 2 else 2,
                 )
                 t, ocr = extract_real_pdf_text(data)
                 rows.append((doc_id, t, ocr))

@@ -261,8 +261,10 @@ def _pad_password(pwd: bytes) -> bytes:
     return (pwd + PDF_PAD)[:32]
 
 
-def derive_rc4_key(o_value: bytes, p: int, file_id: bytes, user_pwd: bytes = b"") -> bytes:
-    """Algorithm 2 (R2): md5(padded user pwd ‖ O ‖ P as int32-LE ‖ ID[0])[:5]."""
+def derive_rc4_key(o_value: bytes, p: int, file_id: bytes, user_pwd: bytes = b"",
+                   revision: int = 2, n_key: int = 5) -> bytes:
+    """Algorithm 2: md5(padded user pwd ‖ O ‖ P as int32-LE ‖ ID[0]); R3
+    re-hashes the first n_key bytes 50 more times."""
     import hashlib
     import struct as _struct
 
@@ -271,7 +273,11 @@ def derive_rc4_key(o_value: bytes, p: int, file_id: bytes, user_pwd: bytes = b""
     h.update(o_value)
     h.update(_struct.pack("<i", p))
     h.update(file_id)
-    return h.digest()[:5]
+    d = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:n_key]).digest()
+    return d[:n_key]
 
 
 def object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
@@ -287,10 +293,12 @@ def object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
 
 def write_encrypted_pdf(
     pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
-    permissions: int = -44,
+    permissions: int = -44, revision: int = 2,
 ) -> bytes:
     """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
-    security handler, V1/R2 (40-bit RC4) and an EMPTY user password — the
+    security handler and an EMPTY user password — V1/R2 40-bit RC4 by
+    default, or V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+
+    shape that dominates real encrypted PDFs) — the
     ubiquitous "owner-locked" shape (viewers open it without prompting).
     Every stream is RC4-encrypted under its per-object key; the /Encrypt
     dict and /ID land in the trailer. pdftext.py's rung decrypts these
@@ -300,11 +308,30 @@ def write_encrypted_pdf(
 
     plain = write_minimal_pdf(pages)
     file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
-    o_value = rc4(
-        hashlib.md5(_pad_password(owner_pwd)).digest()[:5], _pad_password(user_pwd)
-    )
-    key = derive_rc4_key(o_value, permissions, file_id, user_pwd)
-    u_value = rc4(key, PDF_PAD)
+    n_key = 16 if revision == 3 else 5
+    if revision == 3:
+        # Algorithm 3 (R3): owner key = md5^51 of padded owner pwd, [:16];
+        # O = 20-round RC4 chain over the padded user pwd with key^i
+        okd = hashlib.md5(_pad_password(owner_pwd)).digest()
+        for _ in range(50):
+            okd = hashlib.md5(okd[:n_key]).digest()
+        key_o = okd[:n_key]
+        o_value = _pad_password(user_pwd)
+        for i in range(20):
+            o_value = rc4(bytes(b ^ i for b in key_o), o_value)
+        key = derive_rc4_key(o_value, permissions, file_id, user_pwd,
+                             revision=3, n_key=n_key)
+        # Algorithm 5 (R3): U = 20-round RC4 chain over md5(PAD ‖ ID)
+        u_value = hashlib.md5(PDF_PAD + file_id).digest()
+        for i in range(20):
+            u_value = rc4(bytes(b ^ i for b in key), u_value)
+        u_value += b"\x00" * 16  # arbitrary 16-byte tail per spec
+    else:
+        o_value = rc4(
+            hashlib.md5(_pad_password(owner_pwd)).digest()[:5], _pad_password(user_pwd)
+        )
+        key = derive_rc4_key(o_value, permissions, file_id, user_pwd)
+        u_value = rc4(key, PDF_PAD)
 
     # re-emit every object, encrypting stream bodies under per-object keys
     objs: dict[int, bytes] = {}
@@ -327,8 +354,9 @@ def write_encrypted_pdf(
             body = head + b"\nstream\n" + data + b"\nendstream"
         objs[num] = body
     enc_num = max(objs) + 1
+    v, length = (2, 128) if revision == 3 else (1, 40)
     objs[enc_num] = (
-        b"<< /Filter /Standard /V 1 /R 2 /Length 40 "
+        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, revision, length)
         + b"/O <" + o_value.hex().encode() + b"> "
         + b"/U <" + u_value.hex().encode() + b"> "
         + (b"/P %d >>" % permissions)

@@ -228,11 +228,12 @@ def _hex_or_literal(v: bytes) -> bytes | None:
 
 def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     """None = not encrypted. bytes = the RC4 base key for a file encrypted
-    with the STANDARD handler, V1/R2 (40-bit RC4) and an EMPTY user
-    password (verified against /U — the ubiquitous owner-locked shape).
-    Raises _UnsupportedEncryption for every other configuration (AES,
-    V≥2 with non-default lengths, real user passwords, encrypted files
-    using xref streams/ObjStm, malformed /Encrypt)."""
+    with the STANDARD handler — V1/R2 (40-bit) or V2/R3 (/Length up to
+    128-bit, the Acrobat 5+ shape that dominates real encrypted PDFs) —
+    and an EMPTY user password (verified against /U — the ubiquitous
+    owner-locked shape). Raises _UnsupportedEncryption for every other
+    configuration (AES/V4+, real user passwords, encrypted files using
+    xref streams/ObjStm, malformed /Encrypt)."""
     import hashlib
     import struct as _struct
 
@@ -262,8 +263,14 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
         raise _UnsupportedEncryption("non-standard security handler")
     vm = re.search(rb"/V\s+(\d+)", d)
     rm = re.search(rb"/R\s+(\d+)", d)
-    if not vm or not rm or int(vm.group(1)) != 1 or int(rm.group(1)) != 2:
-        raise _UnsupportedEncryption("only V1/R2 RC4 is modeled")
+    ver = int(vm.group(1)) if vm else 0
+    rev = int(rm.group(1)) if rm else 0
+    if (ver, rev) not in ((1, 2), (2, 3)):
+        raise _UnsupportedEncryption("only V1/R2 and V2/R3 RC4 are modeled")
+    lm = re.search(rb"/Length\s+(\d+)", d)
+    n_key = 5 if rev == 2 else (int(lm.group(1)) // 8 if lm else 5)
+    if not (5 <= n_key <= 16):
+        raise _UnsupportedEncryption("key length out of RC4 range")
     o_val = _hex_or_literal(_value_of(d, b"/O"))
     u_val = _hex_or_literal(_value_of(d, b"/U"))
     pm = re.search(rb"/P\s+(-?\d+)", d)
@@ -274,8 +281,20 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     h.update(o_val)
     h.update(_struct.pack("<i", int(pm.group(1))))
     h.update(file_id)
-    key = h.digest()[:5]
-    if _rc4(key, _PDF_PAD) != u_val:
+    digest = h.digest()
+    if rev >= 3:  # Algorithm 2, R3: 50 re-hash rounds of the key prefix
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n_key]).digest()
+    key = digest[:n_key]
+    if rev == 2:
+        ok = _rc4(key, _PDF_PAD) == u_val
+    else:  # Algorithm 5, R3: 20-round RC4 chain over md5(PAD ‖ ID),
+        # compare the first 16 bytes (the stored tail is arbitrary)
+        u = hashlib.md5(_PDF_PAD + file_id).digest()
+        for i in range(20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        ok = u == u_val[:16]
+    if not ok:
         raise _UnsupportedEncryption("user password is not empty")
     return key
 

@@ -411,10 +411,16 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     if not om:
         raise RuntimeError("unresolvable /Encrypt object")
     ed = om.group(1)
-    if (b"/Standard" not in ed
-            or not re.search(rb"/V\s+1\b", ed)
-            or not re.search(rb"/R\s+2\b", ed)):
-        raise RuntimeError("only Standard V1/R2 RC4 is modeled")
+    vq = re.search(rb"/V\s+(\d+)", ed)
+    rq = re.search(rb"/R\s+(\d+)", ed)
+    pair = (int(vq.group(1)) if vq else 0, int(rq.group(1)) if rq else 0)
+    if b"/Standard" not in ed or pair not in ((1, 2), (2, 3)):
+        raise RuntimeError("only Standard V1/R2 / V2/R3 RC4 is modeled")
+    rev = pair[1]
+    lq = re.search(rb"/Length\s+(\d+)", ed)
+    nk = 5 if rev == 2 else (int(lq.group(1)) // 8 if lq else 5)
+    if not (5 <= nk <= 16):
+        raise RuntimeError("RC4 key length out of range")
     ov = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", ed)
     pv = re.search(rb"/P\s+(-?\d+)", ed)
     uv = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", ed)
@@ -422,11 +428,22 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
         raise RuntimeError("non-hex /O //U or missing /P")
     o_val = bytes.fromhex(re.sub(rb"\s", b"", ov.group(1)).decode())
     file_id = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
-    key = hashlib.md5(
+    digest = hashlib.md5(
         _ORACLE_PDF_PAD + o_val + _struct.pack("<i", int(pv.group(1))) + file_id
-    ).digest()[:5]
+    ).digest()
+    if rev == 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:nk]).digest()
+    key = digest[:nk]
     u_val = bytes.fromhex(re.sub(rb"\s", b"", uv.group(1)).decode())
-    if _oracle_rc4(key, _ORACLE_PDF_PAD) != u_val:
+    if rev == 2:
+        ok = _oracle_rc4(key, _ORACLE_PDF_PAD) == u_val
+    else:
+        u = hashlib.md5(_ORACLE_PDF_PAD + file_id).digest()
+        for i in range(20):
+            u = _oracle_rc4(bytes(x ^ i for x in key), u)
+        ok = u == u_val[:16]
+    if not ok:
         raise RuntimeError("user password is not empty — out of twin scope")
     return key
 

@@ -668,8 +668,8 @@ def test_encrypted_pdf_golden_no_optional_libs():
     )
 
     pages = ["Encrypted alpha\nline two", "Second page\nmore text"]
-    for owner in (b"", b"owner-secret"):
-        data = write_encrypted_pdf(pages, owner_pwd=owner)
+    for owner, revision in ((b"", 2), (b"owner-secret", 2), (b"", 3), (b"owner-secret", 3)):
+        data = write_encrypted_pdf(pages, owner_pwd=owner, revision=revision)
         runs = tokenize_pdf_runs(data)
         assert runs is not None and assemble_reading_order(runs) == pages
         eng, eng_ocr = extract_real_pdf_text(data)
