@@ -74,12 +74,23 @@ def _extract_html_batch(s: pd.Series) -> pd.Series:
     if s.empty:
         return pd.Series([], dtype=object)
     lines = s.str.split("\n").explode()
-    # link text chars per line
-    link_chars = (
-        lines.str.findall(_LINK_RE, flags=re.S)
-        .map(lambda l: sum(len(x) for x in l) if isinstance(l, list) else 0)
-        .astype("int64")
-    )
+    # link text chars per line — findall only where "<a" occurs at all
+    # (~27% of fixture lines; the regex needs that literal to match, so the
+    # C-substring prefilter is a strict superset). Assignment goes through
+    # numpy positions: the exploded index has duplicates, and index-aligned
+    # Series assignment would misalign them.
+    import numpy as np
+
+    lc_vals = np.zeros(len(lines), dtype="int64")
+    mask = lines.str.contains("<a", regex=False).to_numpy()
+    if mask.any():
+        lc_vals[mask] = (
+            lines[mask]
+            .str.findall(_LINK_RE, flags=re.S)
+            .map(lambda l: sum(len(x) for x in l) if isinstance(l, list) else 0)
+            .to_numpy(dtype="int64")
+        )
+    link_chars = pd.Series(lc_vals, index=lines.index)
     # strip tags, unescape the generator's entity set, collapse whitespace
     text = lines.str.replace(_TAG_RE, "", regex=True)
     text = (
