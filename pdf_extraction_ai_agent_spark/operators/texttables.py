@@ -308,12 +308,26 @@ def lattice_cells_to_padded_rows(cells: DataFrame) -> DataFrame:
     output, PADDED to the table's full width: cells are keyed by col_idx
     (map) and missing columns become '' — positional compaction of only
     the non-empty cells would silently shift later columns on any row with
-    a blank cell and misalign header-resolved field indices."""
-    mx = cells.groupBy("doc_id", "page").agg(F.max("col_idx").alias("mx"))
+    a blank cell and misalign header-resolved field indices.
+
+    Plan: ONE aggregate to (doc_id, page, row_idx, cmap, per-row max
+    col_idx), then the page-wide pad width is a window max over that small
+    aggregated frame (max-of-per-row-max ≡ max over all cells). The
+    earlier shape computed the width with a SECOND aggregate over the raw
+    cells frame and joined it back — two different grouping keys meant two
+    different exchanges, no ReusedExchange, and the entire upstream lattice
+    parse subtree (ruling intersections + band joins) re-executed per
+    branch. The plan is now linear: the parse runs once."""
+    w_page = Window.partitionBy("doc_id", "page")
     return (
         cells.groupBy("doc_id", "page", "row_idx")
-        .agg(F.map_from_entries(F.collect_list(F.struct("col_idx", "cell_text"))).alias("cmap"))
-        .join(mx, ["doc_id", "page"])
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("col_idx", "cell_text"))
+            ).alias("cmap"),
+            F.max("col_idx").alias("row_mx"),
+        )
+        .withColumn("mx", F.max("row_mx").over(w_page))
         .select(
             "doc_id", "page", "row_idx",
             F.transform(

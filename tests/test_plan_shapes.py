@@ -415,3 +415,23 @@ def test_auto_ordering_strategy(spark, transcripts_df):
         assert "__turn_bkt" in _plan(big)
     finally:
         O.DEFAULT_TURN_BUCKET_WIDTH = orig
+
+
+def test_lattice_normalize_no_recompute(spark, sf_dir):
+    """q46's executed plan must not re-execute the lattice-parse subtree:
+    the padded-rows pad width is a window max (not a second aggregate
+    diamond) and the header attach is a window (not a headers/data
+    self-join), so q46 touches the source exactly as many times as q45
+    does. Round-4 regression: 21 scans vs q45's 6."""
+    from pdf_extraction_ai_agent_spark.entry_queries_ext6 import (
+        q45_lattice_tables,
+        q46_lattice_normalize,
+    )
+
+    q45 = q45_lattice_tables(spark, sf_dir)
+    q45.collect()
+    q46 = q46_lattice_normalize(spark, sf_dir)
+    q46.collect()
+    s45 = _plan(q45).count("Scan parquet")
+    s46 = _plan(q46).count("Scan parquet")
+    assert s46 <= s45, f"q46 re-executes the parse subtree: {s46} scans vs q45 {s45}"
