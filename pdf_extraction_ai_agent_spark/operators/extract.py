@@ -82,7 +82,10 @@ def _extract_html_batch(s: pd.Series) -> pd.Series:
     import numpy as np
 
     lc_vals = np.zeros(len(lines), dtype="int64")
-    mask = lines.str.contains("<a", regex=False).to_numpy()
+    # na=False keeps the mask strictly boolean: a null payload routed here
+    # would otherwise make contains() return NaN (object dtype) and the
+    # positional assignment below raise instead of scoring the row as 0
+    mask = lines.str.contains("<a", regex=False, na=False).to_numpy()
     if mask.any():
         lc_vals[mask] = (
             lines[mask]

@@ -15,9 +15,12 @@ Scope (returns None → caller falls through to the library chain):
 - content streams: raw or /Filter /FlateDecode (zlib is stdlib), incl.
   /DecodeParms PNG predictors 10–15 (Up=12 is the xref/objstm standard);
   any other filter or predictor, or a malformed tree, aborts the rung;
-- text operators: Tj, ' and " (show + newline), TJ arrays (kerning numbers
-  ignored), literal strings with escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f,
-  octal \\ddd, line continuations) and <hex> strings;
+- text operators: Tj and TJ arrays (kerning numbers ignored), literal
+  strings with escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f, octal \\ddd,
+  line continuations) and <hex> strings; the ' and " quote-show operators
+  OUTSIDE a TJ array abort the rung (their leading-based line advance is
+  out of scope — tokenize_pdf_runs returns None and the library chain
+  takes over);
 - line structure: Td/TD/T*/Tm between shows emit a newline — the idiom
   every mainstream generator uses for line advance.
 

@@ -396,9 +396,16 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     import struct as _struct
 
     t = data.rfind(b"trailer")
-    if t < 0 or b"/Encrypt" not in data[t:]:
-        if b"/Encrypt" in data and b"/XRef" in data:
-            raise RuntimeError("encrypted xref-stream PDF — out of twin scope")
+    if t < 0:
+        # mirror the engine (_encryption_key): an encrypted xref-stream
+        # layout announces /XRef and /Encrypt within a SINGLE object body;
+        # the two tokens merely co-occurring somewhere in document text
+        # must not trigger the bail
+        for om in re.finditer(rb"\d+\s+0\s+obj(.*?)endobj", data, re.S):
+            if b"/XRef" in om.group(1) and b"/Encrypt" in om.group(1):
+                raise RuntimeError("encrypted xref-stream PDF — out of twin scope")
+        return None
+    if b"/Encrypt" not in data[t:]:
         return None
     trailer = data[t:]
     em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", trailer)
@@ -463,11 +470,14 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     data = payload.encode("latin-1", errors="ignore")
     enc_key = _oracle_encryption_key(data)  # None = plaintext; raises on
     # any encryption the twins don't model (mirrors the engine rung's bail)
-    obj_starts = (
-        [(m.start(), int(m.group(1)))
-         for m in re.finditer(rb"(\d+)\s+0\s+obj\b", data)]
-        if enc_key is not None else []
-    )
+    # Owning-object tracking for per-object RC4 keys: headers are only
+    # valid OUTSIDE stream…endstream extents — a digit+' 0 obj' byte run
+    # occurring inside an earlier stream's ciphertext must not re-key the
+    # next stream (the engine parses real object boundaries). The scan
+    # advances gap-by-gap as the stream loop walks the file.
+    obj_head_re = re.compile(rb"(\d+)\s+0\s+obj\b")
+    cur_onum: int | None = None
+    gap_from = 0
     pages: list[list[tuple[float, float, str]]] = []
     pos = 0
     while True:
@@ -496,15 +506,14 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             pos = end
         if enc_key is not None:
             # per-object RC4: the owning object is the last `N 0 obj`
-            # before this stream (decryption wraps compression)
-            onum = None
-            for at, num in obj_starts:
-                if at > s:
-                    break
-                onum = num
-            if onum is None:
+            # before this stream that lies outside every stream body
+            # (decryption wraps compression)
+            for m in obj_head_re.finditer(data, gap_from, s):
+                cur_onum = int(m.group(1))
+            gap_from = pos
+            if cur_onum is None:
                 continue
-            raw = _oracle_rc4(_oracle_object_key(enc_key, onum), raw)
+            raw = _oracle_rc4(_oracle_object_key(enc_key, cur_onum), raw)
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)

@@ -47,7 +47,15 @@ def auto_salt_buckets(
     artificial fan-out). The pre-pass is one partial-agg job over a single
     column — at 100 TB that's the cheapest full scan there is, and it runs
     once per batch, not per consumer."""
-    mx = _max_conv_rows(transcripts)
+    return _salt_for_max_rows(_max_conv_rows(transcripts), target_rows_per_task, cap)
+
+
+def _salt_for_max_rows(
+    mx: int, target_rows_per_task: int = 50_000, cap: int = 512
+) -> int:
+    """The one formula mapping a max-conversation row count to a salt
+    fan-out — shared by auto_salt_buckets and extract_pipeline's 'auto'
+    branch so the two paths cannot drift."""
     return max(1, min(cap, -(-mx // target_rows_per_task)))
 
 
@@ -101,7 +109,7 @@ def extract_pipeline(
     ordering_bucket_width: int | None = DEFAULT_TURN_BUCKET_WIDTH
     if salt_buckets == "auto":
         mx = _max_conv_rows(transcripts)
-        salt_buckets = max(1, min(512, -(-mx // 50_000)))
+        salt_buckets = _salt_for_max_rows(mx)
         if mx <= DEFAULT_TURN_BUCKET_WIDTH:
             ordering_bucket_width = None  # no conv needs the fan-out
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")

@@ -685,3 +685,23 @@ def test_encrypted_pdf_golden_no_optional_libs():
         extract_real_pdf_text(locked)  # library chain absent in sandbox
     with pytest.raises(RuntimeError):
         extract_real_pdf(locked.decode("latin-1"))
+
+
+def test_plaintext_pdf_with_encrypt_tokens_in_text():
+    """ADVICE r4 parity fix: a PLAINTEXT classic-xref PDF whose document
+    text happens to contain the literals '/Encrypt' and '/XRef' must
+    extract identically in engine and oracle — neither side may bail to
+    the encrypted-xref-stream error just because the two tokens co-occur
+    somewhere in the file bytes (they must appear within one object body
+    to mean an encrypted layout)."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["see /Encrypt spec", "and the /XRef chapter"]
+    data = write_minimal_pdf(pages, compress=False)
+    assert tokenize_pdf_text(data) == pages
+    text, _ocr = extract_real_pdf(data.decode("latin-1"))
+    assert "/Encrypt spec" in text and "/XRef chapter" in text
