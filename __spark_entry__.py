@@ -42,7 +42,11 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("html_paste").alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
-    out = extract_pipeline(transcripts, with_fields=True, with_lob=True)
+    # auto: one cheap single-column pre-pass picks the salt fan-out and the
+    # ordering strategy (uniform corpus → salt 1 + plain conv-wide window)
+    out = extract_pipeline(
+        transcripts, with_fields=True, with_lob=True, salt_buckets="auto"
+    )
     return out.select(
         "conv_id", "turn_idx", "turn_pos", "extracted_text", "needs_ocr",
         "payload_kind", "claim_number", "date", "confidence", "lob",

@@ -31,15 +31,21 @@ def main():
                     help="lineage buckets = resume granularity; ~2-4× executor count")
     ap.add_argument("--bucket-group-size", type=int, default=8)
     ap.add_argument("--run-group", default="default")
-    ap.add_argument("--salt-buckets", default="8",
-                    help="int, or 'auto' to derive from the largest conversation "
-                         "(one column-pruned pre-pass; plans/pipeline.py)")
+    ap.add_argument("--salt-buckets", default="auto",
+                    help="'auto' (default) derives the fan-out AND ordering "
+                         "strategy from the largest conversation — one "
+                         "column-pruned pre-pass whose result is cached in "
+                         "the lineage stats table per run-group, so resumes "
+                         "skip it; or a fixed int")
     args = ap.parse_args()
     salt = args.salt_buckets if args.salt_buckets == "auto" else int(args.salt_buckets)
 
     from pyspark.sql import SparkSession
 
-    from pdf_extraction_ai_agent_spark.plans.lineage import run_with_lineage
+    from pdf_extraction_ai_agent_spark.plans.lineage import (
+        cached_max_conv_rows,
+        run_with_lineage,
+    )
     from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
 
     # on a cluster, master/executors come from spark-submit; only engine
@@ -58,10 +64,17 @@ def main():
     else:
         transcripts = spark.read.parquet(args.input)
 
+    mx = None
+    if salt == "auto":
+        mx = cached_max_conv_rows(
+            spark, transcripts, args.lineage, run_group=args.run_group,
+            fmt=args.format,
+        )
+
     metrics = run_with_lineage(
         spark,
         transcripts,
-        lambda df: extract_pipeline(df, salt_buckets=salt),
+        lambda df: extract_pipeline(df, salt_buckets=salt, max_conv_rows=mx),
         out_path=args.output,
         lineage_path=args.lineage,
         run_group=args.run_group,

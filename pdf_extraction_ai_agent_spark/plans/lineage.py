@@ -75,6 +75,66 @@ class LineageStore:
         ).withColumn("finished_at", F.current_timestamp())
         df.write.format(self.fmt).mode("append").save(self.path)
 
+    # -- input-snapshot statistics ------------------------------------
+    # Tiny side table at <lineage>_stats: (run_group, stat, value,
+    # computed_at). A run_group is pinned to one input snapshot by the
+    # resume protocol (resume assumes the input is identical across
+    # reruns), so keying stats by run_group keys them by snapshot — a
+    # rerun reads the cached stat instead of re-scanning the corpus.
+
+    def _stats_path(self) -> str:
+        return self.path.rstrip("/") + "_stats"
+
+    def get_stat(self, run_group: str, stat: str) -> float | None:
+        try:
+            df = self.spark.read.format(self.fmt).load(self._stats_path())
+        except Exception:
+            return None
+        rows = (
+            df.filter((F.col("run_group") == run_group) & (F.col("stat") == stat))
+            .orderBy(F.col("computed_at").desc())
+            .select("value")
+            .limit(1)
+            .collect()
+        )
+        return float(rows[0].value) if rows else None
+
+    def put_stat(self, run_group: str, stat: str, value: float) -> None:
+        (
+            self.spark.createDataFrame(
+                [(run_group, stat, float(value))],
+                "run_group string, stat string, value double",
+            )
+            .withColumn("computed_at", F.current_timestamp())
+            .write.format(self.fmt)
+            .mode("append")
+            .save(self._stats_path())
+        )
+
+
+def cached_max_conv_rows(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    lineage_path: str,
+    run_group: str = "default",
+    fmt: str = "parquet",
+) -> int:
+    """The largest conversation's row count for this run_group's input
+    snapshot, computed AT MOST ONCE per snapshot: read from the lineage
+    stats table when present, else one column-pruned pre-pass
+    (pipeline._max_conv_rows) whose result is persisted for every later
+    rerun/resume of the same run_group. Feed the result to
+    ``extract_pipeline(..., salt_buckets='auto', max_conv_rows=...)``."""
+    from .pipeline import _max_conv_rows
+
+    store = LineageStore(spark, lineage_path, fmt=fmt)
+    cached = store.get_stat(run_group, "max_conv_rows")
+    if cached is not None:
+        return int(cached)
+    mx = _max_conv_rows(transcripts)
+    store.put_stat(run_group, "max_conv_rows", float(mx))
+    return mx
+
 
 def run_with_lineage(
     spark: SparkSession,

@@ -89,6 +89,7 @@ def extract_pipeline(
     with_lob: bool = True,
     salt_buckets: int | str = DEFAULT_SALT_BUCKETS,
     observation=None,
+    max_conv_rows: int | None = None,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -100,6 +101,11 @@ def extract_pipeline(
     used instead (ROADMAP round-5 item 2). Static configurations keep the
     two-phase default: safe at any skew, modest constant overhead.
 
+    ``max_conv_rows`` short-circuits the pre-pass when the caller already
+    knows the stat (e.g. read from the lineage stats table for this input
+    snapshot — plans/lineage.py cached_max_conv_rows); ignored unless
+    ``salt_buckets='auto'``.
+
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
     [, lob, lobs]).
@@ -108,7 +114,7 @@ def extract_pipeline(
 
     ordering_bucket_width: int | None = DEFAULT_TURN_BUCKET_WIDTH
     if salt_buckets == "auto":
-        mx = _max_conv_rows(transcripts)
+        mx = max_conv_rows if max_conv_rows is not None else _max_conv_rows(transcripts)
         salt_buckets = _salt_for_max_rows(mx)
         if mx <= DEFAULT_TURN_BUCKET_WIDTH:
             ordering_bucket_width = None  # no conv needs the fan-out

@@ -65,3 +65,31 @@ def test_partial_failure_resume(spark, transcripts_df, tmp_path_factory):
     )
     assert m["skipped_buckets"] == 2
     assert spark.read.parquet(out).count() == transcripts_df.count()
+
+
+def test_cached_max_conv_rows_stat_reuse(spark, transcripts_df, tmp_path_factory):
+    """The auto-strategy pre-pass runs at most once per run_group/input
+    snapshot: the first call scans and persists the stat to
+    <lineage>_stats; a later call (resume) reads the cached value WITHOUT
+    re-scanning — proven by handing it a different frame and still getting
+    the first snapshot's number back."""
+    from pdf_extraction_ai_agent_spark.plans.lineage import cached_max_conv_rows
+    from pdf_extraction_ai_agent_spark.plans.pipeline import _max_conv_rows
+
+    base = str(tmp_path_factory.mktemp("lineage3"))
+    lin = os.path.join(base, "lineage")
+    truth = _max_conv_rows(transcripts_df)
+    assert truth > 0
+
+    mx1 = cached_max_conv_rows(spark, transcripts_df, lin, run_group="g3")
+    assert mx1 == truth
+    assert spark.read.parquet(lin + "_stats").count() == 1
+
+    # resume path: a poisoned input must NOT be scanned — cache wins
+    poisoned = transcripts_df.limit(1)
+    mx2 = cached_max_conv_rows(spark, poisoned, lin, run_group="g3")
+    assert mx2 == truth
+
+    # a different run_group (different snapshot) recomputes
+    mx3 = cached_max_conv_rows(spark, poisoned, lin, run_group="g3b")
+    assert mx3 == 1
