@@ -91,7 +91,7 @@ def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches candidates only — no quadratic in-block enumeration anywhere in
     the plan — and the verify stage measures the estimated quantity."""
     docs = _docs(spark, sf_dir)
-    sig = dedup.minhash_signatures(docs)
+    sig = dedup.minhash_signatures(docs, hash_impl="md5")  # oracle replays md5
     cand = dedup.lsh_candidates(sig)
     out = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.8, unit="shingle")
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -136,7 +136,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
 
 
 def q13_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.minhash_signatures(_docs(spark, sf_dir), hash_impl="md5")
 
 
 def _q13_sql() -> str:
@@ -157,7 +157,7 @@ GROUP BY doc_id
 
 
 def q14_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, hash_impl="md5")
 
 
 def _band_rows_sql() -> str:
@@ -207,7 +207,7 @@ WHERE CAST(({matches}) AS DOUBLE) / {NUM_PERMS} >= 0.5
 
 
 def q15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash(_docs(spark, sf_dir), hash_impl="md5")
 
 
 def _q15_sql() -> str:

@@ -26,8 +26,11 @@ def q36_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point cosine verify — no all-pairs join anywhere (plan pinned in
     tests/test_plan_shapes.py; recall vs the all-pairs form pinned in
     tests/test_dedup_similarity.py)."""
+    # demo geometry pinned: the DuckDB twin replays 16 planes × 2-bit
+    # bands, and the low demo threshold needs the wide-recall buckets
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T
+        _t(spark, sf_dir, "embeddings"), threshold=_NEARDUP_T,
+        n_planes=similarity.N_PLANES, band_bits=similarity.BAND_BITS,
     )
 
 

@@ -68,7 +68,7 @@ def q40_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair source as q12 — no quadratic in-block enumeration)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     full = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(full)
+    sig = dedup.minhash_signatures(full, hash_impl="md5")  # oracle replays md5
     pairs = dedup.jaccard_pairs(
         full, pairs=dedup.lsh_candidates(sig), threshold=0.8, unit="shingle"
     )

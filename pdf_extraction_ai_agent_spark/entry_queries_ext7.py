@@ -269,10 +269,10 @@ def q52_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     prior = tracked_persist(
-        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0))
+        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0), hash_impl="md5")
     )
     new = tracked_persist(
-        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1))
+        dedup.minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1), hash_impl="md5")
     )
     return dedup.incremental_lsh_candidates(prior, new)
 

@@ -160,7 +160,7 @@ _FAST_HASHES = {"fast": _hash_tokens_fast, "fnv": _hash_tokens_fnv}
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       k: int = 3, hash_impl: str = "md5") -> DataFrame:
+                       k: int = 3, hash_impl: str = "fnv") -> DataFrame:
     """(doc_id, mh_0..mh_{NUM_PERMS-1}) — min over word-k-gram shingle
     hashes per permutation.
 
@@ -172,14 +172,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     computed where the doc lives); docs with fewer than k words produce no
     row (matches the SQL oracle).
 
-    ``hash_impl``: 'md5' (default) = the engine-portable 60-bit md5 hash
-    the DuckDB oracles replay, one hashlib call per shingle; 'fast' =
-    vectorized siphash over the whole batch's shingles at once + segment
-    minima via ``np.minimum.reduceat`` — same signatures semantics,
-    different (non-oracle) hash values; 'fnv' = vectorized canonical
-    FNV-1a-64 (_hash_tokens_fnv): near-'fast' speed AND version-stable by
-    construction — the production choice when signatures are PERSISTED
-    across runs. Bench records the speedups.
+    ``hash_impl``: 'fnv' (default since round 5 — ROADMAP 8) = vectorized
+    canonical FNV-1a-64 (_hash_tokens_fnv): fastest measured AND
+    version-stable by construction, safe to persist across runs (golden
+    constants pinned in tests); 'md5' = the engine-portable 60-bit md5
+    hash the DuckDB oracles replay, one hashlib call per shingle — the
+    oracle-gated queries pin it explicitly; 'fast' = vectorized siphash
+    (kept for comparison; pandas documents no cross-version stability
+    contract, so never persist 'fast' signatures). Bench records the
+    md5↔fast↔fnv speedups.
     """
     import numpy as np
     import pandas as pd
@@ -350,14 +351,15 @@ def signature_state_union(prior_sig: DataFrame, new_sig: DataFrame) -> DataFrame
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+                      k: int = 3, threshold: float = 0.5,
+                      hash_impl: str = "fnv") -> DataFrame:
     """Candidate near-dup pairs from LSH buckets (lsh_candidates), scored by
     the signature jaccard estimate (fraction of agreeing minhashes),
     thresholded."""
     # signatures feed three plan legs (bands + both score sides): persist,
     # or Spark recomputes the whole shingle/hash kernel 3×. At cluster scale
     # this is a materialized signatures table instead.
-    sig = tracked_persist(minhash_signatures(df, id_col, text_col, k))
+    sig = tracked_persist(minhash_signatures(df, id_col, text_col, k, hash_impl))
     cand = lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_PERMS)])
@@ -385,15 +387,15 @@ SIMHASH_BITS = 32  # 32-bit keeps the bit-sum explode at 32×words rows
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            hash_impl: str = "md5") -> DataFrame:
+            hash_impl: str = "fnv") -> DataFrame:
     """(doc_id, simhash) — sign aggregation over DISTINCT word hashes.
 
     Arrow-batched mapInPandas kernel (numpy bit matrix): the declarative
     form needs a 32× bit-index explode whose shift expressions fall out of
     codegen; the kernel is map-only (no shuffle) and bit-exact against the
     SQL oracle. Docs with no words produce no row. ``hash_impl`` as in
-    minhash_signatures: 'md5' = oracle-portable, 'fast' = one vectorized
-    siphash call + reduceat bit-sums for the whole batch.
+    minhash_signatures ('fnv' default — vectorized + version-stable;
+    'md5' = oracle-portable; 'fast' = siphash, non-persistable).
     """
     import numpy as np
     import pandas as pd
@@ -455,11 +457,11 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, hash_impl: str = "fnv") -> DataFrame:
     """Near-dup pairs by simhash banding: split the 32-bit sig into 4 bytes;
     pairs sharing ≥1 byte-band are candidates (pigeonhole covers ≤3 flips),
     verified by exact Hamming distance."""
-    sig = tracked_persist(simhash(df, id_col, text_col))  # two join legs below
+    sig = tracked_persist(simhash(df, id_col, text_col, hash_impl))  # two join legs below
     bands = sig.select(
         "doc_id", "simhash",
         F.explode(

@@ -34,8 +34,15 @@ from ..plans.cache import tracked_persist
 
 QUANT = 1_000_000  # fixed-point scale for exact integer dot products
 
-N_PLANES = 16  # sign-LSH hyperplanes (bits in the signature)
-BAND_BITS = 2  # bits per LSH band → N_PLANES // BAND_BITS bands
+N_PLANES = 16  # demo sign-LSH hyperplanes (the DuckDB oracles replay these)
+BAND_BITS = 2  # demo bits per LSH band → N_PLANES // BAND_BITS bands
+# Production geometry (round-5 default for embedding_near_dup_pairs): at
+# real near-dup thresholds (>=0.9) selective buckets need 64 planes x 8-bit
+# bands — candidates stay ~3% of pairs instead of ~90% (bench row
+# q36_near_dups_prod_geometry; recall >=0.95 pinned on planted dups). The
+# demo 16x2 constants remain for the oracle-gated low-threshold queries.
+PROD_N_PLANES = 64
+PROD_BAND_BITS = 8
 EMB_DIM = 64   # embedding dimensionality of the corpus tables
 
 
@@ -237,8 +244,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
-    band_bits: int = BAND_BITS,
+    n_planes: int = PROD_N_PLANES,
+    band_bits: int = PROD_BAND_BITS,
     dim: int = EMB_DIM,
     max_bucket: int | None = None,
 ) -> DataFrame:
@@ -252,9 +259,10 @@ def embedding_near_dup_pairs(
     self-equi-join (the only corpus shuffle; AQE splits skewed buckets,
     ``max_bucket`` drops adversarial mega-buckets) → exact verify on
     candidates only. No cartesian / BroadcastNestedLoopJoin (pinned in
-    tests/test_plan_shapes.py). At real near-dup thresholds (≥0.9) use
-    n_planes=64+, band_bits=4+ for selective buckets; the 16×2 default
-    fits this demo corpus's low threshold.
+    tests/test_plan_shapes.py). Defaults are the PRODUCTION geometry
+    (64 planes × 8-bit bands) sized for real thresholds (≥0.9); pass the
+    demo 16×2 (N_PLANES/BAND_BITS) for low-threshold exploratory runs —
+    the oracle-gated q36 does, matching its DuckDB twin.
     """
     base = tracked_persist(rh_signatures_exact(emb, n_planes, dim, id_col, vec_col))
     bands = _band_explode(base, n_planes, band_bits)

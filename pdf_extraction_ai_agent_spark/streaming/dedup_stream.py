@@ -123,14 +123,16 @@ def streaming_embedding_lsh_candidates(
     (pair_scores_exact + cosine threshold) run per microbatch in
     foreachBatch exactly as in batch."""
     from ..operators.similarity import (
-        BAND_BITS,
-        N_PLANES,
+        PROD_BAND_BITS,
+        PROD_N_PLANES,
         _band_explode,
         rh_signatures_exact,
     )
 
-    sig = rh_signatures_exact(stream, id_col=id_col, vec_col=vec_col)
-    bands = _band_explode(sig, n_planes=N_PLANES, band_bits=BAND_BITS).select(
+    sig = rh_signatures_exact(
+        stream, n_planes=PROD_N_PLANES, id_col=id_col, vec_col=vec_col
+    )
+    bands = _band_explode(sig, n_planes=PROD_N_PLANES, band_bits=PROD_BAND_BITS).select(
         F.col("vid").alias("doc_id"), "band_idx", "band_key"
     )
     return _stateful_bucket_pairs(bands, max_bucket)

@@ -39,14 +39,22 @@ def test_minhash_lsh_finds_near_dups(docs):
 
 
 def test_simhash_hamming(docs):
+    # family-independent invariants hold under the fnv DEFAULT: exact /
+    # normalized duplicates collide regardless of the hash family
     sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")
     assert ham(1, 2) == 0
     assert ham(1, 3) == 0
+
+    # the distance CONSTANTS below are md5-family values (the DuckDB
+    # oracle's family) — pin them against hash_impl='md5' explicitly
+    sig = {r.doc_id: r.simhash
+           for r in dedup.simhash(docs, hash_impl="md5").collect()}
     assert ham(1, 4) <= 8
     assert ham(1, 5) > 8
 
-    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.simhash_pairs(docs, max_hamming=8, hash_impl="md5").collect()}
     assert (1, 2) in pairs and (1, 4) in pairs
 
 
@@ -151,7 +159,10 @@ def test_near_dup_lsh_recall_vs_allpairs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     blocked = {
         (r.id_a, r.id_b): r.cosine
-        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.35).collect()
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.35,
+            n_planes=similarity.N_PLANES, band_bits=similarity.BAND_BITS,
+        ).collect()
     }
     exact = {
         (r.id_a, r.id_b): r.cosine

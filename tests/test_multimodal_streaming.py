@@ -251,7 +251,14 @@ def test_streaming_embedding_lsh_matches_batch(spark, tmp_path_factory, sf_dir):
     )
     q.awaitTermination()
 
-    bands = _band_explode(rh_signatures_exact(spark.read.parquet(src)), 16, 2)
+    from pdf_extraction_ai_agent_spark.operators.similarity import (
+        PROD_BAND_BITS, PROD_N_PLANES,
+    )
+
+    bands = _band_explode(
+        rh_signatures_exact(spark.read.parquet(src), n_planes=PROD_N_PLANES),
+        PROD_N_PLANES, PROD_BAND_BITS,
+    )
     l = bands.select(F.col("vid").alias("doc_a"), "band_idx", "band_key")
     r = bands.select(F.col("vid").alias("doc_b"), "band_idx", "band_key")
     expected = {
