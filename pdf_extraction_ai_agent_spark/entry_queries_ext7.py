@@ -418,3 +418,75 @@ def q54_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT7_QUERIES["q54_encrypted_pdf_roundtrip"] = q54_encrypted_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q54_encrypted_pdf_roundtrip"] = _Q49_SQL
+
+
+# ---------------------------------------------------------------------------
+# q55 — CID-FONT PDF round trip under the ORACLE GATE: the q49 text
+# contract over PDFs whose text is shown through a Type0 (CID-keyed) font
+# with /Encoding /Identity-H and an embedded /ToUnicode CMap — the shape
+# modern office suites emit (reference extract_text.py:39-66 reads these
+# via pdfplumber/fitz). Character codes are sequential 2-byte CIDs
+# disjoint from latin-1, so the mapping is provably applied; per-doc
+# parities mix Flate compression, TJ-array kerning and the bfrange array
+# form. The q49 SQL twin is reused (same text contract, orthogonal to the
+# font encoding); the oracle char-scanner resolves the same CMaps with
+# its own independent parser.
+# ---------------------------------------------------------------------------
+
+
+def q55_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_cid_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                # single page, Td line-advance idiom; the paragraph gap to
+                # the Total line comes from the q49 layout being reused on
+                # the simple-font side only — here lines are consecutive,
+                # so the contract drops the blank line (own SQL twin below)
+                page = (
+                    f"Claim C{doc_id}\nBody {norm30}\nTotal {doc_id % 97}.00"
+                )
+                data = write_cid_pdf(
+                    [page],
+                    compress=bool(doc_id % 2),
+                    tj_arrays=doc_id % 3 == 0,
+                    array_ranges=doc_id % 5 == 0,
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+_Q55_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT7_QUERIES["q55_cid_pdf_roundtrip"] = q55_cid_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q55_cid_pdf_roundtrip"] = _Q55_SQL

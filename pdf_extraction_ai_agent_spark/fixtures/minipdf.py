@@ -379,3 +379,150 @@ def write_encrypted_pdf(
         + b"startxref\n%d\n%%%%EOF\n" % xref_at
     )
     return bytes(out)
+
+
+# --- CID-keyed (Type0) fonts with ToUnicode CMaps -------------------------
+
+
+def _cid_codes(pages: list[str]) -> dict[str, int]:
+    """Deterministic char → 2-byte CID assignment: distinct chars of the
+    whole document, sorted, numbered from 0x0100. The offset keeps every
+    code DISJOINT from latin-1 byte values, so a tokenizer that ignored
+    the CMap would produce garbage rather than accidentally-right text —
+    the fixture actually proves the mapping is applied."""
+    charset = sorted(set("".join(pages)))
+    return {ch: 0x0100 + i for i, ch in enumerate(charset)}
+
+
+def _tounicode_cmap(codes: dict[str, int], array_ranges: bool) -> bytes:
+    """ToUnicode CMap stream body: maximal runs of consecutive codes
+    mapping to consecutive code points become bfrange entries (increment
+    form, or the `[ ]` array form when ``array_ranges``); singletons
+    become bfchar entries — both constructs the parser must handle."""
+    items = sorted((c, ord(ch)) for ch, c in codes.items())
+    runs: list[tuple[int, int, list[int]]] = []  # (lo_code, hi_code, dsts)
+    for code, cp in items:
+        if runs and code == runs[-1][1] + 1 and cp == runs[-1][2][-1] + 1:
+            runs[-1] = (runs[-1][0], code, runs[-1][2] + [cp])
+        else:
+            runs.append((code, code, [cp]))
+    chars = [(lo, d[0]) for lo, hi, d in runs if lo == hi]
+    ranges = [(lo, hi, d) for lo, hi, d in runs if hi > lo]
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    if chars:
+        parts.append(f"{len(chars)} beginbfchar")
+        parts += [f"<{c:04X}> <{cp:04X}>" for c, cp in chars]
+        parts.append("endbfchar")
+    if ranges:
+        parts.append(f"{len(ranges)} beginbfrange")
+        for lo, hi, dsts in ranges:
+            if array_ranges:
+                arr = " ".join(f"<{cp:04X}>" for cp in dsts)
+                parts.append(f"<{lo:04X}> <{hi:04X}> [{arr}]")
+            else:
+                parts.append(f"<{lo:04X}> <{hi:04X}> <{dsts[0]:04X}>")
+        parts.append("endbfrange")
+    parts += ["endcmap", "CMapName currentdict /CMap defineresource pop", "end", "end"]
+    return "\n".join(parts).encode("latin-1")
+
+
+def _cid_content_stream(page: str, codes: dict[str, int], tj_arrays: bool) -> bytes:
+    """Content stream showing the page text as hex CID strings under /F1
+    (Identity-H): `<0100010B…> Tj`, same Td line-advance idiom as
+    _content_stream; ``tj_arrays`` renders every other line as a kerned
+    TJ array of two hex halves."""
+    def hx(s: str) -> str:
+        return "".join(f"{codes[ch]:04X}" for ch in s)
+
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(page.split("\n")):
+        if i > 0:
+            ops.append("0 -16 Td")
+        if tj_arrays and i % 2 == 1 and len(line) > 2:
+            mid = len(line) // 2
+            ops.append(f"[<{hx(line[:mid])}> -120 <{hx(line[mid:])}>] TJ")
+        else:
+            ops.append(f"<{hx(line)}> Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def write_cid_pdf(
+    pages: list[str],
+    compress: bool = False,
+    tj_arrays: bool = False,
+    array_ranges: bool = False,
+) -> bytes:
+    """``write_minimal_pdf`` variant whose text is shown through a CID-keyed
+    Type0 font — /Encoding /Identity-H, a /DescendantFonts CIDFontType2
+    stub and an embedded /ToUnicode CMap stream — the dominant shape
+    modern office suites emit (reference extract_text.py handles it via
+    pdfplumber/fitz; operators/pdftext.py's rung decodes it
+    dependency-free). Shown strings are 2-byte-code hex strings whose
+    values are NOT the characters (see _cid_codes); ``compress`` also
+    Flate-wraps the CMap stream, exercising the filtered-CMap path."""
+    codes = _cid_codes(pages)
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{6 + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeSans "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] /ToUnicode 5 0 R >>"
+    )
+    objs[4] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FakeSans "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>"
+    )
+    cmap = _tounicode_cmap(codes, array_ranges)
+    cfilt = b""
+    if compress:
+        cmap = zlib.compress(cmap)
+        cfilt = b"/Filter /FlateDecode "
+    objs[5] = (
+        b"<< " + cfilt + f"/Length {len(cmap)} >>".encode("latin-1")
+        + b"\nstream\n" + cmap + b"\nendstream"
+    )
+    for i, text in enumerate(pages):
+        page_num, cont_num = 6 + 2 * i, 7 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        data = _cid_content_stream(text, codes, tj_arrays)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1") + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    total = max(objs) + 1
+    out += f"xref\n0 {total}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for num in range(1, total):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)

@@ -22,11 +22,21 @@ Scope (returns None → caller falls through to the library chain):
   out of scope — tokenize_pdf_runs returns None and the library chain
   takes over);
 - line structure: Td/TD/T*/Tm between shows emit a newline — the idiom
-  every mainstream generator uses for line advance.
+  every mainstream generator uses for line advance;
+- CID-keyed (Type0) fonts with /Encoding /Identity-H and an embedded
+  /ToUnicode CMap — the shape every modern office suite emits: the
+  current font is tracked through `/Name size Tf`, shown strings under a
+  Type0 font are decoded as big-endian 2-byte codes through the CMap's
+  bfchar/bfrange entries (UTF-16BE destinations). A Type0 font with any
+  other encoding, a missing/undecodable ToUnicode, an unmapped code, an
+  odd-length CID string — or ANY unresolvable Tf name while the file
+  declares a Type0 font — aborts the rung (wrong text must never beat no
+  text).
 
-NOT a general PDF renderer: no encryption, CID fonts, or full layout
-reconstruction — exactly the subset a trustworthy fallback can promise,
-with everything else handed to the real libraries.
+NOT a general PDF renderer: no layout-program CMaps (only ToUnicode), no
+simple-font /Differences encodings, no full layout reconstruction —
+exactly the subset a trustworthy fallback can promise, with everything
+else handed to the real libraries.
 """
 
 from __future__ import annotations
@@ -164,6 +174,159 @@ def _value_of(d: bytes, key: bytes) -> bytes:
         return rest
     nxt = re.search(rb"/[A-Za-z]+|>>", rest)
     return rest[: nxt.start()] if nxt else rest
+
+
+# --- CID-keyed (Type0) fonts / ToUnicode CMaps ----------------------------
+
+_TF_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+-?[0-9.]+\s+Tf(?![A-Za-z0-9])")
+_FONT_PAIR_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+0\s+R")
+_BFHEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+class _UnsupportedFont(Exception):
+    """A Type0 font configuration this rung does not model → caller
+    returns None and the library chain takes over."""
+
+
+def _nested_dict_of(d: bytes, key: bytes, objs: dict[int, bytes]) -> bytes:
+    """The dictionary VALUE of /key inside dict ``d`` — either an inline
+    `<< … >>` (brace-balanced) or an indirect reference resolved through
+    the object map. b'' when absent/unresolvable."""
+    m = re.search(re.escape(key) + rb"(?![A-Za-z0-9])\s*", d)
+    if not m:
+        return b""
+    rest = d[m.end():]
+    if rest.startswith(b"<<"):
+        return _dict_of(rest)
+    rm = _REF_RE.match(rest)
+    if rm:
+        body = objs.get(int(rm.group(1)))
+        return _dict_of(body) if body is not None else b""
+    return b""
+
+
+def _utf16be_hex(hx: bytes) -> str | None:
+    """UTF-16BE code units from a CMap hex destination; None on malformed
+    input (odd nibbles, non-unit length, unpaired surrogates)."""
+    h = re.sub(rb"\s", b"", hx)
+    if len(h) % 4:
+        return None
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _parse_tounicode(cm: bytes) -> dict[int, str] | None:
+    """CID → unicode map from a ToUnicode CMap stream: beginbfchar pairs
+    and beginbfrange triples, both the `<lo> <hi> <dstStart>` increment
+    form and the `<lo> <hi> [<d0> <d1> …]` array form. None on anything
+    malformed — a partial map would extract silently wrong text."""
+    out: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", cm, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]*)>", sec.group(1)):
+            dst = _utf16be_hex(pm.group(2))
+            if dst is None:
+                return None
+            out[int(re.sub(rb"\s", b"", pm.group(1)), 16)] = dst
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", cm, re.S):
+        body = sec.group(1)
+        pos = 0
+        while True:
+            rm = re.compile(
+                rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\[|<)"
+            ).search(body, pos)
+            if not rm:
+                # leftover non-whitespace would mean an entry we failed to
+                # parse — refuse rather than drop mappings
+                if re.search(rb"<", body[pos:]):
+                    return None
+                break
+            lo = int(re.sub(rb"\s", b"", rm.group(1)), 16)
+            hi = int(re.sub(rb"\s", b"", rm.group(2)), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                return None
+            if rm.group(3) == b"[":
+                close = body.find(b"]", rm.end())
+                if close < 0:
+                    return None
+                dsts = _BFHEX_RE.findall(body, rm.end(), close)
+                if len(dsts) != hi - lo + 1:
+                    return None
+                for k, dh in enumerate(dsts):
+                    s = _utf16be_hex(dh)
+                    if s is None:
+                        return None
+                    out[lo + k] = s
+                pos = close + 1
+            else:
+                gm = _BFHEX_RE.match(body, rm.end() - 1)
+                if not gm:
+                    return None
+                s = _utf16be_hex(gm.group(1))
+                if s is None or not s:
+                    return None
+                # the increment applies to the LAST UTF-16 code unit
+                prefix, last = s[:-1], ord(s[-1])
+                if last + (hi - lo) > 0xFFFF:
+                    return None
+                for k in range(hi - lo + 1):
+                    out[lo + k] = prefix + chr(last + k)
+                pos = gm.end()
+    return out
+
+
+def _page_fonts(
+    objs: dict[int, bytes], page_d: bytes, enc_key: bytes | None
+) -> dict[bytes, dict[int, str] | None]:
+    """Resource name → ToUnicode map (Type0 fonts) or None (simple fonts)
+    for one page. Raises _UnsupportedFont on a Type0 font whose encoding
+    is not /Identity-H or whose ToUnicode is missing/undecodable."""
+    fonts: dict[bytes, dict[int, str] | None] = {}
+    res_d = _nested_dict_of(page_d, b"/Resources", objs)
+    if not res_d:
+        return fonts
+    font_d = _nested_dict_of(res_d, b"/Font", objs)
+    for pm in _FONT_PAIR_RE.finditer(font_d):
+        name, num = pm.group(1), int(pm.group(2))
+        body = objs.get(num)
+        if body is None:
+            continue  # unresolved name → Tf bails if the file has Type0
+        fd = _dict_of(body)
+        if b"/Type0" not in fd:
+            fonts[name] = None
+            continue
+        # the value of /Encoding is itself a name — match it directly
+        # (_value_of stops at the next /name, so it can't return one)
+        if not re.search(rb"/Encoding\s*/Identity-H(?![A-Za-z0-9])", fd):
+            raise _UnsupportedFont("Type0 encoding other than Identity-H")
+        tm = _REF_RE.search(_value_of(fd, b"/ToUnicode"))
+        if not tm or int(tm.group(1)) not in objs:
+            raise _UnsupportedFont("Type0 font without a ToUnicode CMap")
+        tnum = int(tm.group(1))
+        raw = _stream_data(objs[tnum], num=tnum, enc_key=enc_key)
+        cmap = _parse_tounicode(raw) if raw is not None else None
+        if cmap is None:
+            raise _UnsupportedFont("undecodable ToUnicode CMap")
+        fonts[name] = cmap
+    return fonts
+
+
+def _decode_shown(raw: bytes, cmap: dict[int, str] | None) -> str | None:
+    """Shown-string bytes → text: latin-1 under a simple font, big-endian
+    2-byte codes through the CMap under a Type0 font. None (→ rung bail)
+    on odd-length CID strings or unmapped codes."""
+    if cmap is None:
+        return raw.decode("latin-1")
+    if len(raw) % 2:
+        return None
+    out: list[str] = []
+    for k in range(0, len(raw), 2):
+        s = cmap.get((raw[k] << 8) | raw[k + 1])
+        if s is None:
+            return None
+        out.append(s)
+    return "".join(out)
 
 
 # --- PDF standard security handler (V1/R2, 40-bit RC4) --------------------
@@ -462,11 +625,62 @@ _ESCAPES = {
 }
 
 
-def _tokenize_content(content: bytes) -> str:
-    """Text-showing pass over one page's content stream."""
+def _literal_bytes(content: bytes, i: int) -> tuple[bytes, int]:
+    """Decode the literal string starting at ``content[i] == '('`` into its
+    raw BYTES (escape/nesting/continuation aware); returns (bytes, index
+    one past the closing paren). Shared by the flat-text and positioned
+    walks so a show's bytes decode identically before the font stage."""
+    buf = bytearray()
+    depth = 1
+    i += 1
+    n = len(content)
+    while i < n and depth:
+        ch = content[i]
+        if ch == 0x5C and i + 1 < n:
+            nxt = content[i + 1]
+            if nxt in _ESCAPES:
+                buf.append(ord(_ESCAPES[nxt]))
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal \ddd (1-3 digits)
+                j = i + 1
+                oct_s = ""
+                while j < n and len(oct_s) < 3 and 0x30 <= content[j] <= 0x37:
+                    oct_s += chr(content[j])
+                    j += 1
+                buf.append(int(oct_s, 8) & 0xFF)
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and content[i] == 0x0A:
+                    i += 1
+            else:
+                buf.append(nxt)
+                i += 2
+            continue
+        if ch == 0x28:
+            depth += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        buf.append(ch)
+        i += 1
+    return bytes(buf), i
+
+
+def _tokenize_content(
+    content: bytes,
+    fonts: dict[bytes, dict[int, str] | None] | None = None,
+    has_type0: bool = False,
+) -> str | None:
+    """Text-showing pass over one page's content stream. None → rung bail
+    (CID string under a Type0 font that the ToUnicode map cannot decode,
+    or an unresolvable Tf name while the file declares a Type0 font)."""
     out: list[str] = []
     pending_newline = False
     shown_any = False
+    cur_map: dict[int, str] | None = None
     i, n = 0, len(content)
 
     def emit(s: str):
@@ -480,52 +694,21 @@ def _tokenize_content(content: bytes) -> str:
     while i < n:
         c = content[i]
         if c == 0x28:  # ( literal string
-            buf: list[str] = []
-            depth = 1
-            i += 1
-            while i < n and depth:
-                ch = content[i]
-                if ch == 0x5C and i + 1 < n:
-                    nxt = content[i + 1]
-                    if nxt in _ESCAPES:
-                        buf.append(_ESCAPES[nxt])
-                        i += 2
-                    elif 0x30 <= nxt <= 0x37:  # octal \ddd (1-3 digits)
-                        j = i + 1
-                        oct_s = ""
-                        while j < n and len(oct_s) < 3 and 0x30 <= content[j] <= 0x37:
-                            oct_s += chr(content[j])
-                            j += 1
-                        buf.append(chr(int(oct_s, 8) & 0xFF))
-                        i = j
-                    elif nxt in (0x0A, 0x0D):  # line continuation
-                        i += 2
-                        if nxt == 0x0D and i < n and content[i] == 0x0A:
-                            i += 1
-                    else:
-                        buf.append(chr(nxt))
-                        i += 2
-                    continue
-                if ch == 0x28:
-                    depth += 1
-                elif ch == 0x29:
-                    depth -= 1
-                    if depth == 0:
-                        i += 1
-                        break
-                buf.append(chr(ch))
-                i += 1
+            raw_s, i = _literal_bytes(content, i)
+            txt = _decode_shown(raw_s, cur_map)
+            if txt is None:
+                return None
             # look ahead for the operator consuming this string
             m = re.match(rb"\s*(Tj|'|\")", content[i:])
             if m:
                 if m.group(1) in (b"'", b'"'):
                     pending_newline = True
-                emit("".join(buf))
+                emit(txt)
                 i += m.end()
             else:
                 # string inside a TJ array (or non-text op): emit raw, the
                 # closing `] TJ` is consumed by the scanner below
-                emit("".join(buf))
+                emit(txt)
             continue
         if c == 0x3C and content[i : i + 2] != b"<<":  # <hex>
             end = content.find(b">", i)
@@ -535,11 +718,28 @@ def _tokenize_content(content: bytes) -> str:
             if len(hexs) % 2:
                 hexs += b"0"
             try:
-                emit(bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+                raw_s = bytes.fromhex(hexs.decode("ascii"))
             except ValueError:
-                pass
+                i = end + 1
+                continue
+            txt = _decode_shown(raw_s, cur_map)
+            if txt is None:
+                return None
+            emit(txt)
             i = end + 1
             continue
+        if c == 0x2F:  # /Name — font selection via Tf
+            tfm = _TF_RE.match(content, i)
+            if tfm:
+                name = tfm.group(1)
+                if fonts is not None and name in fonts:
+                    cur_map = fonts[name]
+                elif has_type0:
+                    return None  # can't prove the font is simple — bail
+                else:
+                    cur_map = None
+                i = tfm.end()
+                continue
         m = re.match(rb"(?:Td|TD|Tm)\b|T\*", content[i:])
         if m:
             pending_newline = True
@@ -563,10 +763,12 @@ _MOVE_RE = re.compile(
 
 
 def _page_contents(data: bytes):
-    """Shared page walk: yields each page's concatenated decoded content
-    bytes, or None overall when the file is out of scope. Handles the
-    standard-handler V1/R2 RC4 empty-user-password encryption in-line
-    (_encryption_key); any other encrypted configuration bails."""
+    """Shared page walk: a list of (content_bytes, fonts) per page plus the
+    file-wide has_type0 flag — `(pages, has_type0)` — or None overall when
+    the file is out of scope. Handles the standard-handler RC4
+    empty-user-password encryption in-line (_encryption_key) and resolves
+    each page's font resources (ToUnicode maps for Type0 fonts); any other
+    encrypted or font configuration bails."""
     objs = _objects(data)
     try:
         enc_key = _encryption_key(data, objs)
@@ -575,9 +777,20 @@ def _page_contents(data: bytes):
     page_nums = _page_objects(objs)
     if not page_nums:
         return None
-    out: list[bytes] = []
+    # C-substring pre-filter (see _expand_object_streams note): the font
+    # resolution pass only runs on files that declare a Type0 font at all
+    has_type0 = any(b"/Type0" in body for body in objs.values())
+    out: list[tuple[bytes, dict[bytes, dict[int, str] | None]]] = []
     for num in page_nums:
-        refs = _value_of(_dict_of(objs[num]), b"/Contents")
+        page_d = _dict_of(objs[num])
+        if has_type0:
+            try:
+                fonts = _page_fonts(objs, page_d, enc_key)
+            except _UnsupportedFont:
+                return None
+        else:
+            fonts = {}
+        refs = _value_of(page_d, b"/Contents")
         content = b""
         for m in _REF_RE.finditer(refs):
             ref = int(m.group(1))
@@ -587,8 +800,8 @@ def _page_contents(data: bytes):
             if part is None:
                 return None
             content += part + b"\n"
-        out.append(content)
-    return out
+        out.append((content, fonts))
+    return out, has_type0
 
 
 def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, float]]] | None:
@@ -597,10 +810,11 @@ def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, fl
     None when the file is out of this rung's scope."""
     if not data.startswith(b"%PDF-"):
         return None
-    pages = _page_contents(data)
-    if pages is None:
+    res = _page_contents(data)
+    if res is None:
         return None
-    return [_top_level_segments(content) for content in pages]
+    pages, _has_type0 = res
+    return [_top_level_segments(content) for content, _fonts in pages]
 
 
 def _content_chunks(content: bytes) -> list[tuple[bool, bytes]]:
@@ -664,15 +878,17 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     detect_lattice_tables' cell placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
-    pages = _page_contents(data)
-    if pages is None:
+    res = _page_contents(data)
+    if res is None:
         return None
+    pages, has_type0 = res
     out: list[list[tuple[float, float, str]]] = []
-    for content in pages:
+    for content, fonts in pages:
         runs: list[tuple[float, float, str]] = []
         x = y = 0.0
         moved = True
         in_tj_array = False
+        cur_map: dict[int, str] | None = None
         # strip geometry segments so their numbers can't confuse the walk —
         # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
         # delete ruling-like substrings INSIDE literal strings ("(move 10 20
@@ -713,9 +929,12 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 i = sm.end()
                 continue
             ch = body[i]
-            if ch == 0x28:  # literal string → reuse the text scanner
-                end = _string_end(body, i)
-                record(_tokenize_content(body[i:end]))
+            if ch == 0x28:  # literal string
+                raw_s, end = _literal_bytes(body, i)
+                txt = _decode_shown(raw_s, cur_map)
+                if txt is None:
+                    return None
+                record(txt)
                 i = end
                 continue
             if ch == 0x3C and body[i : i + 2] != b"<<":  # <hex> show
@@ -726,11 +945,27 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 if len(hexs) % 2:
                     hexs += b"0"
                 try:
-                    record(bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+                    raw_s = bytes.fromhex(hexs.decode("ascii"))
                 except ValueError:
                     return None
+                txt = _decode_shown(raw_s, cur_map)
+                if txt is None:
+                    return None
+                record(txt)
                 i = end + 1
                 continue
+            if ch == 0x2F:  # /Name — font selection via Tf
+                tfm = _TF_RE.match(body, i)
+                if tfm:
+                    name = tfm.group(1)
+                    if name in fonts:
+                        cur_map = fonts[name]
+                    elif has_type0:
+                        return None  # can't prove the font is simple
+                    else:
+                        cur_map = None
+                    i = tfm.end()
+                    continue
             if ch == 0x5B:
                 in_tj_array = True
             elif ch == 0x5D:
@@ -803,7 +1038,14 @@ def tokenize_pdf_text(data: bytes) -> list[str] | None:
     to pdfplumber/fitz)."""
     if not data.startswith(b"%PDF-"):
         return None
-    pages = _page_contents(data)
-    if pages is None:
+    res = _page_contents(data)
+    if res is None:
         return None
-    return [_tokenize_content(content) for content in pages]
+    pages, has_type0 = res
+    out: list[str] = []
+    for content, fonts in pages:
+        txt = _tokenize_content(content, fonts, has_type0)
+        if txt is None:
+            return None
+        out.append(txt)
+    return out

@@ -455,6 +455,158 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     return key
 
 
+def _oracle_parse_cmap(cm: bytes) -> dict[int, str]:
+    """ToUnicode CMap → CID-to-unicode map, token-cursor style (the engine
+    parses the same constructs with section regexes — independent code on
+    purpose). Raises on anything malformed: a partial map would extract
+    silently wrong text."""
+
+    def dec(h: bytes) -> str:
+        h = re.sub(rb"\s", b"", h)
+        if len(h) % 4:
+            raise RuntimeError("CMap destination is not UTF-16BE units")
+        try:
+            return bytes.fromhex(h.decode("ascii")).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            raise RuntimeError("undecodable CMap destination")
+
+    tok_re = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+    out: dict[int, str] = {}
+    pos = 0
+    while True:
+        c1 = cm.find(b"beginbfchar", pos)
+        c2 = cm.find(b"beginbfrange", pos)
+        starts = [s for s in (c1, c2) if s >= 0]
+        if not starts:
+            return out
+        s = min(starts)
+        kind = b"bfchar" if s == c1 else b"bfrange"
+        end = cm.find(b"end" + kind, s)
+        if end < 0:
+            raise RuntimeError("unterminated CMap section")
+        toks = [
+            (m.group(0)[:1], m.group(1))
+            for m in tok_re.finditer(cm, s + len(b"begin" + kind), end)
+        ]
+        if kind == b"bfchar":
+            if len(toks) % 2 or any(t != b"<" for t, _ in toks):
+                raise RuntimeError("malformed bfchar section")
+            for k in range(0, len(toks), 2):
+                src = int(re.sub(rb"\s", b"", toks[k][1]), 16)
+                out[src] = dec(toks[k + 1][1])
+        else:
+            t = 0
+            while t < len(toks):
+                if toks[t][0] != b"<" or t + 2 >= len(toks) or toks[t + 1][0] != b"<":
+                    raise RuntimeError("malformed bfrange entry")
+                lo = int(re.sub(rb"\s", b"", toks[t][1]), 16)
+                hi = int(re.sub(rb"\s", b"", toks[t + 1][1]), 16)
+                if hi < lo or hi - lo > 0xFFFF:
+                    raise RuntimeError("inverted/oversized bfrange")
+                t += 2
+                if toks[t][0] == b"[":
+                    t += 1
+                    dsts = []
+                    while t < len(toks) and toks[t][0] == b"<":
+                        dsts.append(toks[t][1])
+                        t += 1
+                    if t >= len(toks) or toks[t][0] != b"]" or len(dsts) != hi - lo + 1:
+                        raise RuntimeError("bfrange array arity mismatch")
+                    t += 1
+                    for k, dh in enumerate(dsts):
+                        out[lo + k] = dec(dh)
+                else:
+                    base = dec(toks[t][1])
+                    if not base or ord(base[-1]) + (hi - lo) > 0xFFFF:
+                        raise RuntimeError("bfrange increment overflow")
+                    for k in range(hi - lo + 1):
+                        out[lo + k] = base[:-1] + chr(ord(base[-1]) + k)
+                    t += 1
+        pos = end
+
+
+def _oracle_obj_body(data: bytes, num: int) -> bytes | None:
+    m = re.search(rb"(?<![0-9])%d\s+0\s+obj(.*?)endobj" % num, data, re.S)
+    return m.group(1) if m else None
+
+
+def _oracle_font_maps(data: bytes, enc_key: bytes | None):
+    """(resource-name → CID map or None, has_type0) for the whole file.
+    The oracle scanner has no page model, so /Font resource names resolve
+    GLOBALLY; a name bound to two different font objects, an encrypted
+    CID file, or any unmodeled Type0 configuration raises (out of twin
+    scope — the fixtures never produce those shapes; the engine resolves
+    fonts per page and also covers encrypted CID files)."""
+    if b"/Type0" not in data:
+        return {}, False
+    if enc_key is not None:
+        raise RuntimeError("encrypted CID-font file — out of twin scope")
+    name_obj: dict[bytes, int] = {}
+    for fm in re.finditer(rb"/Font\s*<<", data):
+        end = data.find(b">>", fm.end())
+        if end < 0:
+            continue
+        for pm in re.finditer(
+            rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+0\s+R", data[fm.end(): end]
+        ):
+            name, num = pm.group(1), int(pm.group(2))
+            if name_obj.setdefault(name, num) != num:
+                raise RuntimeError("ambiguous font resource name — out of twin scope")
+    maps: dict[bytes, dict[int, str] | None] = {}
+    for name, num in name_obj.items():
+        body = _oracle_obj_body(data, num)
+        if body is None:
+            raise RuntimeError("unresolvable font object — out of twin scope")
+        if b"/Type0" not in body:
+            maps[name] = None
+            continue
+        if not re.search(rb"/Encoding\s*/Identity-H(?![A-Za-z0-9])", body):
+            raise RuntimeError("non-Identity-H Type0 font — out of twin scope")
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", body)
+        if not tm:
+            raise RuntimeError("Type0 font without ToUnicode — out of twin scope")
+        cbody = _oracle_obj_body(data, int(tm.group(1)))
+        if cbody is None:
+            raise RuntimeError("unresolvable ToUnicode object — out of twin scope")
+        s_at = cbody.find(b"stream")
+        if s_at < 0:
+            raise RuntimeError("ToUnicode without a stream")
+        at = s_at + 6
+        if cbody[at : at + 2] == b"\r\n":
+            at += 2
+        elif cbody[at : at + 1] == b"\n":
+            at += 1
+        lm = re.search(rb"/Length\s+(\d+)", cbody[:s_at])
+        if lm:
+            raw = cbody[at : at + int(lm.group(1))]
+        else:
+            e = cbody.find(b"endstream", at)
+            raw = cbody[at : e if e >= 0 else len(cbody)].rstrip(b"\r\n")
+        if b"/FlateDecode" in cbody[:s_at]:
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                raise RuntimeError("undecodable ToUnicode stream")
+        maps[name] = _oracle_parse_cmap(raw)
+    return maps, True
+
+
+def _oracle_cid_decode(bs: bytes, cmap: dict[int, str]) -> str:
+    """Big-endian 2-byte codes through the ToUnicode map; raises on odd
+    length or an unmapped code (the engine rung bails there)."""
+    if len(bs) % 2:
+        raise RuntimeError("odd-length CID string — out of twin scope")
+    out = []
+    for k in range(0, len(bs), 2):
+        s = cmap.get((bs[k] << 8) | bs[k + 1])
+        if s is None:
+            raise RuntimeError("CID code missing from ToUnicode — out of twin scope")
+        out.append(s)
+    return "".join(out)
+
+
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
     """Independent row-at-a-time real-PDF layout parse (the oracle twin of
     operators/pdftext.py — different algorithm on purpose: a sequential
@@ -462,9 +614,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     walk; operand numbers buffered inline rather than regex-matched).
     Covers the same subset: raw or FlateDecode content streams, Tj/'/"/TJ
     shows with line-origin tracking (BT/Td/TD/Tm/T*), literal-string
-    escapes, hex strings — then the SAME spec reading-order assembly as
-    the pseudo-PDF path (_assemble_layout: y-cluster lines, x sort,
-    paragraph gaps, page markers, <OCR_MIN_CHARS trigger)."""
+    escapes, hex strings, and CID-keyed Type0 fonts (Identity-H +
+    ToUnicode, resolved by _oracle_font_maps with its own cursor-style
+    CMap parser) — then the SAME spec reading-order assembly as the
+    pseudo-PDF path (_assemble_layout: y-cluster lines, x sort, paragraph
+    gaps, page markers, <OCR_MIN_CHARS trigger)."""
     import zlib
 
     data = payload.encode("latin-1", errors="ignore")
@@ -478,6 +632,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     obj_head_re = re.compile(rb"(\d+)\s+0\s+obj\b")
     cur_onum: int | None = None
     gap_from = 0
+    font_maps, has_type0 = _oracle_font_maps(data, enc_key)
     pages: list[list[tuple[float, float, str]]] = []
     pos = 0
     while True:
@@ -532,6 +687,8 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         x = y = 0.0
         moved = True
         in_tj_array = False
+        cur_map: dict[int, str] | None = None  # active Type0 ToUnicode map
+        last_name: bytes | None = None  # most recent /Name token (Tf operand)
         i, n = 0, len(raw)
 
         def show():
@@ -581,7 +738,10 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                             i += 1
                             break
                     buf.append(chr(c)); i += 1
-                strings.append("".join(buf))
+                txt = "".join(buf)
+                if cur_map is not None:
+                    txt = _oracle_cid_decode(txt.encode("latin-1"), cur_map)
+                strings.append(txt)
                 continue
             if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
                 end = raw.find(b">", i)
@@ -591,11 +751,22 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 if len(hx) % 2:
                     hx += b"0"
                 try:
-                    strings.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                    bs = bytes.fromhex(hx.decode("ascii"))
                 except ValueError:
-                    pass
+                    i = end + 1
+                    continue
+                strings.append(
+                    bs.decode("latin-1") if cur_map is None
+                    else _oracle_cid_decode(bs, cur_map)
+                )
                 i = end + 1
                 continue
+            if ch == 0x2F:  # /Name token — the Tf operand when one follows
+                nm = re.match(rb"/([^\s/<>()\[\]{}%]+)", raw[i:])
+                if nm:
+                    last_name = nm.group(1)
+                    i += nm.end()
+                    continue
             m_num = re.match(rb"-?[0-9]+(?:\.[0-9]+)?", raw[i:])
             if m_num and (ch == 0x2D or 0x30 <= ch <= 0x39):
                 nums.append(float(m_num.group(0)))
@@ -605,6 +776,18 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 continue
             if raw[i : i + 2] in (b"Tj", b"TJ"):
                 show(); i += 2
+            elif raw[i : i + 2] == b"Tf":
+                # font selection: under a file that declares a Type0 font,
+                # every Tf must resolve (the engine bails there too) —
+                # else the walk stays in simple latin-1 mode
+                if has_type0:
+                    if last_name is None or last_name not in font_maps:
+                        raise RuntimeError(
+                            "unresolvable Tf in a Type0 file — out of twin scope"
+                        )
+                    cur_map = font_maps[last_name]
+                nums.clear()
+                i += 2
             elif ch == 0x5B:
                 in_tj_array = True; nums.clear(); i += 1
             elif ch == 0x5D:

@@ -705,3 +705,94 @@ def test_plaintext_pdf_with_encrypt_tokens_in_text():
     assert tokenize_pdf_text(data) == pages
     text, _ocr = extract_real_pdf(data.decode("latin-1"))
     assert "/Encrypt spec" in text and "/XRef chapter" in text
+
+
+def test_cid_pdf_property_roundtrip():
+    """Property: for ANY latin-1 page text, the CID-font writer →
+    tokenizer is the identity per page across compression / TJ-array /
+    bfrange-array variants, and the independent oracle char-scanner (own
+    CMap parser) agrees with the engine."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_cid_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        max_size=40,
+    )
+    page = st.lists(line, min_size=1, max_size=5).map("\n".join)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        pages=st.lists(page, min_size=1, max_size=3),
+        compress=st.booleans(),
+        tj=st.booleans(),
+        arr=st.booleans(),
+    )
+    def check(pages, compress, tj, arr):
+        data = write_cid_pdf(
+            pages, compress=compress, tj_arrays=tj, array_ranges=arr
+        )
+        assert tokenize_pdf_text(data) == pages
+        text, _ocr = extract_real_pdf(data.decode("latin-1"))
+        expected = "\n".join(
+            spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+            for i, p in enumerate(pages)
+        ).strip()
+        assert text == expected
+
+    check()
+
+
+def test_cid_pdf_corruption_falls_through():
+    """Every unmodeled/corrupt CID configuration must BAIL (None → library
+    chain), never extract wrong text: truncated CMap, CID code missing
+    from the map, Type0 without ToUnicode, non-Identity-H encoding, and
+    an unresolvable Tf name in a file that declares a Type0 font."""
+    import re as _re
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_cid_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs,
+        tokenize_pdf_text,
+    )
+
+    pages = ["claim text here\nsecond line"]
+    good = write_cid_pdf(pages)
+    assert tokenize_pdf_text(good) == pages
+
+    # (a) truncate the bfchar/bfrange table inside the CMap stream
+    cut = good.replace(b"endbfchar", b"endbfXXXX").replace(
+        b"endbfrange", b"endbfXXXX"
+    )
+    assert tokenize_pdf_text(cut) is None and tokenize_pdf_runs(cut) is None
+
+    # (b) a shown CID with no CMap entry: bump one code beyond the map
+    m = _re.search(rb"<([0-9A-Fa-f]{4})([0-9A-Fa-f]{4})", good)
+    assert m
+    missing = good[: m.start(1)] + b"FFFE" + good[m.end(1):]
+    assert tokenize_pdf_text(missing) is None
+    assert tokenize_pdf_runs(missing) is None
+
+    # (c) Type0 without ToUnicode
+    no_tu = good.replace(b"/ToUnicode 5 0 R", b"/ToUnicodX 5 0 R")
+    assert tokenize_pdf_text(no_tu) is None
+
+    # (d) non-Identity-H encoding
+    enc = good.replace(b"/Encoding /Identity-H", b"/Encoding /UniGB-UCS2-H")
+    assert tokenize_pdf_text(enc) is None
+
+    # (e) Tf naming an unresolvable font while the file declares Type0
+    tf = good.replace(b"/F1 12 Tf", b"/F9 12 Tf")
+    assert tokenize_pdf_text(tf) is None
+
+    # (f) simple-font files are untouched by the same rename (no Type0)
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+
+    simple = write_minimal_pdf(pages).replace(b"/F1 12 Tf", b"/F9 12 Tf")
+    assert tokenize_pdf_text(simple) == pages
