@@ -490,3 +490,53 @@ FROM parts
 
 EXT7_QUERIES["q55_cid_pdf_roundtrip"] = q55_cid_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q55_cid_pdf_roundtrip"] = _Q55_SQL
+
+
+# ---------------------------------------------------------------------------
+# q56 — AESV2-ENCRYPTED PDF round trip under the ORACLE GATE: the q49
+# contract over files encrypted with the V4/R4 standard security handler
+# (/StdCF crypt filter, /CFM /AESV2 — AES-128-CBC with per-object keys,
+# IV-prefixed payloads, PKCS#7 padding; the Acrobat 7+ default). The rung
+# decrypts with its own pure-Python inverse cipher; the oracle twin
+# carries an independent spec-style AES. Reuses q49's SQL twin (same text
+# contract, orthogonal to the cipher).
+# ---------------------------------------------------------------------------
+
+
+def q56_aes_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_encrypted_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                items = [
+                    ("text", 72, 720, f"Claim C{doc_id}"),
+                    ("text", 72, 704, f"Body {norm30}"),
+                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
+                ][::-1]
+                data = write_encrypted_pdf(
+                    [items],
+                    owner_pwd=b"aes-owner-%d" % (doc_id % 11),
+                    revision=4,
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+EXT7_QUERIES["q56_aes_pdf_roundtrip"] = q56_aes_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q56_aes_pdf_roundtrip"] = _Q49_SQL

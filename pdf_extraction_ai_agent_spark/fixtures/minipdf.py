@@ -297,10 +297,12 @@ def write_encrypted_pdf(
 ) -> bytes:
     """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
     security handler and an EMPTY user password — V1/R2 40-bit RC4 by
-    default, or V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+
-    shape that dominates real encrypted PDFs) — the
-    ubiquitous "owner-locked" shape (viewers open it without prompting).
-    Every stream is RC4-encrypted under its per-object key; the /Encrypt
+    default, V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+ shape
+    that dominates real encrypted PDFs), or V4/R4 AESV2 (AES-128-CBC via
+    the /StdCF crypt filter — the Acrobat 7+ default) with
+    ``revision=4`` — the ubiquitous "owner-locked" shape (viewers open it
+    without prompting). Every stream is encrypted under its per-object
+    key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
     dict and /ID land in the trailer. pdftext.py's rung decrypts these
     dependency-free; any non-empty user password (which it cannot know)
     makes the rung bail to the library chain."""
@@ -308,8 +310,8 @@ def write_encrypted_pdf(
 
     plain = write_minimal_pdf(pages)
     file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
-    n_key = 16 if revision == 3 else 5
-    if revision == 3:
+    n_key = 16 if revision >= 3 else 5
+    if revision >= 3:
         # Algorithm 3 (R3): owner key = md5^51 of padded owner pwd, [:16];
         # O = 20-round RC4 chain over the padded user pwd with key^i
         okd = hashlib.md5(_pad_password(owner_pwd)).digest()
@@ -320,7 +322,7 @@ def write_encrypted_pdf(
         for i in range(20):
             o_value = rc4(bytes(b ^ i for b in key_o), o_value)
         key = derive_rc4_key(o_value, permissions, file_id, user_pwd,
-                             revision=3, n_key=n_key)
+                             revision=revision, n_key=n_key)
         # Algorithm 5 (R3): U = 20-round RC4 chain over md5(PAD ‖ ID)
         u_value = hashlib.md5(PDF_PAD + file_id).digest()
         for i in range(20):
@@ -347,16 +349,26 @@ def write_encrypted_pdf(
             head, data = body[:s_at], body[s_at + len(b"\nstream\n"):]
             assert data.endswith(b"\nendstream")
             data = data[: -len(b"\nendstream")]
-            data = rc4(object_rc4_key(key, num), data)
+            if revision == 4:
+                iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
+                data = aes_cbc_encrypt(object_aes_key(key, num), iv, data)
+            else:
+                data = rc4(object_rc4_key(key, num), data)
             head = __import__("re").sub(
                 rb"/Length \d+", b"/Length %d" % len(data), head
             )
             body = head + b"\nstream\n" + data + b"\nendstream"
         objs[num] = body
     enc_num = max(objs) + 1
-    v, length = (2, 128) if revision == 3 else (1, 40)
+    v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128)}[revision]
+    cf = (
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        if revision == 4 else b""
+    )
     objs[enc_num] = (
         b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, revision, length)
+        + cf
         + b"/O <" + o_value.hex().encode() + b"> "
         + b"/U <" + u_value.hex().encode() + b"> "
         + (b"/P %d >>" % permissions)
@@ -526,3 +538,84 @@ def write_cid_pdf(
         f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)
+
+
+# --- AES-128 forward cipher (AESV2 fixture encryption) --------------------
+# The writer needs ENCRYPTION, which neither the engine nor the oracle
+# carries (they only decrypt) — three independent codebases.
+
+_SBOX_HEX = (
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_SBOX = bytes.fromhex(_SBOX_HEX)
+
+
+def _xt(b: int) -> int:
+    return ((b << 1) ^ 0x1B) & 0xFF if b & 0x80 else b << 1
+
+
+def _aes_round_keys(key: bytes) -> list[bytes]:
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(words[i - 1])
+        if i % 4 == 0:
+            t = [_SBOX[t[1]] ^ rcon, _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
+            rcon = _xt(rcon)
+        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+    return [bytes(sum(words[4 * r : 4 * r + 4], [])) for r in range(11)]
+
+
+def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rks[0])]
+    for rnd in range(1, 11):
+        s = [_SBOX[b] for b in s]
+        # ShiftRows on the column-major state: s'[r + 4c] = s[r + 4((c+r)%4)]
+        s = [s[(i % 4) + 4 * (((i // 4) + (i % 4)) % 4)] for i in range(16)]
+        if rnd < 10:
+            t = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t += [
+                    _xt(a[0]) ^ _xt(a[1]) ^ a[1] ^ a[2] ^ a[3],
+                    a[0] ^ _xt(a[1]) ^ _xt(a[2]) ^ a[2] ^ a[3],
+                    a[0] ^ a[1] ^ _xt(a[2]) ^ _xt(a[3]) ^ a[3],
+                    _xt(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xt(a[3]),
+                ]
+            s = t
+        s = [b ^ k for b, k in zip(s, rks[rnd])]
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """IV-prefixed AES-128-CBC with PKCS#7 padding — the AESV2 stream
+    payload layout."""
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rks = _aes_round_keys(key)
+    out = bytearray(iv)
+    prev = iv
+    for at in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_encrypt_block(rks, block)
+        out += prev
+    return bytes(out)
+
+
+def object_aes_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 with the AESV2 'sAlT' suffix."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(base_key)
+    h.update(bytes([num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF]))
+    h.update(bytes([gen & 0xFF, (gen >> 8) & 0xFF]))
+    h.update(b"sAlT")
+    return h.digest()[: min(len(base_key) + 5, 16)]

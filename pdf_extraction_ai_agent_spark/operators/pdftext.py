@@ -372,6 +372,109 @@ def _object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
     return h.digest()[: min(len(base_key) + 5, 16)]
 
 
+def _object_aes_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object AES key (Algorithm 1 with the AESV2 'sAlT' suffix)."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(base_key)
+    h.update(bytes([num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF]))
+    h.update(bytes([gen & 0xFF, (gen >> 8) & 0xFF]))
+    h.update(b"sAlT")
+    return h.digest()[: min(len(base_key) + 5, 16)]
+
+
+# --- pure-Python AES-128 (inverse cipher only — stream decryption) --------
+# Table-based implementation; the oracle char-scanner carries its own
+# spec-style (on-the-fly GF multiply) copy, and the fixture writer carries
+# the FORWARD cipher — three independent codebases per the twin invariant.
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytes(256)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+_AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= _AES_RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return w
+
+
+def _gmul_tab(c: int) -> bytes:
+    out = bytearray(256)
+    for a in range(256):
+        p, x, y = 0, a, c
+        while y:
+            if y & 1:
+                p ^= x
+            x = (x << 1) ^ (0x1B if x & 0x80 else 0)
+            x &= 0xFF
+            y >>= 1
+        out[a] = p
+    return bytes(out)
+
+
+_M9, _M11, _M13, _M14 = _gmul_tab(9), _gmul_tab(11), _gmul_tab(13), _gmul_tab(14)
+_INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
+
+
+def _aes_decrypt_block(w: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ w[40 + i // 4][i % 4] for i, b in enumerate(block)]
+    for rnd in range(9, 0, -1):
+        s = [_AES_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+        s = [b ^ w[4 * rnd + i // 4][i % 4] for i, b in enumerate(s)]
+        t = [0] * 16
+        for c in range(4):
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            t[4 * c + 0] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
+            t[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
+            t[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
+            t[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
+        s = t
+    s = [_AES_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+    s = [b ^ w[i // 4][i % 4] for i, b in enumerate(s)]
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """AESV2 stream payload: 16-byte IV prefix + CBC ciphertext with
+    PKCS#7-style padding (1–16 bytes). None on malformed geometry — the
+    caller bails to the library chain."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    w = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for at in range(16, len(data), 16):
+        block = data[at : at + 16]
+        plain = _aes_decrypt_block(w, block)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16 or pad > len(out):
+        return None
+    return bytes(out[:-pad])
+
+
 def _hex_or_literal(v: bytes) -> bytes | None:
     """A string value from a dict: <hex> or (literal, escape-light)."""
     v = v.strip()
@@ -392,14 +495,17 @@ def _hex_or_literal(v: bytes) -> bytes | None:
     return None
 
 
-def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
-    """None = not encrypted. bytes = the RC4 base key for a file encrypted
-    with the STANDARD handler — V1/R2 (40-bit) or V2/R3 (/Length up to
-    128-bit, the Acrobat 5+ shape that dominates real encrypted PDFs) —
-    and an EMPTY user password (verified against /U — the ubiquitous
-    owner-locked shape). Raises _UnsupportedEncryption for every other
-    configuration (AES/V4+, real user passwords, encrypted files using
-    xref streams/ObjStm, malformed /Encrypt)."""
+def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | None:
+    """None = not encrypted. (base_key, 'rc4'|'aes') for a file encrypted
+    with the STANDARD handler — V1/R2 (40-bit RC4), V2/R3 (/Length up to
+    128-bit RC4, the Acrobat 5+ shape), or V4/R4 with the /StdCF AESV2
+    crypt filter (AES-128-CBC, the Acrobat 7+ default) — and an EMPTY
+    user password (verified against /U — the ubiquitous owner-locked
+    shape). Raises _UnsupportedEncryption for every other configuration
+    (AES-256/V5, non-AESV2 crypt filters, /EncryptMetadata false, real
+    user passwords, encrypted files using xref streams/ObjStm, malformed
+    /Encrypt). Document-level strings (/Info etc.) are /StrF-encrypted
+    too but never feed extraction, so only stream decryption is wired."""
     import hashlib
     import struct as _struct
 
@@ -431,12 +537,26 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     rm = re.search(rb"/R\s+(\d+)", d)
     ver = int(vm.group(1)) if vm else 0
     rev = int(rm.group(1)) if rm else 0
-    if (ver, rev) not in ((1, 2), (2, 3)):
-        raise _UnsupportedEncryption("only V1/R2 and V2/R3 RC4 are modeled")
-    lm = re.search(rb"/Length\s+(\d+)", d)
-    n_key = 5 if rev == 2 else (int(lm.group(1)) // 8 if lm else 5)
+    if (ver, rev) not in ((1, 2), (2, 3), (4, 4)):
+        raise _UnsupportedEncryption("only V1/R2, V2/R3 RC4 and V4/R4 AESV2 are modeled")
+    method = "rc4"
+    if (ver, rev) == (4, 4):
+        # V4 delegates to crypt filters: only the ubiquitous
+        # /StdCF /CFM /AESV2 + /StmF /StdCF combination is modeled
+        if not re.search(rb"/CFM\s*/AESV2(?![A-Za-z0-9])", d):
+            raise _UnsupportedEncryption("V4 crypt filter other than AESV2")
+        if not re.search(rb"/StmF\s*/StdCF(?![A-Za-z0-9])", d):
+            raise _UnsupportedEncryption("V4 /StmF other than /StdCF")
+        if re.search(rb"/EncryptMetadata\s+false", d):
+            raise _UnsupportedEncryption("/EncryptMetadata false alters the key")
+        method = "aes"
+    if method == "aes":
+        n_key = 16  # AESV2 is 128-bit by definition (the /CF /Length is bytes)
+    else:
+        lm = re.search(rb"/Length\s+(\d+)", d)
+        n_key = 5 if rev == 2 else (int(lm.group(1)) // 8 if lm else 5)
     if not (5 <= n_key <= 16):
-        raise _UnsupportedEncryption("key length out of RC4 range")
+        raise _UnsupportedEncryption("key length out of range")
     o_val = _hex_or_literal(_value_of(d, b"/O"))
     u_val = _hex_or_literal(_value_of(d, b"/U"))
     pm = re.search(rb"/P\s+(-?\d+)", d)
@@ -462,15 +582,16 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
         ok = u == u_val[:16]
     if not ok:
         raise _UnsupportedEncryption("user password is not empty")
-    return key
+    return key, method
 
 
 def _stream_data(body: bytes, num: int | None = None,
-                 enc_key: bytes | None = None) -> bytes | None:
+                 enc_key: tuple[bytes, str] | None = None) -> bytes | None:
     """Decoded stream content of an object body; None when absent or the
-    filter is unsupported. With ``enc_key`` (and the object number), the
-    raw bytes are RC4-decrypted under the per-object key BEFORE filter
-    decode — decryption wraps compression in the PDF model."""
+    filter is unsupported. With ``enc_key`` = (base_key, 'rc4'|'aes') and
+    the object number, the raw bytes are decrypted under the per-object
+    key BEFORE filter decode — decryption wraps compression in the PDF
+    model (AESV2 payloads carry a 16-byte IV prefix + CBC padding)."""
     d = _dict_of(body)
     at = body.find(b"stream")
     if at < 0:
@@ -489,7 +610,14 @@ def _stream_data(body: bytes, num: int | None = None,
             return None
         raw = body[at:end].rstrip(b"\r\n")
     if enc_key is not None and num is not None:
-        raw = _rc4(_object_rc4_key(enc_key, num), raw)
+        base_key, enc_method = enc_key
+        if enc_method == "aes":
+            dec = _aes_cbc_decrypt(_object_aes_key(base_key, num), raw)
+            if dec is None:
+                return None
+            raw = dec
+        else:
+            raw = _rc4(_object_rc4_key(base_key, num), raw)
     if b"/Filter" in d:
         if b"/FlateDecode" not in d:
             return None  # unsupported filter → let the libraries try

@@ -380,6 +380,81 @@ def _oracle_rc4(key: bytes, data: bytes) -> bytes:
     return bytes(res)
 
 
+def _oracle_aes_decrypt(key: bytes, payload: bytes) -> bytes:
+    """Spec-style AES-128-CBC decrypt of an AESV2 stream payload (16-byte
+    IV prefix, PKCS#7 padding) — GF(2^8) multiplies computed on the fly,
+    deliberately unlike the engine's table-based inverse cipher. Raises on
+    malformed geometry (the engine bails there)."""
+    sbox = bytes.fromhex(
+        "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+        "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+        "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+        "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+        "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+        "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+        "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+        "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+    )
+    inv = {v: i for i, v in enumerate(sbox)}
+
+    def gmul(a: int, b: int) -> int:
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a = ((a << 1) ^ 0x11B) if a & 0x80 else (a << 1)
+            b >>= 1
+        return r
+
+    # key schedule (words of 4 bytes)
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rc = 1
+    for i in range(4, 44):
+        t = list(w[-1])
+        if i % 4 == 0:
+            t = [sbox[t[1]] ^ rc, sbox[t[2]], sbox[t[3]], sbox[t[0]]]
+            rc = gmul(rc, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+
+    def dec_block(ct: bytes) -> bytes:
+        st = [[ct[r + 4 * c] for c in range(4)] for r in range(4)]  # rows
+        def ark(rnd):
+            for c in range(4):
+                for r in range(4):
+                    st[r][c] ^= w[4 * rnd + c][r]
+        ark(10)
+        for rnd in range(9, -1, -1):
+            # InvShiftRows: row r rotates RIGHT by r
+            for r in range(1, 4):
+                st[r] = st[r][-r:] + st[r][:-r]
+            for r in range(4):
+                for c in range(4):
+                    st[r][c] = inv[st[r][c]]
+            ark(rnd)
+            if rnd:
+                for c in range(4):
+                    col = [st[r][c] for r in range(4)]
+                    for r in range(4):
+                        st[r][c] = (
+                            gmul(col[r], 14) ^ gmul(col[(r + 1) % 4], 11)
+                            ^ gmul(col[(r + 2) % 4], 13) ^ gmul(col[(r + 3) % 4], 9)
+                        )
+        return bytes(st[r % 4][r // 4] for r in range(16))
+
+    if len(payload) < 32 or len(payload) % 16:
+        raise RuntimeError("malformed AESV2 payload — out of twin scope")
+    prev = payload[:16]
+    out = bytearray()
+    for at in range(16, len(payload), 16):
+        blk = payload[at : at + 16]
+        out += bytes(a ^ b for a, b in zip(dec_block(blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or pad > len(out):
+        raise RuntimeError("bad AESV2 padding — out of twin scope")
+    return bytes(out[:-pad])
+
+
 def _oracle_object_key(base: bytes, num: int) -> bytes:
     import hashlib
     import struct as _struct
@@ -388,10 +463,19 @@ def _oracle_object_key(base: bytes, num: int) -> bytes:
     return hashlib.md5(base + packed).digest()[: min(len(base) + 5, 16)]
 
 
+def _oracle_object_aes_key(base: bytes, num: int) -> bytes:
+    import hashlib
+    import struct as _struct
+
+    packed = _struct.pack("<I", num)[:3] + b"\x00\x00" + b"sAlT"  # gen 0
+    return hashlib.md5(base + packed).digest()[: min(len(base) + 5, 16)]
+
+
 def _oracle_encryption_key(data: bytes) -> bytes | None:
-    """None when the trailer has no /Encrypt; the 5-byte RC4 key for the
-    V1/R2 empty-user-password shape; RuntimeError otherwise (the engine
-    rung bails to the library chain there — error channel in-sandbox)."""
+    """None when the trailer has no /Encrypt; (base_key, 'rc4'|'aes') for
+    the standard-handler empty-user-password shapes (V1/R2 + V2/R3 RC4,
+    V4/R4 AESV2); RuntimeError otherwise (the engine rung bails to the
+    library chain there — error channel in-sandbox)."""
     import hashlib
     import struct as _struct
 
@@ -421,13 +505,22 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     vq = re.search(rb"/V\s+(\d+)", ed)
     rq = re.search(rb"/R\s+(\d+)", ed)
     pair = (int(vq.group(1)) if vq else 0, int(rq.group(1)) if rq else 0)
-    if b"/Standard" not in ed or pair not in ((1, 2), (2, 3)):
-        raise RuntimeError("only Standard V1/R2 / V2/R3 RC4 is modeled")
+    if b"/Standard" not in ed or pair not in ((1, 2), (2, 3), (4, 4)):
+        raise RuntimeError("only Standard V1/R2, V2/R3 RC4 and V4/R4 AESV2 are modeled")
     rev = pair[1]
-    lq = re.search(rb"/Length\s+(\d+)", ed)
-    nk = 5 if rev == 2 else (int(lq.group(1)) // 8 if lq else 5)
+    method = "rc4"
+    if pair == (4, 4):
+        if (not re.search(rb"/CFM\s*/AESV2(?![A-Za-z0-9])", ed)
+                or not re.search(rb"/StmF\s*/StdCF(?![A-Za-z0-9])", ed)
+                or re.search(rb"/EncryptMetadata\s+false", ed)):
+            raise RuntimeError("V4 configuration beyond /StdCF AESV2 — out of twin scope")
+        method = "aes"
+        nk = 16
+    else:
+        lq = re.search(rb"/Length\s+(\d+)", ed)
+        nk = 5 if rev == 2 else (int(lq.group(1)) // 8 if lq else 5)
     if not (5 <= nk <= 16):
-        raise RuntimeError("RC4 key length out of range")
+        raise RuntimeError("key length out of range")
     ov = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", ed)
     pv = re.search(rb"/P\s+(-?\d+)", ed)
     uv = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", ed)
@@ -438,7 +531,7 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     digest = hashlib.md5(
         _ORACLE_PDF_PAD + o_val + _struct.pack("<i", int(pv.group(1))) + file_id
     ).digest()
-    if rev == 3:
+    if rev >= 3:
         for _ in range(50):
             digest = hashlib.md5(digest[:nk]).digest()
     key = digest[:nk]
@@ -452,7 +545,7 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
         ok = u == u_val[:16]
     if not ok:
         raise RuntimeError("user password is not empty — out of twin scope")
-    return key
+    return key, method
 
 
 def _oracle_parse_cmap(cm: bytes) -> dict[int, str]:
@@ -668,7 +761,13 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             gap_from = pos
             if cur_onum is None:
                 continue
-            raw = _oracle_rc4(_oracle_object_key(enc_key, cur_onum), raw)
+            base_key, enc_method = enc_key
+            if enc_method == "aes":
+                raw = _oracle_aes_decrypt(
+                    _oracle_object_aes_key(base_key, cur_onum), raw
+                )
+            else:
+                raw = _oracle_rc4(_oracle_object_key(base_key, cur_onum), raw)
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)

@@ -796,3 +796,50 @@ def test_cid_pdf_corruption_falls_through():
 
     simple = write_minimal_pdf(pages).replace(b"/F1 12 Tf", b"/F9 12 Tf")
     assert tokenize_pdf_text(simple) == pages
+
+
+def test_aes_encrypted_pdf_roundtrip_and_bails():
+    """V4/R4 AESV2 (AES-128-CBC, /StdCF crypt filter): engine and oracle
+    decrypt identically; wrong user password, corrupted ciphertext,
+    truncated payloads and unmodeled V4 configurations all BAIL (engine
+    None / oracle raise), never extract wrong text."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_encrypted_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["aes secret claim text\nline two", "page 2 body"]
+    data = write_encrypted_pdf(pages, owner_pwd=b"owner-x", revision=4)
+    assert tokenize_pdf_text(data) == pages
+    expected = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+        for i, p in enumerate(pages)
+    ).strip()
+    assert extract_real_pdf(data.decode("latin-1"))[0] == expected
+
+    # wrong (non-empty) user password → /U check fails on both sides
+    locked = write_encrypted_pdf(pages, user_pwd=b"secret", revision=4)
+    assert tokenize_pdf_text(locked) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(locked.decode("latin-1"))
+
+    # corrupted ciphertext: flip the LAST payload byte — the final CBC
+    # block garbles, the PKCS#7 padding check fails, both sides bail.
+    # (A mid-stream flip garbles one 16-byte block with no integrity
+    # check — the PDF encryption model has none — same class as RC4.)
+    s_at = data.find(b"stream\n") + len(b"stream\n")
+    at = s_at + 95  # /Length 96 payload
+    corrupt = data[:at] + bytes([data[at] ^ 0xFF]) + data[at + 1:]
+    assert tokenize_pdf_text(corrupt) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(corrupt.decode("latin-1"))
+
+    # unmodeled V4 crypt filter must bail, not decrypt garbage
+    v4r = data.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    assert tokenize_pdf_text(v4r) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(v4r.decode("latin-1"))
