@@ -330,17 +330,34 @@ def _spans_chunked(t: str) -> list[dict]:
     Deliberately a per-chunk ``re.search`` loop: search early-exits at the
     first hit, so this beats a whole-text finditer sweep (measured 1.6×:
     finditer must enumerate ALL matches per field). Regex time runs in C;
-    the date-validation ladder is memoized (_norm_date_cached)."""
+    the date-validation ladder is memoized (_norm_date_cached).
+
+    Negative results from the round-5 single-pass experiment, recorded so
+    they aren't re-tried: (a) a zero-copy variant running every prefilter
+    and regex on the full string with (pos, endpos) bounds measured 0.89×
+    — the scan is CALL-overhead-bound, not allocation-bound, and bounded
+    ``str.find`` costs more per call than ``in`` on a short chunk; (b) a
+    shared digit prefilter for the date ladder was net-negative (nearly
+    every fixture chunk has digits, and date pattern 1 fails digit-free
+    chunks at the same C speed); (c) fusing the four field regexes into
+    one named-group alternation is UNSOUND — finditer consumes matched
+    spans, so a later field whose first occurrence overlaps an earlier
+    field's match would resolve differently than independent searches."""
     recs: list[dict] = []
+    append = recs.append
+    split_search = _RECORD_SPLIT.search
+    field_res = _FIELD_RES
+    dates = _DATES
+    norm_date = _norm_date_cached
     start = 0
     n = len(t)
     while start <= n:
-        m = _RECORD_SPLIT.search(t, start)
+        m = split_search(t, start)
         end = m.start() if m else n
         chunk = t[start:end]
         if chunk:
             low = chunk.lower()
-            for field, rex, lits in _FIELD_RES:
+            for field, rex, lits in field_res:
                 # literal prefilter: regex cannot match without one of the
                 # anchors (plain loop — a genexp frame per field measurably
                 # drags at 50k+ chunks/batch)
@@ -351,14 +368,14 @@ def _spans_chunked(t: str) -> list[dict]:
                     continue
                 fm = rex.search(chunk)
                 if fm:
-                    recs.append(
+                    append(
                         {"field": field, "start": start + fm.start(1),
                          "end": start + fm.end(1), "value": fm.group(1).strip()}
                     )
-            for pat in _DATES:
+            for pat in dates:
                 cand = pat.search(chunk)
-                if cand and _norm_date_cached(cand.group(1)):
-                    recs.append(
+                if cand and norm_date(cand.group(1)):
+                    append(
                         {"field": "date", "start": start + cand.start(1),
                          "end": start + cand.end(1), "value": cand.group(1).strip()}
                     )
