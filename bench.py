@@ -55,6 +55,16 @@ HEADLINE = [
     # output rows at sf0.1) — tracked so regressions are visible (verdict 6)
     "q45_lattice_tables",
     "q46_lattice_normalize",
+    # round-5: the real-PDF tokenizer family (verdict item 6) — a large hot
+    # code path whose round-4 1.8× regression was only caught because the
+    # lattice queries had just been promoted; now tracked directly across
+    # its three carrier shapes (classic+reversed layout, ObjStm/xref
+    # streams, RC4+AES encryption) plus CID-font decode
+    "q49_real_pdf_roundtrip",
+    "q51_objstm_pdf_roundtrip",
+    "q54_encrypted_pdf_roundtrip",
+    "q55_cid_pdf_roundtrip",
+    "q56_aes_pdf_roundtrip",
 ]
 
 
