@@ -256,11 +256,35 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
     assembly (y-cluster/x-sort, blank-line paragraphs) is load-bearing on
     real bytes exactly as it is for the pseudo-PDF payloads; the other
     half stay sequential Td-advance text blocks (the common generator
-    idiom, exercising relative line-origin accumulation)."""
-    from .minipdf import write_minimal_pdf
+    idiom, exercising relative line-origin accumulation).
 
+    The CARRIER mixes all the tokenizer's real-PDF shapes (round-5
+    ROADMAP 6 — the golden per-turn-equality corpus soaks the whole
+    matrix end-to-end through the batch kernel): classic xref (50%),
+    PDF 1.5 ObjStm + xref streams (~15%), standard-handler encryption
+    (~15%, RC4 V1/R2 / V2/R3 and AESV2 V4/R4), and CID-keyed Type0
+    fonts with ToUnicode CMaps (~20%, text-block pages — hex CID shows
+    carry no positioned-items mode)."""
+    from .minipdf import (
+        write_cid_pdf,
+        write_encrypted_pdf,
+        write_minimal_pdf,
+        write_objstm_pdf,
+    )
+
+    carrier = rng.random()  # drawn FIRST so page-shape draws stay aligned
     if near_empty:
         pages = [rng.choice(["scanned", "img-only", ""])]
+    elif carrier >= 0.8:
+        # CID carrier: sequential text blocks only
+        pages = []
+        for _ in range(rng.randint(1, 3)):
+            paras = [
+                _wrap_words(_claim_paragraph(rng))
+                for _ in range(rng.randint(1, 3))
+            ]
+            body = "\n\n".join("\n".join(p) for p in paras)
+            pages.append(body.encode("latin-1", errors="replace").decode("latin-1"))
     else:
         # minipdf writes latin-1 literal strings (no font-encoding tables by
         # design) — transliterate anything outside it, like a Type1-only
@@ -287,9 +311,25 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
                     y -= PDF_LEADING * 2  # ≥ PDF_PARA_GAP → blank line
                 rng.shuffle(items)  # emit out of reading order
                 pages.append(items)
-    data = write_minimal_pdf(
-        pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5
-    )
+    if carrier >= 0.8 and not near_empty:
+        data = write_cid_pdf(
+            pages,
+            compress=rng.random() < 0.5,
+            tj_arrays=rng.random() < 0.5,
+            array_ranges=rng.random() < 0.5,
+        )
+    elif carrier >= 0.65:
+        data = write_encrypted_pdf(
+            pages,
+            owner_pwd=b"own-%d" % rng.randint(0, 9),
+            revision=rng.choice([2, 3, 4]),
+        )
+    elif carrier >= 0.5:
+        data = write_objstm_pdf(pages, compress=rng.random() < 0.5)
+    else:
+        data = write_minimal_pdf(
+            pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5
+        )
     return data.decode("latin-1")
 
 

@@ -31,7 +31,12 @@ Scope (returns None → caller falls through to the library chain):
   other encoding, a missing/undecodable ToUnicode, an unmapped code, an
   odd-length CID string — or ANY unresolvable Tf name while the file
   declares a Type0 font — aborts the rung (wrong text must never beat no
-  text).
+  text);
+- standard-security-handler encryption with an EMPTY user password:
+  RC4 V1/R2 (40-bit) and V2/R3 (128-bit), and V4/R4 with the /StdCF
+  /CFM /AESV2 crypt filter (AES-128-CBC) — per-object keys, /U-verified;
+  any other configuration (AES-256/V5, real user passwords, encrypted
+  ObjStm/xref-stream layouts) aborts the rung.
 
 NOT a general PDF renderer: no layout-program CMaps (only ToUnicode), no
 simple-font /Differences encodings, no full layout reconstruction —
@@ -329,7 +334,7 @@ def _decode_shown(raw: bytes, cmap: dict[int, str] | None) -> str | None:
     return "".join(out)
 
 
-# --- PDF standard security handler (V1/R2, 40-bit RC4) --------------------
+# --- PDF standard security handler (RC4 V1/R2 + V2/R3, AESV2 V4/R4) -------
 # Engine-side implementation; the oracle char-scanner and the fixture
 # writer each carry their OWN copy (the per-turn-equality invariant forbids
 # shared logic between the twins). Constants are the public PDF spec's.

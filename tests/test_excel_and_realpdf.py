@@ -362,6 +362,11 @@ def test_real_pdf_golden_no_optional_libs(spark):
     pdf = generate_transcripts(n_convs=20, seed=7, skew=False, include_real_pdf=True)
     n_real = (pdf["text"].str.startswith("%PDF-1.")).sum()
     assert n_real >= 5  # the mix must actually exercise the new kind
+    # round 5: the carrier mix must cover the whole tokenizer matrix —
+    # classic xref, ObjStm/xref streams, RC4 + AESV2 encryption, CID fonts
+    texts = pdf["text"]
+    for token in ("/ObjStm", "/Encrypt", "/AESV2", "/Type0"):
+        assert texts.str.contains(token, regex=False).any(), token
 
     got = (
         extract_pipeline(
