@@ -540,3 +540,51 @@ def q56_aes_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT7_QUERIES["q56_aes_pdf_roundtrip"] = q56_aes_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q56_aes_pdf_roundtrip"] = _Q49_SQL
+
+
+# ---------------------------------------------------------------------------
+# q57 — /DIFFERENCES-ENCODED PDF round trip under the ORACLE GATE: the q55
+# text contract over simple-Type1 fonts whose /Encoding /Differences array
+# moves every named character to a high byte code (legacy-generator /
+# scanner shape). The rung resolves glyph names through the shared
+# AGL-subset table (spec.GLYPH_TO_UNICODE); the oracle parses the array
+# with its own token-split code. Per-doc parities mix Flate compression
+# and the inline vs indirect encoding-dict forms.
+# ---------------------------------------------------------------------------
+
+
+def q57_differences_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_differences_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                page = (
+                    f"Claim C{doc_id}\nBody {norm30}\nTotal {doc_id % 97}.00"
+                )
+                data = write_differences_pdf(
+                    [page],
+                    compress=bool(doc_id % 2),
+                    encoding_ref=doc_id % 3 == 0,
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+EXT7_QUERIES["q57_differences_pdf_roundtrip"] = q57_differences_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q57_differences_pdf_roundtrip"] = _Q55_SQL

@@ -619,3 +619,99 @@ def object_aes_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
     h.update(bytes([gen & 0xFF, (gen >> 8) & 0xFF]))
     h.update(b"sAlT")
     return h.digest()[: min(len(base_key) + 5, 16)]
+
+
+def write_differences_pdf(
+    pages: list[str], compress: bool = False, encoding_ref: bool = False
+) -> bytes:
+    """``write_minimal_pdf`` variant whose simple Type1 font carries an
+    /Encoding /Differences byte remap (the legacy-generator / scanner
+    shape): every character with an AGL name is moved to a HIGH code
+    (two runs, 0x80.. and 0xC0.., so the array carries two number tokens)
+    and shown via those bytes — a tokenizer ignoring /Differences would
+    emit high-latin-1 garbage instead of the text. Unnamed characters
+    stay at their latin-1 bytes (the simple-font default the parser keeps
+    for unmapped codes). ``encoding_ref`` puts the encoding dict in its
+    own object (the indirect form)."""
+    from .. import spec
+
+    rev: dict[str, str] = {}
+    for name, ch in spec.GLYPH_TO_UNICODE.items():
+        if len(ch) == 1:
+            rev.setdefault(ch, name)
+    charset = sorted({c for p in pages for c in p if c != "\n" and c in rev})
+    # assigned codes must avoid the byte value of EVERY text character —
+    # a char left at its literal latin-1 byte would otherwise collide
+    # with a remapped code and decode as the wrong glyph
+    used = {ord(c) for p in pages for c in p if ord(c) < 256}
+    free = [b for b in range(0x80, 0x100) if b not in used]
+    remap = {c: b for c, b in zip(charset, free)}  # cap at available codes
+
+    def diff_array() -> str:
+        # maximal consecutive-code runs, each "code /n1 /n2 …" — multiple
+        # number tokens exercise the parser's code-reset handling
+        items = sorted((b, rev[c]) for c, b in remap.items())
+        runs: list[list] = []
+        for b, name in items:
+            if runs and b == runs[-1][0] + len(runs[-1]) - 1:
+                runs[-1].append(name)
+            else:
+                runs.append([b, name])
+        return "[ " + " ".join(
+            " ".join([str(r[0])] + ["/" + n for n in r[1:]]) for r in runs
+        ) + " ]"
+
+    def encode_line(line: str) -> str:
+        return "".join(chr(remap[c]) if c in remap else c for c in line)
+
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    enc_body = f"<< /Differences {diff_array()} >>"
+    if encoding_ref:
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding 4 0 R >>"
+        )
+        objs[4] = enc_body.encode("latin-1")
+    else:
+        objs[3] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding {enc_body} >>"
+        ).encode("latin-1")
+        objs[4] = b"<< /Type /Encoding >>"  # placeholder keeps numbering stable
+    for i, text in enumerate(pages):
+        page_num, cont_num = 5 + 2 * i, 6 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        remapped = "\n".join(encode_line(l) for l in text.split("\n"))
+        data = _content_stream(remapped, tj_arrays=False)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1") + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    total = max(objs) + 1
+    out += f"xref\n0 {total}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for num in range(1, total):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)

@@ -36,12 +36,16 @@ Scope (returns None → caller falls through to the library chain):
   RC4 V1/R2 (40-bit) and V2/R3 (128-bit), and V4/R4 with the /StdCF
   /CFM /AESV2 crypt filter (AES-128-CBC) — per-object keys, /U-verified;
   any other configuration (AES-256/V5, real user passwords, encrypted
-  ObjStm/xref-stream layouts) aborts the rung.
+  ObjStm/xref-stream layouts) aborts the rung;
+- simple-font /Encoding /Differences byte remaps (legacy generators,
+  scanner output): remapped codes resolve through the shared AGL-subset
+  glyph table (spec.GLYPH_TO_UNICODE, incl. uniXXXX/uXXXX names),
+  unmapped codes keep latin-1; an unknown glyph name — or an
+  unresolvable Tf while the file declares /Differences — aborts the rung.
 
 NOT a general PDF renderer: no layout-program CMaps (only ToUnicode), no
-simple-font /Differences encodings, no full layout reconstruction —
-exactly the subset a trustworthy fallback can promise, with everything
-else handed to the real libraries.
+full layout reconstruction — exactly the subset a trustworthy fallback
+can promise, with everything else handed to the real libraries.
 """
 
 from __future__ import annotations
@@ -281,13 +285,59 @@ def _parse_tounicode(cm: bytes) -> dict[int, str] | None:
     return out
 
 
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/<>()\[\]{}%]+)")
+
+
+def _glyph_char(name: bytes) -> str | None:
+    """Glyph name → unicode char: the shared AGL-subset table
+    (spec.GLYPH_TO_UNICODE) plus the AGL uniXXXX / uXXXX[XX] forms.
+    None = unknown (symbol/subset glyph) → the rung bails."""
+    from .. import spec
+
+    s = name.decode("latin-1")
+    ch = spec.GLYPH_TO_UNICODE.get(s)
+    if ch is not None:
+        return ch
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})|u([0-9A-Fa-f]{4,6})", s)
+    if m:
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+def _parse_differences(enc_d: bytes) -> dict[int, str] | None:
+    """/Differences array → byte-code → char map (codes not in the map
+    keep the latin-1 reading, matching the simple-font default). None on
+    an unknown glyph name or an out-of-range code — a partial remap would
+    extract silently wrong text."""
+    arr = _value_of(enc_d, b"/Differences")
+    if not arr.strip().startswith(b"["):
+        return None
+    out: dict[int, str] = {}
+    code = -1
+    for tok in _DIFF_TOK_RE.finditer(arr):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_char(tok.group(2))
+            if ch is None or not 0 <= code <= 255:
+                return None
+            out[code] = ch
+            code += 1
+    return out
+
+
 def _page_fonts(
-    objs: dict[int, bytes], page_d: bytes, enc_key: bytes | None
-) -> dict[bytes, dict[int, str] | None]:
-    """Resource name → ToUnicode map (Type0 fonts) or None (simple fonts)
-    for one page. Raises _UnsupportedFont on a Type0 font whose encoding
-    is not /Identity-H or whose ToUnicode is missing/undecodable."""
-    fonts: dict[bytes, dict[int, str] | None] = {}
+    objs: dict[int, bytes], page_d: bytes, enc_key: tuple[bytes, str] | None
+) -> dict[bytes, tuple[str, dict[int, str]] | None]:
+    """Resource name → font handle for one page: None = simple latin-1,
+    ('cid', map) = Type0 with a ToUnicode CMap, ('diff', map) = simple
+    font with an /Encoding /Differences byte remap. Raises
+    _UnsupportedFont on a Type0 font whose encoding is not /Identity-H,
+    a missing/undecodable ToUnicode, or a /Differences array with glyph
+    names outside the shared AGL subset."""
+    fonts: dict[bytes, tuple[str, dict[int, str]] | None] = {}
     res_d = _nested_dict_of(page_d, b"/Resources", objs)
     if not res_d:
         return fonts
@@ -296,9 +346,17 @@ def _page_fonts(
         name, num = pm.group(1), int(pm.group(2))
         body = objs.get(num)
         if body is None:
-            continue  # unresolved name → Tf bails if the file has Type0
+            continue  # unresolved name → Tf bails under strict fonts
         fd = _dict_of(body)
         if b"/Type0" not in fd:
+            if b"/Differences" in fd or b"/Encoding" in fd:
+                enc_d = _nested_dict_of(fd, b"/Encoding", objs)
+                if enc_d and b"/Differences" in enc_d:
+                    dmap = _parse_differences(enc_d)
+                    if dmap is None:
+                        raise _UnsupportedFont("unmodeled /Differences entry")
+                    fonts[name] = ("diff", dmap)
+                    continue
             fonts[name] = None
             continue
         # the value of /Encoding is itself a name — match it directly
@@ -313,21 +371,25 @@ def _page_fonts(
         cmap = _parse_tounicode(raw) if raw is not None else None
         if cmap is None:
             raise _UnsupportedFont("undecodable ToUnicode CMap")
-        fonts[name] = cmap
+        fonts[name] = ("cid", cmap)
     return fonts
 
 
-def _decode_shown(raw: bytes, cmap: dict[int, str] | None) -> str | None:
-    """Shown-string bytes → text: latin-1 under a simple font, big-endian
-    2-byte codes through the CMap under a Type0 font. None (→ rung bail)
-    on odd-length CID strings or unmapped codes."""
-    if cmap is None:
+def _decode_shown(raw: bytes, handle: tuple[str, dict[int, str]] | None) -> str | None:
+    """Shown-string bytes → text under the active font handle: latin-1
+    (None), big-endian 2-byte codes through a ToUnicode map ('cid'), or a
+    byte remap with latin-1 fallback for unmapped codes ('diff'). None
+    (→ rung bail) on odd-length CID strings or unmapped CID codes."""
+    if handle is None:
         return raw.decode("latin-1")
+    kind, m = handle
+    if kind == "diff":
+        return "".join(m[b] if b in m else chr(b) for b in raw)
     if len(raw) % 2:
         return None
     out: list[str] = []
     for k in range(0, len(raw), 2):
-        s = cmap.get((raw[k] << 8) | raw[k + 1])
+        s = m.get((raw[k] << 8) | raw[k + 1])
         if s is None:
             return None
         out.append(s)
@@ -804,12 +866,13 @@ def _literal_bytes(content: bytes, i: int) -> tuple[bytes, int]:
 
 def _tokenize_content(
     content: bytes,
-    fonts: dict[bytes, dict[int, str] | None] | None = None,
-    has_type0: bool = False,
+    fonts: dict[bytes, tuple[str, dict[int, str]] | None] | None = None,
+    strict_fonts: bool = False,
 ) -> str | None:
     """Text-showing pass over one page's content stream. None → rung bail
     (CID string under a Type0 font that the ToUnicode map cannot decode,
-    or an unresolvable Tf name while the file declares a Type0 font)."""
+    or an unresolvable Tf name while the file declares a Type0 font or a
+    /Differences encoding)."""
     out: list[str] = []
     pending_newline = False
     shown_any = False
@@ -867,7 +930,7 @@ def _tokenize_content(
                 name = tfm.group(1)
                 if fonts is not None and name in fonts:
                     cur_map = fonts[name]
-                elif has_type0:
+                elif strict_fonts:
                     return None  # can't prove the font is simple — bail
                 else:
                     cur_map = None
@@ -911,12 +974,17 @@ def _page_contents(data: bytes):
     if not page_nums:
         return None
     # C-substring pre-filter (see _expand_object_streams note): the font
-    # resolution pass only runs on files that declare a Type0 font at all
-    has_type0 = any(b"/Type0" in body for body in objs.values())
-    out: list[tuple[bytes, dict[bytes, dict[int, str] | None]]] = []
+    # resolution pass only runs on files that declare a Type0 font or a
+    # /Differences encoding at all; such files also make every Tf name
+    # STRICT (unresolvable → bail) since an unresolved font could be the
+    # remapped one
+    strict_fonts = any(
+        b"/Type0" in body or b"/Differences" in body for body in objs.values()
+    )
+    out: list[tuple[bytes, dict[bytes, tuple[str, dict[int, str]] | None]]] = []
     for num in page_nums:
         page_d = _dict_of(objs[num])
-        if has_type0:
+        if strict_fonts:
             try:
                 fonts = _page_fonts(objs, page_d, enc_key)
             except _UnsupportedFont:
@@ -934,7 +1002,7 @@ def _page_contents(data: bytes):
                 return None
             content += part + b"\n"
         out.append((content, fonts))
-    return out, has_type0
+    return out, strict_fonts
 
 
 def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, float]]] | None:
@@ -1014,14 +1082,14 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     res = _page_contents(data)
     if res is None:
         return None
-    pages, has_type0 = res
+    pages, strict_fonts = res
     out: list[list[tuple[float, float, str]]] = []
     for content, fonts in pages:
         runs: list[tuple[float, float, str]] = []
         x = y = 0.0
         moved = True
         in_tj_array = False
-        cur_map: dict[int, str] | None = None
+        cur_map: tuple[str, dict[int, str]] | None = None
         # strip geometry segments so their numbers can't confuse the walk —
         # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
         # delete ruling-like substrings INSIDE literal strings ("(move 10 20
@@ -1093,7 +1161,7 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                     name = tfm.group(1)
                     if name in fonts:
                         cur_map = fonts[name]
-                    elif has_type0:
+                    elif strict_fonts:
                         return None  # can't prove the font is simple
                     else:
                         cur_map = None
@@ -1174,10 +1242,10 @@ def tokenize_pdf_text(data: bytes) -> list[str] | None:
     res = _page_contents(data)
     if res is None:
         return None
-    pages, has_type0 = res
+    pages, strict_fonts = res
     out: list[str] = []
     for content, fonts in pages:
-        txt = _tokenize_content(content, fonts, has_type0)
+        txt = _tokenize_content(content, fonts, strict_fonts)
         if txt is None:
             return None
         out.append(txt)

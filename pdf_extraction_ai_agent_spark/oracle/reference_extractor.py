@@ -623,17 +623,61 @@ def _oracle_obj_body(data: bytes, num: int) -> bytes | None:
     return m.group(1) if m else None
 
 
+def _oracle_glyph_char(name: str):
+    """Glyph name → char via the shared AGL-subset spec table, plus the
+    AGL uniXXXX / uXXXX[XX] forms (own parse — the engine has its own)."""
+    ch = spec.GLYPH_TO_UNICODE.get(name)
+    if ch is not None:
+        return ch
+    if name.startswith("uni") and len(name) == 7:
+        body = name[3:]
+    elif name.startswith("u") and 5 <= len(name) <= 7:
+        body = name[1:]
+    else:
+        return None
+    try:
+        cp = int(body, 16)
+    except ValueError:
+        return None
+    if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+        return chr(cp)
+    return None
+
+
+def _oracle_parse_differences(seg: bytes) -> dict[int, str]:
+    """/Differences array → byte remap, token-split style (the engine uses
+    a single regex walk — independent code). Raises on unknown glyphs."""
+    toks = seg.replace(b"[", b" ").replace(b"]", b" ").split()
+    out: dict[int, str] = {}
+    code = -1
+    for tok in toks:
+        if tok.startswith(b"/"):
+            ch = _oracle_glyph_char(tok[1:].decode("latin-1"))
+            if ch is None or not 0 <= code <= 255:
+                raise RuntimeError("unmodeled /Differences entry — out of twin scope")
+            out[code] = ch
+            code += 1
+        else:
+            try:
+                code = int(tok)
+            except ValueError:
+                raise RuntimeError("malformed /Differences array — out of twin scope")
+    return out
+
+
 def _oracle_font_maps(data: bytes, enc_key: bytes | None):
-    """(resource-name → CID map or None, has_type0) for the whole file.
-    The oracle scanner has no page model, so /Font resource names resolve
-    GLOBALLY; a name bound to two different font objects, an encrypted
-    CID file, or any unmodeled Type0 configuration raises (out of twin
-    scope — the fixtures never produce those shapes; the engine resolves
-    fonts per page and also covers encrypted CID files)."""
-    if b"/Type0" not in data:
+    """(resource-name → font handle, strict) for the whole file: handles
+    are None (simple latin-1), ('cid', map) (Type0 + ToUnicode) or
+    ('diff', map) (/Encoding /Differences byte remap). The oracle scanner
+    has no page model, so /Font resource names resolve GLOBALLY; a name
+    bound to two different font objects, an encrypted CID/Differences
+    file, or any unmodeled configuration raises (out of twin scope — the
+    fixtures never produce those shapes; the engine resolves fonts per
+    page and also covers encrypted CID files)."""
+    if b"/Type0" not in data and b"/Differences" not in data:
         return {}, False
     if enc_key is not None:
-        raise RuntimeError("encrypted CID-font file — out of twin scope")
+        raise RuntimeError("encrypted CID/Differences file — out of twin scope")
     name_obj: dict[bytes, int] = {}
     for fm in re.finditer(rb"/Font\s*<<", data):
         end = data.find(b">>", fm.end())
@@ -651,7 +695,19 @@ def _oracle_font_maps(data: bytes, enc_key: bytes | None):
         if body is None:
             raise RuntimeError("unresolvable font object — out of twin scope")
         if b"/Type0" not in body:
-            maps[name] = None
+            enc_seg = body
+            em = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", body)
+            if em:
+                enc_seg = _oracle_obj_body(data, int(em.group(1))) or b""
+            if b"/Differences" in enc_seg:
+                at = enc_seg.find(b"/Differences")
+                lb = enc_seg.find(b"[", at)
+                rb_ = enc_seg.find(b"]", lb)
+                if lb < 0 or rb_ < 0:
+                    raise RuntimeError("malformed /Differences array — out of twin scope")
+                maps[name] = ("diff", _oracle_parse_differences(enc_seg[lb:rb_ + 1]))
+            else:
+                maps[name] = None
             continue
         if not re.search(rb"/Encoding\s*/Identity-H(?![A-Za-z0-9])", body):
             raise RuntimeError("non-Identity-H Type0 font — out of twin scope")
@@ -682,8 +738,18 @@ def _oracle_font_maps(data: bytes, enc_key: bytes | None):
                 raw = zlib.decompress(raw)
             except zlib.error:
                 raise RuntimeError("undecodable ToUnicode stream")
-        maps[name] = _oracle_parse_cmap(raw)
+        maps[name] = ("cid", _oracle_parse_cmap(raw))
     return maps, True
+
+
+def _oracle_decode_shown(bs: bytes, handle) -> str:
+    """Shown bytes under the active font handle (None / 'cid' / 'diff')."""
+    if handle is None:
+        return bs.decode("latin-1")
+    kind, m = handle
+    if kind == "diff":
+        return "".join(m.get(b, chr(b)) for b in bs)
+    return _oracle_cid_decode(bs, m)
 
 
 def _oracle_cid_decode(bs: bytes, cmap: dict[int, str]) -> str:
@@ -725,7 +791,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     obj_head_re = re.compile(rb"(\d+)\s+0\s+obj\b")
     cur_onum: int | None = None
     gap_from = 0
-    font_maps, has_type0 = _oracle_font_maps(data, enc_key)
+    font_maps, strict_fonts = _oracle_font_maps(data, enc_key)
     pages: list[list[tuple[float, float, str]]] = []
     pos = 0
     while True:
@@ -786,7 +852,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         x = y = 0.0
         moved = True
         in_tj_array = False
-        cur_map: dict[int, str] | None = None  # active Type0 ToUnicode map
+        cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
         last_name: bytes | None = None  # most recent /Name token (Tf operand)
         i, n = 0, len(raw)
 
@@ -839,7 +905,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                     buf.append(chr(c)); i += 1
                 txt = "".join(buf)
                 if cur_map is not None:
-                    txt = _oracle_cid_decode(txt.encode("latin-1"), cur_map)
+                    txt = _oracle_decode_shown(txt.encode("latin-1"), cur_map)
                 strings.append(txt)
                 continue
             if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
@@ -854,10 +920,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 except ValueError:
                     i = end + 1
                     continue
-                strings.append(
-                    bs.decode("latin-1") if cur_map is None
-                    else _oracle_cid_decode(bs, cur_map)
-                )
+                strings.append(_oracle_decode_shown(bs, cur_map))
                 i = end + 1
                 continue
             if ch == 0x2F:  # /Name token — the Tf operand when one follows
@@ -876,13 +939,13 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             if raw[i : i + 2] in (b"Tj", b"TJ"):
                 show(); i += 2
             elif raw[i : i + 2] == b"Tf":
-                # font selection: under a file that declares a Type0 font,
-                # every Tf must resolve (the engine bails there too) —
-                # else the walk stays in simple latin-1 mode
-                if has_type0:
+                # font selection: under a file that declares a Type0 font
+                # or a /Differences encoding, every Tf must resolve (the
+                # engine bails there too) — else simple latin-1 mode
+                if strict_fonts:
                     if last_name is None or last_name not in font_maps:
                         raise RuntimeError(
-                            "unresolvable Tf in a Type0 file — out of twin scope"
+                            "unresolvable Tf in a Type0/Differences file — out of twin scope"
                         )
                     cur_map = font_maps[last_name]
                 nums.clear()

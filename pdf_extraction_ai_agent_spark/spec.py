@@ -153,3 +153,88 @@ LOB_ALIASES = {
     "building": "property",
     "general": "gl", "liability": "gl", "general liability": "gl",
 }
+
+
+# ---------------------------------------------------------------------------
+# Adobe Glyph List subset (public AGL data) — shared SPEC DATA for the
+# simple-font /Differences encoding path: glyph NAME → unicode char.
+# The engine (operators/pdftext.py) and the oracle char-scanner each parse
+# /Differences arrays with their OWN code against this one table (the same
+# sharing contract as every other constant in this module). Coverage:
+# ASCII + Latin-1 + the standard typographic names PDF generators emit;
+# anything absent (symbol fonts, gXX subset glyphs) makes both twins bail.
+# ---------------------------------------------------------------------------
+
+
+def _build_glyph_table() -> dict:
+    import unicodedata
+
+    t = {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        # Latin-1 supplement + standard typographic names
+        "exclamdown": "¡", "cent": "¢", "sterling": "£",
+        "currency": "¤", "yen": "¥", "brokenbar": "¦",
+        "section": "§", "dieresis": "¨", "copyright": "©",
+        "ordfeminine": "ª", "guillemotleft": "«",
+        "logicalnot": "¬", "registered": "®", "macron": "¯",
+        "degree": "°", "plusminus": "±", "acute": "´",
+        "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+        "cedilla": "¸", "ordmasculine": "º",
+        "guillemotright": "»", "onequarter": "¼",
+        "onehalf": "½", "threequarters": "¾",
+        "questiondown": "¿", "multiply": "×", "divide": "÷",
+        "onesuperior": "¹", "twosuperior": "²",
+        "threesuperior": "³",
+        "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+        "Oslash": "Ø", "oslash": "ø", "Eth": "Ð",
+        "eth": "ð", "Thorn": "Þ", "thorn": "þ",
+        "germandbls": "ß", "dotlessi": "ı", "Lslash": "Ł",
+        "lslash": "ł", "Scaron": "Š", "scaron": "š",
+        "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+        "perthousand": "‰", "trademark": "™", "fi": "ﬁ",
+        "fl": "ﬂ", "florin": "ƒ", "fraction": "⁄",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "minus": "−", "Euro": "€", "euro": "€",
+        "nbspace": " ", "sfthyphen": "­",
+        "circumflexaccent": "ˆ", "tildeaccent": "˜",
+        "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+        "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    }
+    for ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        t[ch] = ch
+    for name, digit in zip(
+        ("zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine"), "0123456789"
+    ):
+        t[name] = digit
+    # accented latin: <letter><diacritic-name> composed via NFC, kept only
+    # when a single precomposed codepoint exists (AGL naming convention)
+    diacritics = {
+        "grave": "̀", "acute": "́", "circumflex": "̂",
+        "tilde": "̃", "macron": "̄", "breve": "̆",
+        "dotaccent": "̇", "dieresis": "̈", "ring": "̊",
+        "hungarumlaut": "̋", "caron": "̌", "cedilla": "̧",
+        "ogonek": "̨",
+    }
+    for letter in "AaCcEeGgIiLlNnOoRrSsTtUuWwYyZz":
+        for dname, comb in diacritics.items():
+            composed = unicodedata.normalize("NFC", letter + comb)
+            if len(composed) == 1:
+                t.setdefault(letter + dname, composed)
+    return t
+
+
+GLYPH_TO_UNICODE = _build_glyph_table()

@@ -848,3 +848,64 @@ def test_aes_encrypted_pdf_roundtrip_and_bails():
     assert tokenize_pdf_text(v4r) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(v4r.decode("latin-1"))
+
+
+def test_differences_pdf_property_roundtrip():
+    """Property: simple-font /Differences byte remaps — writer → tokenizer
+    is the identity per page (named chars travel as high codes, unnamed
+    keep latin-1), and the independent oracle agrees, across inline/ref
+    encoding dicts and Flate compression."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_differences_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        max_size=30,
+    )
+    page = st.lists(line, min_size=1, max_size=4).map("\n".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pages=st.lists(page, min_size=1, max_size=2),
+        compress=st.booleans(),
+        ref=st.booleans(),
+    )
+    def check(pages, compress, ref):
+        data = write_differences_pdf(pages, compress=compress, encoding_ref=ref)
+        assert tokenize_pdf_text(data) == pages
+        text, _ocr = extract_real_pdf(data.decode("latin-1"))
+        expected = "\n".join(
+            spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+            for i, p in enumerate(pages)
+        ).strip()
+        assert text == expected
+
+    check()
+
+
+def test_differences_pdf_unknown_glyph_bails():
+    """An unknown glyph name in /Differences must BAIL on both sides —
+    decoding around it would silently drop/mangle remapped text."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_differences_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["claim text alpha"]
+    good = write_differences_pdf(pages)
+    assert tokenize_pdf_text(good) == pages
+    # swap one known glyph name for a subset-glyph name of equal length
+    assert b"/a " in good
+    bad = good.replace(b"/a ", b"/g7 ", 1)
+    assert tokenize_pdf_text(bad) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(bad.decode("latin-1"))
