@@ -263,10 +263,12 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
     matrix end-to-end through the batch kernel): classic xref (50%),
     PDF 1.5 ObjStm + xref streams (~15%), standard-handler encryption
     (~15%, RC4 V1/R2 / V2/R3 and AESV2 V4/R4), and CID-keyed Type0
-    fonts with ToUnicode CMaps (~20%, text-block pages — hex CID shows
-    carry no positioned-items mode)."""
+    fonts with ToUnicode CMaps (~10%) / simple-font /Differences remaps
+    (~10%) — both text-block pages (remapped shows carry no
+    positioned-items mode)."""
     from .minipdf import (
         write_cid_pdf,
+        write_differences_pdf,
         write_encrypted_pdf,
         write_minimal_pdf,
         write_objstm_pdf,
@@ -276,7 +278,7 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
     if near_empty:
         pages = [rng.choice(["scanned", "img-only", ""])]
     elif carrier >= 0.8:
-        # CID carrier: sequential text blocks only
+        # CID / Differences carriers: sequential text blocks only
         pages = []
         for _ in range(rng.randint(1, 3)):
             paras = [
@@ -311,7 +313,13 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
                     y -= PDF_LEADING * 2  # ≥ PDF_PARA_GAP → blank line
                 rng.shuffle(items)  # emit out of reading order
                 pages.append(items)
-    if carrier >= 0.8 and not near_empty:
+    if carrier >= 0.9 and not near_empty:
+        data = write_differences_pdf(
+            pages,
+            compress=rng.random() < 0.5,
+            encoding_ref=rng.random() < 0.5,
+        )
+    elif carrier >= 0.8 and not near_empty:
         data = write_cid_pdf(
             pages,
             compress=rng.random() < 0.5,

@@ -359,13 +359,13 @@ def test_real_pdf_golden_no_optional_libs(spark):
     from pdf_extraction_ai_agent_spark.oracle import extract_turn_frame
     from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
 
-    pdf = generate_transcripts(n_convs=20, seed=7, skew=False, include_real_pdf=True)
+    pdf = generate_transcripts(n_convs=30, seed=7, skew=False, include_real_pdf=True)
     n_real = (pdf["text"].str.startswith("%PDF-1.")).sum()
     assert n_real >= 5  # the mix must actually exercise the new kind
     # round 5: the carrier mix must cover the whole tokenizer matrix —
     # classic xref, ObjStm/xref streams, RC4 + AESV2 encryption, CID fonts
     texts = pdf["text"]
-    for token in ("/ObjStm", "/Encrypt", "/AESV2", "/Type0"):
+    for token in ("/ObjStm", "/Encrypt", "/AESV2", "/Type0", "/Differences"):
         assert texts.str.contains(token, regex=False).any(), token
 
     got = (
