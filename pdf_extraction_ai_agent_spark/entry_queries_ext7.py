@@ -588,3 +588,53 @@ def q57_differences_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 EXT7_QUERIES["q57_differences_pdf_roundtrip"] = q57_differences_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q57_differences_pdf_roundtrip"] = _Q55_SQL
+
+
+# ---------------------------------------------------------------------------
+# q58 — AES-256 (V5/R6) ENCRYPTED PDF round trip under the ORACLE GATE:
+# the q49 contract over files using the AESV3 crypt filter — Algorithm
+# 2.B password hashes, the file key unwrapped from /UE, streams decrypted
+# directly under the 256-bit file key (no per-object salting in V5).
+# Three independent AES-256 implementations (engine tables / oracle
+# spec-style / writer forward), FIPS-197-pinned. Reuses q49's SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def q58_aes256_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .fixtures.minipdf import write_encrypted_pdf
+    from .operators.extract import extract_real_pdf_text
+
+    docs = _docs(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                norm30 = " ".join(str(text)[:30].split())
+                items = [
+                    ("text", 72, 720, f"Claim C{doc_id}"),
+                    ("text", 72, 704, f"Body {norm30}"),
+                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
+                ][::-1]
+                data = write_encrypted_pdf(
+                    [items],
+                    owner_pwd=b"r6-owner-%d" % (doc_id % 3),  # few variants: 2.B is
+                    # deliberately slow and memoized per (pwd, salt)
+                    revision=6,
+                )
+                t, ocr = extract_real_pdf_text(data)
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    )
+
+
+EXT7_QUERIES["q58_aes256_pdf_roundtrip"] = q58_aes256_pdf_roundtrip
+_EXT7_ORACLES_EXTRA["q58_aes256_pdf_roundtrip"] = _Q49_SQL

@@ -300,7 +300,9 @@ def write_encrypted_pdf(
     default, V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+ shape
     that dominates real encrypted PDFs), or V4/R4 AESV2 (AES-128-CBC via
     the /StdCF crypt filter — the Acrobat 7+ default) with
-    ``revision=4`` — the ubiquitous "owner-locked" shape (viewers open it
+    ``revision=4``, or V5/R6 AES-256 (AESV3, Algorithm 2.B hashes, file
+    key wrapped in /UE) with ``revision=6`` — the ubiquitous
+    "owner-locked" shape (viewers open it
     without prompting). Every stream is encrypted under its per-object
     key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
     dict and /ID land in the trailer. pdftext.py's rung decrypts these
@@ -310,8 +312,29 @@ def write_encrypted_pdf(
 
     plain = write_minimal_pdf(pages)
     file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
+    if revision == 6:
+        # AES-256 (ISO 32000-2): deterministic salts; empty user password.
+        vsalt = hashlib.md5(b"r6-vsalt" + bytes(len(pages))).digest()[:8]
+        ksalt = hashlib.md5(b"r6-ksalt" + bytes(len(pages))).digest()[:8]
+        key = (hashlib.md5(b"r6-filekey-a" + owner_pwd).digest()
+               + hashlib.md5(b"r6-filekey-b").digest())  # 32-byte file key
+        u_value = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+        ue_value = _aes_cbc_encrypt_nopad(
+            hash_2b(user_pwd, ksalt), bytes(16), key
+        )
+        ovs = hashlib.md5(b"r6-ovsalt").digest()[:8]
+        oks = hashlib.md5(b"r6-oksalt").digest()[:8]
+        o_value = hash_2b(owner_pwd, ovs, u_value) + ovs + oks
+        oe_value = _aes_cbc_encrypt_nopad(
+            hash_2b(owner_pwd, oks, u_value), bytes(16), key
+        )
+        perms_plain = (
+            struct.pack("<i", permissions) + b"\xff\xff\xff\xff"
+            + b"Tadb" + b"seed"
+        )
+        perms_value = _aes_encrypt_block(_aes_round_keys(key), perms_plain)
     n_key = 16 if revision >= 3 else 5
-    if revision >= 3:
+    if revision in (3, 4):
         # Algorithm 3 (R3): owner key = md5^51 of padded owner pwd, [:16];
         # O = 20-round RC4 chain over the padded user pwd with key^i
         okd = hashlib.md5(_pad_password(owner_pwd)).digest()
@@ -328,7 +351,7 @@ def write_encrypted_pdf(
         for i in range(20):
             u_value = rc4(bytes(b ^ i for b in key), u_value)
         u_value += b"\x00" * 16  # arbitrary 16-byte tail per spec
-    else:
+    elif revision == 2:
         o_value = rc4(
             hashlib.md5(_pad_password(owner_pwd)).digest()[:5], _pad_password(user_pwd)
         )
@@ -349,7 +372,10 @@ def write_encrypted_pdf(
             head, data = body[:s_at], body[s_at + len(b"\nstream\n"):]
             assert data.endswith(b"\nendstream")
             data = data[: -len(b"\nendstream")]
-            if revision == 4:
+            if revision == 6:
+                iv = hashlib.md5(b"fixture-iv6-%d" % num).digest()
+                data = aes_cbc_encrypt(key, iv, data)  # FILE key, no salt
+            elif revision == 4:
                 iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
                 data = aes_cbc_encrypt(object_aes_key(key, num), iv, data)
             else:
@@ -360,17 +386,32 @@ def write_encrypted_pdf(
             body = head + b"\nstream\n" + data + b"\nendstream"
         objs[num] = body
     enc_num = max(objs) + 1
-    v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128)}[revision]
-    cf = (
-        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-        b"/StmF /StdCF /StrF /StdCF "
-        if revision == 4 else b""
-    )
+    v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128), 6: (5, 256)}[revision]
+    if revision == 4:
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    elif revision == 6:
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    else:
+        cf = b""
+    extra = b""
+    if revision == 6:
+        extra = (
+            b"/OE <" + oe_value.hex().encode() + b"> "
+            + b"/UE <" + ue_value.hex().encode() + b"> "
+            + b"/Perms <" + perms_value.hex().encode() + b"> "
+        )
     objs[enc_num] = (
         b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, revision, length)
         + cf
         + b"/O <" + o_value.hex().encode() + b"> "
         + b"/U <" + u_value.hex().encode() + b"> "
+        + extra
         + (b"/P %d >>" % permissions)
     )
 
@@ -562,24 +603,29 @@ def _xt(b: int) -> int:
 
 
 def _aes_round_keys(key: bytes) -> list[bytes]:
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_SBOX[t[1]] ^ rcon, _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
             rcon = _xt(rcon)
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [bytes(sum(words[4 * r : 4 * r + 4], [])) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [bytes(sum(words[4 * r : 4 * r + 4], [])) for r in range(nr + 1)]
 
 
 def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    nr = len(rks) - 1
     s = [b ^ k for b, k in zip(block, rks[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]
         # ShiftRows on the column-major state: s'[r + 4c] = s[r + 4((c+r)%4)]
         s = [s[(i % 4) + 4 * (((i // 4) + (i % 4)) % 4)] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             t = []
             for c in range(4):
                 a = s[4 * c : 4 * c + 4]
@@ -595,8 +641,8 @@ def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """IV-prefixed AES-128-CBC with PKCS#7 padding — the AESV2 stream
-    payload layout."""
+    """IV-prefixed AES-CBC (128 or 256 by key length) with PKCS#7
+    padding — the AESV2/AESV3 stream payload layout."""
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
     rks = _aes_round_keys(key)
@@ -715,3 +761,43 @@ def write_differences_pdf(
         f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(out)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Unpadded CBC — Algorithm 2.B state and the /UE key wrap."""
+    rks = _aes_round_keys(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — writer-side copy (engine and oracle
+    each carry their own over their own AES primitives); memoized."""
+    import hashlib
+    from functools import lru_cache
+
+    global hash_2b
+    inner = hash_2b = lru_cache(maxsize=256)(_hash_2b_impl)
+    return inner(password, salt, udata)
+
+
+def _hash_2b_impl(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]

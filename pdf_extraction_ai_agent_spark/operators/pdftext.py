@@ -33,10 +33,12 @@ Scope (returns None → caller falls through to the library chain):
   declares a Type0 font — aborts the rung (wrong text must never beat no
   text);
 - standard-security-handler encryption with an EMPTY user password:
-  RC4 V1/R2 (40-bit) and V2/R3 (128-bit), and V4/R4 with the /StdCF
-  /CFM /AESV2 crypt filter (AES-128-CBC) — per-object keys, /U-verified;
-  any other configuration (AES-256/V5, real user passwords, encrypted
-  ObjStm/xref-stream layouts) aborts the rung;
+  RC4 V1/R2 (40-bit) and V2/R3 (128-bit), V4/R4 with the /StdCF
+  /CFM /AESV2 crypt filter (AES-128-CBC, per-object keys), and V5/R6
+  AES-256 (/CFM /AESV3 — Algorithm 2.B password hash, file key
+  unwrapped from /UE, streams under the file key) — /U-verified; any
+  other configuration (real user passwords, non-StdCF filters,
+  encrypted ObjStm/xref-stream layouts) aborts the rung;
 - simple-font /Encoding /Differences byte remaps (legacy generators,
   scanner output): remapped codes resolve through the shared AGL-subset
   glyph table (spec.GLYPH_TO_UNICODE, incl. uniXXXX/uXXXX names),
@@ -475,14 +477,20 @@ _AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """Key schedule for AES-128 (Nk=4, 44 words) or AES-256 (Nk=8, 60
+    words — the extra SubWord at i % 8 == 4 per FIPS-197)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_AES_SBOX[b] for b in t]
-            t[0] ^= _AES_RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+            t[0] ^= _AES_RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return w
 
 
@@ -505,8 +513,9 @@ _INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
 
 
 def _aes_decrypt_block(w: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ w[40 + i // 4][i % 4] for i, b in enumerate(block)]
-    for rnd in range(9, 0, -1):
+    nr = len(w) // 4 - 1
+    s = [b ^ w[4 * nr + i // 4][i % 4] for i, b in enumerate(block)]
+    for rnd in range(nr - 1, 0, -1):
         s = [_AES_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
         s = [b ^ w[4 * rnd + i // 4][i % 4] for i, b in enumerate(s)]
         t = [0] * 16
@@ -522,8 +531,81 @@ def _aes_decrypt_block(w: list[list[int]], block: bytes) -> bytes:
     return bytes(s)
 
 
+_AES_SHIFT = [(r + 4 * ((c + r) % 4)) for c in range(4) for r in range(4)]
+_M2, _M3 = _gmul_tab(2), _gmul_tab(3)
+
+
+def _aes_encrypt_block(w: list[list[int]], block: bytes) -> bytes:
+    """Forward cipher — needed by the R6 Algorithm 2.B password hash
+    (which AES-ENCRYPTS its rolling state), not for writing files."""
+    nr = len(w) // 4 - 1
+    s = [b ^ w[i // 4][i % 4] for i, b in enumerate(block)]
+    for rnd in range(1, nr + 1):
+        s = [_AES_SBOX[b] for b in s]
+        s = [s[_AES_SHIFT[i]] for i in range(16)]
+        if rnd < nr:
+            t = [0] * 16
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                t[4 * c + 0] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
+                t[4 * c + 1] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
+                t[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
+                t[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
+            s = t
+        s = [b ^ w[4 * rnd + i // 4][i % 4] for i, b in enumerate(s)]
+    return bytes(s)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    w = _aes_expand_key(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = _aes_encrypt_block(w, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    w = _aes_expand_key(key)
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = data[at : at + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(w, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6): iterated SHA-256/384/512 selected by
+    an AES-128-CBC encryption of the rolling state — the password hash
+    behind AES-256 /U //O validation and key derivation. Memoized: 2.B is
+    deliberately expensive (its job is slowing brute force) and a corpus
+    re-derives the same (pwd, salt) pairs constantly."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
-    """AESV2 stream payload: 16-byte IV prefix + CBC ciphertext with
+    """AESV2/AESV3 stream payload: 16-byte IV prefix + CBC ciphertext with
     PKCS#7-style padding (1–16 bytes). None on malformed geometry — the
     caller bails to the library chain."""
     if len(data) < 32 or len(data) % 16:
@@ -565,14 +647,16 @@ def _hex_or_literal(v: bytes) -> bytes | None:
 def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | None:
     """None = not encrypted. (base_key, 'rc4'|'aes') for a file encrypted
     with the STANDARD handler — V1/R2 (40-bit RC4), V2/R3 (/Length up to
-    128-bit RC4, the Acrobat 5+ shape), or V4/R4 with the /StdCF AESV2
-    crypt filter (AES-128-CBC, the Acrobat 7+ default) — and an EMPTY
-    user password (verified against /U — the ubiquitous owner-locked
-    shape). Raises _UnsupportedEncryption for every other configuration
-    (AES-256/V5, non-AESV2 crypt filters, /EncryptMetadata false, real
-    user passwords, encrypted files using xref streams/ObjStm, malformed
-    /Encrypt). Document-level strings (/Info etc.) are /StrF-encrypted
-    too but never feed extraction, so only stream decryption is wired."""
+    128-bit RC4, the Acrobat 5+ shape), V4/R4 with the /StdCF AESV2
+    crypt filter (AES-128-CBC, the Acrobat 7+ default), or V5/R6 AES-256
+    (AESV3: Algorithm 2.B hash validates the empty user password against
+    /U and unwraps the file key from /UE) — returned methods 'rc4',
+    'aes' (per-object keys) and 'aesv3' (file key). Raises
+    _UnsupportedEncryption for every other configuration (non-StdCF
+    crypt filters, /EncryptMetadata false on V4, real user passwords,
+    encrypted files using xref streams/ObjStm, malformed /Encrypt).
+    Document-level strings (/Info etc.) are /StrF-encrypted too but
+    never feed extraction, so only stream decryption is wired."""
     import hashlib
     import struct as _struct
 
@@ -604,8 +688,26 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | 
     rm = re.search(rb"/R\s+(\d+)", d)
     ver = int(vm.group(1)) if vm else 0
     rev = int(rm.group(1)) if rm else 0
-    if (ver, rev) not in ((1, 2), (2, 3), (4, 4)):
-        raise _UnsupportedEncryption("only V1/R2, V2/R3 RC4 and V4/R4 AESV2 are modeled")
+    if (ver, rev) not in ((1, 2), (2, 3), (4, 4), (5, 6)):
+        raise _UnsupportedEncryption(
+            "only V1/R2, V2/R3 RC4, V4/R4 AESV2 and V5/R6 AESV3 are modeled"
+        )
+    if (ver, rev) == (5, 6):
+        # AES-256: /StdCF AESV3 crypt filter; empty user password verified
+        # by Algorithm 2.B against /U, file key unwrapped from /UE — the
+        # FILE key encrypts streams directly (no per-object salting in V5)
+        if not re.search(rb"/CFM\s*/AESV3(?![A-Za-z0-9])", d):
+            raise _UnsupportedEncryption("V5 crypt filter other than AESV3")
+        if not re.search(rb"/StmF\s*/StdCF(?![A-Za-z0-9])", d):
+            raise _UnsupportedEncryption("V5 /StmF other than /StdCF")
+        u_val = _hex_or_literal(_value_of(d, b"/U"))
+        ue_val = _hex_or_literal(_value_of(d, b"/UE"))
+        if u_val is None or ue_val is None or len(u_val) < 48 or len(ue_val) != 32:
+            raise _UnsupportedEncryption("malformed /U //UE")
+        if _hash_2b(b"", u_val[32:40]) != u_val[:32]:
+            raise _UnsupportedEncryption("user password is not empty")
+        inter = _hash_2b(b"", u_val[40:48])
+        return _aes_cbc_decrypt_nopad(inter, bytes(16), ue_val), "aesv3"
     method = "rc4"
     if (ver, rev) == (4, 4):
         # V4 delegates to crypt filters: only the ubiquitous
@@ -678,8 +780,9 @@ def _stream_data(body: bytes, num: int | None = None,
         raw = body[at:end].rstrip(b"\r\n")
     if enc_key is not None and num is not None:
         base_key, enc_method = enc_key
-        if enc_method == "aes":
-            dec = _aes_cbc_decrypt(_object_aes_key(base_key, num), raw)
+        if enc_method in ("aes", "aesv3"):
+            key = _object_aes_key(base_key, num) if enc_method == "aes" else base_key
+            dec = _aes_cbc_decrypt(key, raw)
             if dec is None:
                 return None
             raw = dec

@@ -406,15 +406,19 @@ def _oracle_aes_decrypt(key: bytes, payload: bytes) -> bytes:
             b >>= 1
         return r
 
-    # key schedule (words of 4 bytes)
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    # key schedule (words of 4 bytes; AES-128 or AES-256 by key length)
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, 4 * nk, 4)]
     rc = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[-1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [sbox[t[1]] ^ rc, sbox[t[2]], sbox[t[3]], sbox[t[0]]]
             rc = gmul(rc, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
 
     def dec_block(ct: bytes) -> bytes:
         st = [[ct[r + 4 * c] for c in range(4)] for r in range(4)]  # rows
@@ -422,8 +426,8 @@ def _oracle_aes_decrypt(key: bytes, payload: bytes) -> bytes:
             for c in range(4):
                 for r in range(4):
                     st[r][c] ^= w[4 * rnd + c][r]
-        ark(10)
-        for rnd in range(9, -1, -1):
+        ark(nr)
+        for rnd in range(nr - 1, -1, -1):
             # InvShiftRows: row r rotates RIGHT by r
             for r in range(1, 4):
                 st[r] = st[r][-r:] + st[r][:-r]
@@ -453,6 +457,117 @@ def _oracle_aes_decrypt(key: bytes, payload: bytes) -> bytes:
     if not 1 <= pad <= 16 or pad > len(out):
         raise RuntimeError("bad AESV2 padding — out of twin scope")
     return bytes(out[:-pad])
+
+
+def _oracle_aes_forward_cbc(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Unpadded forward AES-CBC (128/256 by key length) — only needed by
+    the R6 Algorithm 2.B hash; spec-style like _oracle_aes_decrypt."""
+    sbox = bytes.fromhex(
+        "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+        "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+        "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+        "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+        "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+        "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+        "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+        "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+    )
+
+    def gmul(a: int, b: int) -> int:
+        r = 0
+        while b:
+            if b & 1:
+                r ^= a
+            a = ((a << 1) ^ 0x11B) if a & 0x80 else (a << 1)
+            b >>= 1
+        return r
+
+    t2 = [gmul(a, 2) for a in range(256)]
+    t3 = [gmul(a, 3) for a in range(256)]
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, 4 * nk, 4)]
+    rc = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[-1])
+        if i % nk == 0:
+            t = [sbox[t[1]] ^ rc, sbox[t[2]], sbox[t[3]], sbox[t[0]]]
+            rc = gmul(rc, 2)
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+
+    def enc_block(pt: bytes) -> bytes:
+        st = [[pt[r + 4 * c] for c in range(4)] for r in range(4)]
+
+        def ark(rnd):
+            for c in range(4):
+                for r in range(4):
+                    st[r][c] ^= w[4 * rnd + c][r]
+
+        ark(0)
+        for rnd in range(1, nr + 1):
+            for r in range(4):
+                for c in range(4):
+                    st[r][c] = sbox[st[r][c]]
+            for r in range(1, 4):  # ShiftRows: row r rotates LEFT by r
+                st[r] = st[r][r:] + st[r][:r]
+            if rnd < nr:
+                for c in range(4):
+                    col = [st[r][c] for r in range(4)]
+                    for r in range(4):
+                        st[r][c] = (
+                            t2[col[r]] ^ t3[col[(r + 1) % 4]]
+                            ^ col[(r + 2) % 4] ^ col[(r + 3) % 4]
+                        )
+            ark(rnd)
+        return bytes(st[r % 4][r // 4] for r in range(16))
+
+    prev = iv
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
+        prev = enc_block(blk)
+        out += prev
+    return bytes(out)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _oracle_hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B over the oracle's own AES primitives.
+    Memoized: 2.B is deliberately expensive (its job is slowing brute
+    force), and the twins re-derive the same (pwd, salt) pairs per file."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        e = _oracle_aes_forward_cbc(
+            k[:16], k[16:32], (password + k + udata) * 64
+        )
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            break
+    return k[:32]
+
+
+def _oracle_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Unpadded CBC decrypt built on the block machinery inside
+    _oracle_aes_decrypt — used only for the 32-byte /UE key unwrap, so a
+    synthetic padded payload round-trips through the padded API."""
+    # wrap: encrypt-side helper gives us block-level access indirectly —
+    # decrypt data+pad by appending a full pad block we construct
+    fake_pad = _oracle_aes_forward_cbc(
+        key, data[-16:], bytes([16]) * 16
+    )
+    out = _oracle_aes_decrypt(key, iv + data + fake_pad)
+    return out
 
 
 def _oracle_object_key(base: bytes, num: int) -> bytes:
@@ -505,9 +620,27 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     vq = re.search(rb"/V\s+(\d+)", ed)
     rq = re.search(rb"/R\s+(\d+)", ed)
     pair = (int(vq.group(1)) if vq else 0, int(rq.group(1)) if rq else 0)
-    if b"/Standard" not in ed or pair not in ((1, 2), (2, 3), (4, 4)):
-        raise RuntimeError("only Standard V1/R2, V2/R3 RC4 and V4/R4 AESV2 are modeled")
+    if b"/Standard" not in ed or pair not in ((1, 2), (2, 3), (4, 4), (5, 6)):
+        raise RuntimeError(
+            "only Standard V1/R2, V2/R3 RC4, V4/R4 AESV2 and V5/R6 AESV3 are modeled"
+        )
     rev = pair[1]
+    if pair == (5, 6):
+        if (not re.search(rb"/CFM\s*/AESV3(?![A-Za-z0-9])", ed)
+                or not re.search(rb"/StmF\s*/StdCF(?![A-Za-z0-9])", ed)):
+            raise RuntimeError("V5 configuration beyond /StdCF AESV3 — out of twin scope")
+        um = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", ed)
+        uem = re.search(rb"/UE\s*<([0-9A-Fa-f\s]+)>", ed)
+        if not um or not uem:
+            raise RuntimeError("non-hex /U //UE — out of twin scope")
+        u48 = bytes.fromhex(re.sub(rb"\s", b"", um.group(1)).decode())
+        ue32 = bytes.fromhex(re.sub(rb"\s", b"", uem.group(1)).decode())
+        if len(u48) < 48 or len(ue32) != 32:
+            raise RuntimeError("malformed /U //UE — out of twin scope")
+        if _oracle_hash_2b(b"", u48[32:40]) != u48[:32]:
+            raise RuntimeError("user password is not empty — out of twin scope")
+        inter = _oracle_hash_2b(b"", u48[40:48])
+        return _oracle_cbc_decrypt_nopad(inter, bytes(16), ue32), "aesv3"
     method = "rc4"
     if pair == (4, 4):
         if (not re.search(rb"/CFM\s*/AESV2(?![A-Za-z0-9])", ed)
@@ -828,7 +961,9 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             if cur_onum is None:
                 continue
             base_key, enc_method = enc_key
-            if enc_method == "aes":
+            if enc_method == "aesv3":
+                raw = _oracle_aes_decrypt(base_key, raw)  # FILE key (V5)
+            elif enc_method == "aes":
                 raw = _oracle_aes_decrypt(
                     _oracle_object_aes_key(base_key, cur_onum), raw
                 )

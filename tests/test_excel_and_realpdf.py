@@ -909,3 +909,49 @@ def test_differences_pdf_unknown_glyph_bails():
     assert tokenize_pdf_text(bad) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(bad.decode("latin-1"))
+
+
+def test_aes256_encrypted_pdf_roundtrip_and_bails():
+    """V5/R6 AES-256 (AESV3): Algorithm 2.B validates the empty user
+    password, /UE unwraps the file key, streams decrypt under it. Wrong
+    user password, corrupted padding and unmodeled V5 filters bail on
+    both twins."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_encrypted_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["aes-256 claim body\nline two", "page 2 body"]
+    data = write_encrypted_pdf(pages, owner_pwd=b"owner-z", revision=6)
+    assert tokenize_pdf_text(data) == pages
+    expected = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+        for i, p in enumerate(pages)
+    ).strip()
+    assert extract_real_pdf(data.decode("latin-1"))[0] == expected
+
+    locked = write_encrypted_pdf(pages, user_pwd=b"secret", revision=6)
+    assert tokenize_pdf_text(locked) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(locked.decode("latin-1"))
+
+    # padding-breaking ciphertext corruption: flip the last payload byte
+    s_at = data.find(b"stream\n") + len(b"stream\n")
+    import re as _re
+
+    ln = int(_re.search(rb"/Length (\d+)", data).group(1))
+    at = s_at + ln - 1
+    corrupt = data[:at] + bytes([data[at] ^ 0xFF]) + data[at + 1:]
+    assert tokenize_pdf_text(corrupt) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(corrupt.decode("latin-1"))
+
+    # unmodeled V5 crypt filter bails, never decrypts garbage
+    v5x = data.replace(b"/CFM /AESV3", b"/CFM /AESV4")
+    assert tokenize_pdf_text(v5x) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(v5x.decode("latin-1"))
