@@ -65,6 +65,8 @@ HEADLINE = [
     "q54_encrypted_pdf_roundtrip",
     "q55_cid_pdf_roundtrip",
     "q56_aes_pdf_roundtrip",
+    "q57_differences_pdf_roundtrip",
+    "q58_aes256_pdf_roundtrip",
 ]
 
 

@@ -327,10 +327,13 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
             array_ranges=rng.random() < 0.5,
         )
     elif carrier >= 0.65:
+        rev = rng.choice([2, 3, 4, 6])
         data = write_encrypted_pdf(
             pages,
-            owner_pwd=b"own-%d" % rng.randint(0, 9),
-            revision=rng.choice([2, 3, 4]),
+            # R6's Algorithm 2.B is deliberately expensive: a FIXED owner
+            # password keeps the memoized hash set small per process
+            owner_pwd=b"own6" if rev == 6 else b"own-%d" % rng.randint(0, 9),
+            revision=rev,
         )
     elif carrier >= 0.5:
         data = write_objstm_pdf(pages, compress=rng.random() < 0.5)
