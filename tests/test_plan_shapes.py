@@ -435,3 +435,46 @@ def test_lattice_normalize_no_recompute(spark, sf_dir):
     s45 = _plan(q45).count("Scan parquet")
     s46 = _plan(q46).count("Scan parquet")
     assert s46 <= s45, f"q46 re-executes the parse subtree: {s46} scans vs q45 {s45}"
+
+
+def test_cached_ivf_centroids_fit_once(spark, sf_dir, tmp_path_factory, monkeypatch):
+    """The coarse-quantizer fit runs AT MOST ONCE per (snapshot, geometry):
+    the first call writes the centroid table; a second call — even over a
+    poisoned corpus frame — reads it back without invoking the Lloyd fit,
+    and cosine_topk_ivf(centroids=cached) runs zero fits."""
+    from pdf_extraction_ai_agent_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = str(tmp_path_factory.mktemp("ivf")) + "/centroids"
+
+    calls = {"n": 0}
+    real_fit = S._ivf_fit_centroids
+
+    def counting_fit(*a, **kw):
+        calls["n"] += 1
+        return real_fit(*a, **kw)
+
+    monkeypatch.setattr(S, "_ivf_fit_centroids", counting_fit)
+    c1 = S.cached_ivf_centroids(emb, store, snapshot_key="s1")
+    got1 = {r.centroid_id: list(r.cq) for r in c1.collect()}
+    assert calls["n"] == 1
+
+    poisoned = emb.limit(3)
+    c2 = S.cached_ivf_centroids(poisoned, store, snapshot_key="s1")
+    got2 = {r.centroid_id: list(r.cq) for r in c2.collect()}
+    assert calls["n"] == 1  # cache hit — no refit
+    assert got1 == got2
+
+    # a different geometry under the same snapshot refits
+    S.cached_ivf_centroids(emb, store, snapshot_key="s1", n_centroids=8)
+    assert calls["n"] == 2
+
+    # threading the cached frame through the ANN query adds no fit, and
+    # the result matches the fit-inline query exactly
+    expect = {(r.query_id, r.neighbor_id)
+              for r in S.cosine_topk_ivf(emb, [0, 1, 2], k=5).collect()}
+    calls["n"] = 0
+    got = {(r.query_id, r.neighbor_id)
+           for r in S.cosine_topk_ivf(emb, [0, 1, 2], k=5, centroids=c1).collect()}
+    assert calls["n"] == 0
+    assert got == expect
