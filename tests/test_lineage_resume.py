@@ -93,3 +93,37 @@ def test_cached_max_conv_rows_stat_reuse(spark, transcripts_df, tmp_path_factory
     # a different run_group (different snapshot) recomputes
     mx3 = cached_max_conv_rows(spark, poisoned, lin, run_group="g3b")
     assert mx3 == 1
+
+
+def test_job_over_mixed_real_pdf_corpus(spark, tmp_path_factory):
+    """ROADMAP 6 soak: the lineage-checkpointed job (auto salt strategy)
+    over a corpus whose real-PDF turns span the full carrier matrix —
+    classic, ObjStm, RC4/AESV2/AES-256 encrypted, CID and /Differences
+    fonts. Every turn must extract (zero error rows — all carriers are
+    in the dependency-free rung's scope), output rowcount == input, and
+    the rerun must skip every bucket."""
+    from pdf_extraction_ai_agent_spark.fixtures import generate_transcripts
+    from pdf_extraction_ai_agent_spark.fixtures.transcripts import TRANSCRIPT_SCHEMA
+    from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
+
+    pdf = generate_transcripts(n_convs=12, seed=7, skew=False, include_real_pdf=True)
+    assert (pdf["text"].str.startswith("%PDF-1.")).sum() >= 3
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    base = str(tmp_path_factory.mktemp("job_mixed"))
+    out, lin = os.path.join(base, "out"), os.path.join(base, "lineage")
+
+    m = run_with_lineage(
+        spark, df,
+        lambda d: extract_pipeline(d, salt_buckets="auto", with_fields=False,
+                                   with_lob=False),
+        out, lin, run_group="mix", n_buckets=4, bucket_group_size=2,
+    )
+    assert sum(g["rows"] for g in m["groups"]) == len(pdf)
+    assert all(g["errors"] == 0 for g in m["groups"])
+    m2 = run_with_lineage(
+        spark, df,
+        lambda d: extract_pipeline(d, salt_buckets="auto", with_fields=False,
+                                   with_lob=False),
+        out, lin, run_group="mix", n_buckets=4, bucket_group_size=2,
+    )
+    assert m2["skipped_buckets"] == 4 and not m2["groups"]
