@@ -621,8 +621,12 @@ def q58_aes256_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ][::-1]
                 data = write_encrypted_pdf(
                     [items],
-                    owner_pwd=b"r6-owner-%d" % (doc_id % 3),  # few variants: 2.B is
-                    # deliberately slow and memoized per (pwd, salt)
+                    # ONE owner pwd: Algorithm 2.B is deliberately slow and
+                    # memoized per (pwd, salt) — the KDF runs once per
+                    # worker, so the query times the ENGINE's AES-256
+                    # stream path, not the KDF (pwd variety is covered by
+                    # the pytest suite)
+                    owner_pwd=b"r6-owner",
                     revision=6,
                 )
                 t, ocr = extract_real_pdf_text(data)
