@@ -29,13 +29,15 @@ def _esc(s: str) -> str:
     )
 
 
-def _content_stream(page, tj_arrays: bool) -> bytes:
+def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
     """Content stream for one page.
 
     ``page`` is either a plain string (text block: first line positioned
     with an absolute Td, each following line a relative `0 -16 Td` — the
     standard line-advance idiom real generators emit; ``tj_arrays`` renders
-    every other line as a TJ array with kerning numbers), or a list of
+    every other line as a TJ array with kerning numbers; ``leading``
+    switches to the OTHER mainstream idiom — `16 TL` + quote-shows, every
+    third line via the " form with aw/ac spacing operands), or a list of
     structured ops for geometry-bearing fixtures:
 
       ("text", x, y, s)          → BT /F1 12 Tf x y Td (s) Tj ET
@@ -53,6 +55,17 @@ def _content_stream(page, tj_arrays: bool) -> bytes:
             else:
                 raise ValueError(f"unknown content op {item[0]!r}")
         return "\n".join(ops).encode("latin-1")
+    if leading:
+        ops = ["BT", "/F1 12 Tf", "16 TL", "72 720 Td"]
+        for i, line in enumerate(page.split("\n")):
+            if i == 0:
+                ops.append(f"({_esc(line)}) Tj")
+            elif i % 3 == 0:
+                ops.append(f"1.5 0 ({_esc(line)}) \"")
+            else:
+                ops.append(f"({_esc(line)}) '")
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
     ops = ["BT", "/F1 12 Tf", "72 720 Td"]
     for i, line in enumerate(page.split("\n")):
         if i > 0:
@@ -67,11 +80,14 @@ def _content_stream(page, tj_arrays: bool) -> bytes:
 
 
 def write_minimal_pdf(
-    pages: list[str], compress: bool = False, tj_arrays: bool = False
+    pages: list[str], compress: bool = False, tj_arrays: bool = False,
+    leading: bool = False,
 ) -> bytes:
     """One PDF with ``len(pages)`` pages; each element is that page's text
     ('\\n'-separated lines). ``compress`` wraps every content stream in
-    FlateDecode (zlib), exercising the tokenizer's filter path."""
+    FlateDecode (zlib), exercising the tokenizer's filter path;
+    ``leading`` uses the TL/quote-show line-advance idiom instead of
+    relative Td."""
     objs: dict[int, bytes] = {}
     n = len(pages)
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -85,7 +101,7 @@ def write_minimal_pdf(
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {cont_num} 0 R >>"
         ).encode("latin-1")
-        data = _content_stream(text, tj_arrays)
+        data = _content_stream(text, tj_arrays, leading)
         filt = b""
         if compress:
             data = zlib.compress(data)

@@ -339,7 +339,10 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
         data = write_objstm_pdf(pages, compress=rng.random() < 0.5)
     else:
         data = write_minimal_pdf(
-            pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5
+            pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5,
+            # TL/quote-show line-advance idiom on a share of text-block
+            # pages (positioned-items pages ignore the flag)
+            leading=rng.random() < 0.4,
         )
     return data.decode("latin-1")
 

@@ -15,14 +15,14 @@ Scope (returns None → caller falls through to the library chain):
 - content streams: raw or /Filter /FlateDecode (zlib is stdlib), incl.
   /DecodeParms PNG predictors 10–15 (Up=12 is the xref/objstm standard);
   any other filter or predictor, or a malformed tree, aborts the rung;
-- text operators: Tj and TJ arrays (kerning numbers ignored), literal
-  strings with escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f, octal \\ddd,
-  line continuations) and <hex> strings; the ' and " quote-show operators
-  OUTSIDE a TJ array abort the rung (their leading-based line advance is
-  out of scope — tokenize_pdf_runs returns None and the library chain
-  takes over);
-- line structure: Td/TD/T*/Tm between shows emit a newline — the idiom
-  every mainstream generator uses for line advance;
+- text operators: Tj, TJ arrays (kerning numbers ignored), and the
+  ' / " quote-shows (round 5: leading-based advance before the show;
+  " spacing operands ignored); literal strings with escapes
+  (\\( \\) \\\\ \\n \\r \\t \\b \\f, octal \\ddd, line continuations)
+  and <hex> strings;
+- line structure: BOTH mainstream line-advance idioms — relative Td/TD
+  (TD also sets the leading) and `NUM TL` + T*/quote-show (TL is text
+  state: non-splitting, survives BT);
 - CID-keyed (Type0) fonts with /Encoding /Identity-H and an embedded
   /ToUnicode CMap — the shape every modern office suite emits: the
   current font is tracked through `/Name size Tf`, shown strings under a
@@ -1057,7 +1057,9 @@ _MOVE_RE = re.compile(
     rb"|(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
     + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b"
     rb"|BT\b"
-    rb"|(T\*|TL\b|cm\b)"  # constructs this rung does NOT model → bail
+    rb"|(" + _NUM + rb")\s+TL\b"  # group 10: set leading (text state)
+    rb"|(T\*)"                    # group 11: leading-based line advance
+    rb"|(cm\b)"                   # group 12: transform — NOT modeled → bail
 )
 
 
@@ -1173,13 +1175,19 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     intervening position op merge into one run (so a TJ array's kerned
     halves reassemble into their visual run — the pdfminer text-box model).
 
+    Leading-based line advance is modeled (round 5): `NUM TL` sets the
+    leading (text STATE — it survives BT per the spec and is NOT a
+    position op, so it never splits a merged run), `T*` advances
+    y -= leading, `TD` sets leading = -ty in addition to moving, and the
+    ' / \" quote-shows advance by the leading BEFORE showing their
+    string (\" additionally carries ignored aw/ac spacing operands).
+
     Returns None (→ caller falls through to pdfplumber/fitz) on constructs
-    this rung does NOT model rather than producing wrong positions: T*/TL
-    leading-based line advance, ' / \" show-with-newline, cm transforms,
-    rotated/scaled Tm — and as a safety net, any page whose content shows
-    text (Tj/TJ present) that the walk failed to capture. Feeds both
-    reading-order assembly (assemble_reading_order) and
-    detect_lattice_tables' cell placement on REAL PDF bytes."""
+    this rung does NOT model rather than producing wrong positions:
+    cm transforms, rotated/scaled Tm — and as a safety net, any page
+    whose content shows text (Tj/TJ present) that the walk failed to
+    capture. Feeds both reading-order assembly (assemble_reading_order)
+    and detect_lattice_tables' cell placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
     res = _page_contents(data)
@@ -1190,6 +1198,7 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     for content, fonts in pages:
         runs: list[tuple[float, float, str]] = []
         x = y = 0.0
+        leading = 0.0
         moved = True
         in_tj_array = False
         cur_map: tuple[str, dict[int, str]] | None = None
@@ -1213,23 +1222,44 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 runs.append((x, y, txt))
             moved = False
 
+        def quote_advance(at: int) -> int:
+            """If the token after ``at`` is a top-level ' or \" quote-show
+            operator, apply the leading advance BEFORE the pending record
+            and return the index past the operator; else return ``at``."""
+            nonlocal y, moved
+            qm = re.match(rb"\s*('|\")", body[at:])
+            if qm and not in_tj_array:
+                y -= leading
+                moved = True
+                return at + qm.end()
+            return at
+
         while i < n:
             sm = _MOVE_RE.match(body, i)
             if sm:
-                if sm.group(10):  # T* / TL / cm — out of scope
+                if sm.group(12):  # cm transform — out of scope
                     return None
                 if sm.group(0) == b"BT":
-                    x = y = 0.0
+                    x = y = 0.0  # leading is text STATE — survives BT
+                    moved = True
                 elif sm.group(3):  # Td / TD
                     x += float(sm.group(1))
                     y += float(sm.group(2))
+                    if sm.group(3) == b"TD":
+                        leading = -float(sm.group(2))
+                    moved = True
+                elif sm.group(10) is not None:  # NUM TL — not a move
+                    leading = float(sm.group(10))
+                elif sm.group(11):  # T* — advance by the leading
+                    y -= leading
+                    moved = True
                 else:  # Tm — only the pure-translation form is modeled
                     a, b, c, d = (float(sm.group(k)) for k in (4, 5, 6, 7))
                     if (a, b, c, d) != (1.0, 0.0, 0.0, 1.0):
                         return None
                     x = float(sm.group(8))
                     y = float(sm.group(9))
-                moved = True
+                    moved = True
                 i = sm.end()
                 continue
             ch = body[i]
@@ -1238,6 +1268,7 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 txt = _decode_shown(raw_s, cur_map)
                 if txt is None:
                     return None
+                end = quote_advance(end)
                 record(txt)
                 i = end
                 continue
@@ -1255,8 +1286,9 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
                 txt = _decode_shown(raw_s, cur_map)
                 if txt is None:
                     return None
+                end = quote_advance(end + 1)
                 record(txt)
-                i = end + 1
+                i = end
                 continue
             if ch == 0x2F:  # /Name — font selection via Tf
                 tfm = _TF_RE.match(body, i)

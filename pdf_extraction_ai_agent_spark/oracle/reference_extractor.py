@@ -985,6 +985,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         strings: list[str] = []  # strings pending a show operator
         nums: list[float] = []
         x = y = 0.0
+        leading = 0.0  # text STATE (set by TL / TD) — survives BT
         moved = True
         in_tj_array = False
         cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
@@ -1092,20 +1093,29 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             elif ch in (0x27, 0x22) and in_tj_array:
                 i += 1  # stray quote between array strings — engine skips too
             elif ch in (0x27, 0x22):
-                # ' / " are T*-then-show (leading-based line advance), which
-                # neither twin models; the engine rung bails to the library
-                # chain here (pdftext.py returns None), so the oracle must
-                # raise — not silently show at the current origin with wrong
-                # line positions — to keep per-turn equality two-sided.
-                raise RuntimeError(
-                    "real-PDF quote-show (' / \") uses leading-based line "
-                    "advance — out of the deterministic twins' scope"
-                )
+                # ' / " quote-shows: advance by the leading (T* semantics),
+                # then show the pending string as a NEW run at the advanced
+                # origin; the " spacing operands (aw, ac) are ignored —
+                # round 5, modeled symmetrically with the engine walk
+                y -= leading
+                moved = True
+                show()
+                nums.clear()
+                i += 1
+            elif raw[i : i + 2] == b"TL":
+                # set leading — text state, NOT a position op: it must not
+                # split a merged run, so `moved` stays untouched
+                if nums:
+                    leading = nums[-1]
+                nums.clear()
+                i += 2
             elif raw[i : i + 2] in (b"Td", b"TD"):
                 strings.clear()
                 if len(nums) >= 2:
                     x += nums[-2]
                     y += nums[-1]
+                    if raw[i : i + 2] == b"TD":
+                        leading = -nums[-1]
                 moved = True
                 nums.clear()
                 i += 2
@@ -1118,6 +1128,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 i += 2
             elif raw[i : i + 2] == b"T*":
                 strings.clear()
+                y -= leading
                 moved = True
                 i += 2
             elif raw[i : i + 2] == b"BT":

@@ -92,9 +92,12 @@ def test_minipdf_tokenizer_property_roundtrip():
         pages=st.lists(page, min_size=1, max_size=3),
         compress=st.booleans(),
         tj=st.booleans(),
+        leading=st.booleans(),
     )
-    def check(pages, compress, tj):
-        data = write_minimal_pdf(pages, compress=compress, tj_arrays=tj)
+    def check(pages, compress, tj, leading):
+        data = write_minimal_pdf(
+            pages, compress=compress, tj_arrays=tj, leading=leading
+        )
         assert tokenize_pdf_text(data) == pages
         # the independent char-scanner oracle produces the same marked text
         text, _ocr = extract_real_pdf(data.decode("latin-1"))
@@ -148,8 +151,9 @@ def test_pdf_tokenizer_hex_shows_and_endobj_in_stream():
 
 def test_pdf_tokenizer_bails_on_unsupported_constructs():
     """The rung must return None (→ library fallback, error channel here)
-    rather than produce wrong positions: TL/T* leading-based advance,
-    quote shows, cm transforms, rotated Tm, indirect /Length."""
+    rather than produce wrong positions: cm transforms, rotated Tm,
+    indirect /Length. (TL/T*/quote-show leading advance became SUPPORTED
+    in round 5 — covered by test_pdf_leading_advance_semantics.)"""
     import pytest
 
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
@@ -158,8 +162,6 @@ def test_pdf_tokenizer_bails_on_unsupported_constructs():
 
     base = write_minimal_pdf(["line one\nline two"])
     mutations = [
-        (b"0 -16 Td", b"16 TL T*"),                      # leading-based advance
-        (b"(line two) Tj", b"(line two) '"),             # quote show
         (b"BT\n/F1 12 Tf", b"2 0 0 2 0 0 cm\nBT\n/F1 12 Tf"),  # cm transform
         (b"72 720 Td", b"0 1 -1 0 72 720 Tm"),           # rotated Tm
     ]
@@ -169,6 +171,53 @@ def test_pdf_tokenizer_bails_on_unsupported_constructs():
         assert tokenize_pdf_runs(mutated) is None, old
         with pytest.raises(RuntimeError):  # no pdf libs in this sandbox
             extract_real_pdf_text(mutated)
+
+
+def test_pdf_leading_advance_semantics():
+    """Round 5: the TL/T*/quote-show idiom is modeled, with exact
+    semantics agreed by BOTH twins: `16 TL T*` ≡ `0 -16 Td`; TD sets the
+    leading; a quote-show with leading 0 lands on the SAME line (y
+    unchanged) — weird but spec-correct, and identical on both sides."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_runs
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    base = write_minimal_pdf(["line one\nline two"])
+
+    def runs_of(data):
+        got = tokenize_pdf_runs(data)
+        assert got is not None
+        return got[0]
+
+    expect = runs_of(base)
+    # TL + T* ≡ relative Td
+    tl = base.replace(b"0 -16 Td", b"16 TL T*")
+    assert runs_of(tl) == expect
+    # TD sets the leading, a following quote-show advances by it
+    td = base.replace(b"0 -16 Td\n(line two) Tj", b"0 -16 TD\n(line two) '")
+    assert runs_of(td) == [(72.0, 720.0, "line one"), (72.0, 688.0, "line two")]
+    # quote-show with leading 0: shows on the SAME baseline — both twins
+    q0 = base.replace(b"0 -16 Td\n(line two) Tj", b"(line two) '")
+    assert runs_of(q0) == [(72.0, 720.0, "line one"), (72.0, 720.0, "line two")]
+    text, _ = extract_real_pdf(q0.decode("latin-1"))
+    assert text == "--- PAGE 1 ---\nline one line two"
+    # TL is text STATE: it does NOT split a merged run, and it survives BT
+    import re as _re
+
+    def fix_len(data: bytes) -> bytes:
+        m = _re.search(rb"stream\n(.*?)\nendstream", data, _re.S)
+        return _re.sub(rb"/Length \d+", b"/Length %d" % len(m.group(1)),
+                       data, count=1)
+
+    merged = base.replace(b"0 -16 Td\n(line two) Tj", b"16 TL (line two) Tj")
+    assert runs_of(fix_len(merged)) == [(72.0, 720.0, "line oneline two")]
+    bt = fix_len(base.replace(
+        b"0 -16 Td\n(line two) Tj",
+        b"ET\nBT\n16 TL\nET\nBT\n72 704 Td (x) '",
+    ))
+    assert runs_of(bt) == [(72.0, 720.0, "line one"), (72.0, 688.0, "x")]
     # indirect /Length: out of the direct-slice path; the endstream-search
     # fallback still parses this simple raw stream (never silently short)
     m = __import__("re").search(rb"/Length \d+", base)
@@ -218,13 +267,16 @@ def test_pdf_ruling_like_text_in_literal_string_is_kept():
     assert eng == orc == "--- PAGE 1 ---\nmove 10 20 m 30 40 l S done\nafter"
 
 
-def test_oracle_real_pdf_quote_show_raises_like_engine():
-    """Round-4 advice (low): the engine bails on ' / \" shows (leading-based
-    advance, out of scope); the oracle must raise too — not silently show at
-    the current origin with wrong line positions."""
-    import pytest
-
+def test_oracle_real_pdf_quote_show_matches_engine():
+    """Round 5: quote-shows are SUPPORTED (leading-based advance) — the
+    round-4 both-sides-bail contract became a both-sides-agree contract:
+    with no TL set the leading is 0, so the quoted show lands on the SAME
+    baseline on BOTH twins."""
+    from pdf_extraction_ai_agent_spark import spec
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        assemble_reading_order, tokenize_pdf_runs,
+    )
     from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
         extract_real_pdf,
     )
@@ -232,8 +284,14 @@ def test_oracle_real_pdf_quote_show_raises_like_engine():
     base = write_minimal_pdf(["line one\nline two"])
     mutated = base.replace(b"(line two) Tj", b"(line two) '")
     assert mutated != base
-    with pytest.raises(RuntimeError):
-        extract_real_pdf(mutated.decode("latin-1"))
+    runs = tokenize_pdf_runs(mutated)
+    assert runs is not None
+    eng = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + b.strip()
+        for i, b in enumerate(assemble_reading_order(runs))
+    ).strip()
+    orc, _ = extract_real_pdf(mutated.decode("latin-1"))
+    assert eng == orc
 
 
 def test_objstm_pdf_golden_no_optional_libs():
