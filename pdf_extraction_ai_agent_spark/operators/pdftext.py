@@ -1024,8 +1024,18 @@ def _tokenize_content(
             txt = _decode_shown(raw_s, cur_map)
             if txt is None:
                 return None
-            emit(txt)
+            # same operator lookahead as the literal branch: a <hex> string
+            # consumed by a ' / " quote-show carries the line advance too
+            # (the positioned walk and the oracle both model it)
             i = end + 1
+            m = re.match(rb"\s*(Tj|'|\")", content[i:])
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    pending_newline = True
+                emit(txt)
+                i += m.end()
+            else:
+                emit(txt)
             continue
         if c == 0x2F:  # /Name — font selection via Tf
             tfm = _TF_RE.match(content, i)

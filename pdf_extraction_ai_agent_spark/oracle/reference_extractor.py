@@ -989,7 +989,13 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         moved = True
         in_tj_array = False
         cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
+        # Tf operand tracking mirrors the engine's `/Name NUM Tf` regex
+        # adjacency (round-6 advice finding): the name is live only until
+        # any non-number token intervenes, and Tf consumes it only when
+        # EXACTLY one number (the font size) separates them — a stale name
+        # (e.g. /GS1 from a gs op) never feeds a later operand-less Tf.
         last_name: bytes | None = None  # most recent /Name token (Tf operand)
+        name_nums = 0  # numbers scanned since that /Name
         i, n = 0, len(raw)
 
         def show():
@@ -1043,6 +1049,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 if cur_map is not None:
                     txt = _oracle_decode_shown(txt.encode("latin-1"), cur_map)
                 strings.append(txt)
+                last_name = None
                 continue
             if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
                 end = raw.find(b">", i)
@@ -1057,12 +1064,14 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                     i = end + 1
                     continue
                 strings.append(_oracle_decode_shown(bs, cur_map))
+                last_name = None
                 i = end + 1
                 continue
             if ch == 0x2F:  # /Name token — the Tf operand when one follows
                 nm = re.match(rb"/([^\s/<>()\[\]{}%]+)", raw[i:])
                 if nm:
                     last_name = nm.group(1)
+                    name_nums = 0
                     i += nm.end()
                     continue
             m_num = re.match(rb"-?[0-9]+(?:\.[0-9]+)?", raw[i:])
@@ -1070,37 +1079,53 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 nums.append(float(m_num.group(0)))
                 if len(nums) > 6:
                     nums.pop(0)
+                if last_name is not None:
+                    name_nums += 1
                 i += m_num.end()
                 continue
             if raw[i : i + 2] in (b"Tj", b"TJ"):
-                show(); i += 2
+                show(); last_name = None; i += 2
             elif raw[i : i + 2] == b"Tf":
-                # font selection: under a file that declares a Type0 font
-                # or a /Differences encoding, every Tf must resolve (the
-                # engine bails there too) — else simple latin-1 mode
-                if strict_fonts:
-                    if last_name is None or last_name not in font_maps:
-                        raise RuntimeError(
-                            "unresolvable Tf in a Type0/Differences file — out of twin scope"
-                        )
-                    cur_map = font_maps[last_name]
+                # font selection: a Tf only fires when a live /Name plus
+                # exactly one number (the size) immediately precede it —
+                # the engine's `/Name NUM Tf` regex shape; any other Tf is
+                # ignored on both sides. Under a strict-font file a FIRING
+                # Tf must resolve (the engine bails there too).
+                if last_name is not None and name_nums == 1:
+                    if strict_fonts:
+                        if last_name not in font_maps:
+                            raise RuntimeError(
+                                "unresolvable Tf in a Type0/Differences file — out of twin scope"
+                            )
+                        cur_map = font_maps[last_name]
+                last_name = None
                 nums.clear()
                 i += 2
             elif ch == 0x5B:
-                in_tj_array = True; nums.clear(); i += 1
+                in_tj_array = True; nums.clear(); last_name = None; i += 1
             elif ch == 0x5D:
-                in_tj_array = False; nums.clear(); i += 1
+                in_tj_array = False; nums.clear(); last_name = None; i += 1
             elif ch in (0x27, 0x22) and in_tj_array:
                 i += 1  # stray quote between array strings — engine skips too
             elif ch in (0x27, 0x22):
                 # ' / " quote-shows: advance by the leading (T* semantics),
-                # then show the pending string as a NEW run at the advanced
+                # then show the OPERAND string as a NEW run at the advanced
                 # origin; the " spacing operands (aw, ac) are ignored —
-                # round 5, modeled symmetrically with the engine walk
+                # round 5, modeled symmetrically with the engine walk.
+                # Only the quote-adjacent string moves: on malformed content
+                # with several pending strings ("(a) (b) '"), the earlier
+                # ones flush at the CURRENT origin first, exactly as the
+                # engine records each string when it is scanned (round-6
+                # advice finding).
+                operand = strings.pop() if strings else None
+                show()
                 y -= leading
                 moved = True
+                if operand is not None:
+                    strings.append(operand)
                 show()
                 nums.clear()
+                last_name = None
                 i += 1
             elif raw[i : i + 2] == b"TL":
                 # set leading — text state, NOT a position op: it must not
@@ -1108,6 +1133,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 if nums:
                     leading = nums[-1]
                 nums.clear()
+                last_name = None
                 i += 2
             elif raw[i : i + 2] in (b"Td", b"TD"):
                 strings.clear()
@@ -1116,6 +1142,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                     y += nums[-1]
                     if raw[i : i + 2] == b"TD":
                         leading = -nums[-1]
+                last_name = None
                 moved = True
                 nums.clear()
                 i += 2
@@ -1125,21 +1152,25 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                     x, y = nums[-2], nums[-1]
                 moved = True
                 nums.clear()
+                last_name = None
                 i += 2
             elif raw[i : i + 2] == b"T*":
                 strings.clear()
                 y -= leading
                 moved = True
+                last_name = None
                 i += 2
             elif raw[i : i + 2] == b"BT":
                 x = y = 0.0
                 moved = True
                 nums.clear()
+                last_name = None
                 i += 2
             elif ch in (0x20, 0x0A, 0x0D, 0x09, 0x0C):
                 i += 1  # whitespace separates operands — keep them
             else:
                 nums.clear()  # any other operator consumes its operands
+                last_name = None
                 i += 1
         pages.append(runs)
     if not pages:

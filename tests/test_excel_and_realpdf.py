@@ -294,6 +294,60 @@ def test_oracle_real_pdf_quote_show_matches_engine():
     assert eng == orc
 
 
+def test_round6_walk_parity_fixes():
+    """Round-6 advice findings, all three agreed by BOTH twins:
+    (a) a <hex> string consumed by a ' / " quote-show carries the line
+    advance in the FLAT walk too (it already did in the positioned walk);
+    (b) several pending strings before a quote-show — earlier ones flush
+    at the CURRENT origin, only the quote-adjacent operand moves;
+    (c) a stale /Name (e.g. /GS0 left over from a gs op) never feeds a
+    later operand-less Tf in a strict-font file — the Tf is ignored on
+    both sides (engine regex adjacency ≡ oracle scanner), not raised."""
+    import re as _re
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_differences_pdf, write_minimal_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.extract import extract_real_pdf_text
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    def fix_len(data: bytes) -> bytes:
+        m = _re.search(rb"stream\n(.*?)\nendstream", data, _re.S)
+        return _re.sub(rb"/Length \d+", b"/Length %d" % len(m.group(1)),
+                       data, count=1)
+
+    base = write_minimal_pdf(["line one\nline two"])
+
+    # (a) hex + quote-show is the ONLY line advance: the flat walk must
+    # model the bare quote's advance after a <hex> string (the literal
+    # branch already did) — before the fix this came out "line oneline two"
+    hx = "line two".encode("latin-1").hex().encode("ascii")
+    hexq = fix_len(base.replace(b"0 -16 Td\n(line two) Tj", b"<" + hx + b"> '"))
+    assert tokenize_pdf_text(hexq) == ["line one\nline two"]
+    eng, _ = extract_real_pdf_text(hexq)
+    orc, _ = extract_real_pdf(hexq.decode("latin-1"))
+    # positioned walk: leading 0 → same baseline → same visual line
+    assert eng == orc == "--- PAGE 1 ---\nline one line two"
+
+    # (b) two pending strings, nonzero leading: only the operand advances
+    multi = fix_len(base.replace(b"(line two) Tj", b"16 TL (alpha) (beta) '"))
+    eng, _ = extract_real_pdf_text(multi)
+    orc, _ = extract_real_pdf(multi.decode("latin-1"))
+    assert eng == orc == "--- PAGE 1 ---\nline one\nalpha\nbeta"
+
+    # (c) strict-font file (declares /Differences): a stale name + an
+    # operand-less Tf is IGNORED by both twins, never a bail/raise
+    dpdf = write_differences_pdf(["claim text"])
+    stale = fix_len(dpdf.replace(b") Tj", b") Tj /GS0 gs Tf", 1))
+    assert stale != dpdf
+    eng, _ = extract_real_pdf_text(stale)
+    orc, _ = extract_real_pdf(stale.decode("latin-1"))
+    assert eng == orc == "--- PAGE 1 ---\nclaim text"
+
+
 def test_objstm_pdf_golden_no_optional_libs():
     """Round-4 (verdict item 3): PDF 1.5 object-stream files — catalog/page
     dicts packed in a Flate /ObjStm, binary xref stream with PNG Up
