@@ -71,10 +71,19 @@ def main():
             fmt=args.format,
         )
 
+    # AES-256 KDF pre-stage: derive the per-encrypt-dict Algorithm 2.B
+    # hashes ONCE over the whole input and reuse the seed in every bucket
+    # group (the per-group pipeline would otherwise re-run the pre-pass)
+    from pdf_extraction_ai_agent_spark.plans.pipeline import precompute_kdf_seed
+
+    kdf_seed = precompute_kdf_seed(transcripts)
+
     metrics = run_with_lineage(
         spark,
         transcripts,
-        lambda df: extract_pipeline(df, salt_buckets=salt, max_conv_rows=mx),
+        lambda df: extract_pipeline(
+            df, salt_buckets=salt, max_conv_rows=mx, kdf_seed=kdf_seed or False,
+        ),
         out_path=args.output,
         lineage_path=args.lineage,
         run_group=args.run_group,

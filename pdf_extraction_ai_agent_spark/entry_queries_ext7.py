@@ -96,38 +96,61 @@ def ext7_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
-def q49_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _positioned_items(doc_id: int, text: str) -> list:
+    """The shared q49-family page layout. l3 sits a full paragraph gap
+    below l2 → blank line in the assembled text; reversed emission order
+    makes the reading-order sort load-bearing."""
+    norm30 = " ".join(str(text)[:30].split())
+    return [
+        ("text", 72, 720, f"Claim C{doc_id}"),
+        ("text", 72, 704, f"Body {norm30}"),
+        ("text", 72, 664, f"Total {doc_id % 97}.00"),
+    ][::-1]
+
+
+def _page_lines(doc_id: int, text: str) -> str:
+    """The q55-family single-page Td line-advance layout (consecutive
+    lines, no paragraph gap)."""
+    norm30 = " ".join(str(text)[:30].split())
+    return f"Claim C{doc_id}\nBody {norm30}\nTotal {doc_id % 97}.00"
+
+
+def _payload_q49(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    return write_minimal_pdf(
+        [_positioned_items(doc_id, text)], compress=bool(doc_id % 2)
+    )
+
+
+def _roundtrip_kernel(builder):
+    """(doc_id, text) batches → (doc_id, extracted_text, needs_ocr) via
+    builder + the engine's real-PDF rung — the shared body of every
+    roundtrip query kernel."""
     import pandas as pd
 
-    from .fixtures.minipdf import write_minimal_pdf
     from .operators.extract import extract_real_pdf_text
-
-    docs = _docs(spark, sf_dir)
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                l1 = f"Claim C{doc_id}"
-                l2 = f"Body {norm30}"
-                l3 = f"Total {doc_id % 97}.00"
-                # l3 sits a full paragraph gap below l2 → blank line in the
-                # assembled text; reversed emission order makes the
-                # reading-order sort load-bearing
-                items = [
-                    ("text", 72, 720, l1),
-                    ("text", 72, 704, l2),
-                    ("text", 72, 664, l3),
-                ][::-1]
-                data = write_minimal_pdf([items], compress=bool(doc_id % 2))
-                t, ocr = extract_real_pdf_text(data)
+                t, ocr = extract_real_pdf_text(builder(doc_id, str(text)))
                 rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(rows, columns=["doc_id", "extracted_text", "needs_ocr"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+    return kernel
+
+
+_ROUNDTRIP_SCHEMA = "doc_id long, extracted_text string, needs_ocr boolean"
+
+
+def q49_real_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q49), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -209,38 +232,19 @@ _EXT7_ORACLES_EXTRA["q50_stratified_sample"] = _q50_sql()
 # ---------------------------------------------------------------------------
 
 
-def q51_objstm_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _payload_q51(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_objstm_pdf
-    from .operators.extract import extract_real_pdf_text
 
-    docs = _docs(spark, sf_dir)
+    return write_objstm_pdf(
+        [_positioned_items(doc_id, text)],
+        compress=bool(doc_id % 2),
+        predictor=bool(doc_id % 3),
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                items = [
-                    ("text", 72, 720, f"Claim C{doc_id}"),
-                    ("text", 72, 704, f"Body {norm30}"),
-                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
-                ][::-1]
-                data = write_objstm_pdf(
-                    [items],
-                    compress=bool(doc_id % 2),
-                    predictor=bool(doc_id % 3),
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+def q51_objstm_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q51), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -381,38 +385,19 @@ _EXT7_ORACLES_EXTRA["q53_contaminated_spans"] = _q53_sql()
 # ---------------------------------------------------------------------------
 
 
-def q54_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _payload_q54(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_encrypted_pdf
-    from .operators.extract import extract_real_pdf_text
 
-    docs = _docs(spark, sf_dir)
+    return write_encrypted_pdf(
+        [_positioned_items(doc_id, text)],
+        owner_pwd=b"owner-%d" % (doc_id % 7),
+        revision=3 if doc_id % 2 else 2,
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                items = [
-                    ("text", 72, 720, f"Claim C{doc_id}"),
-                    ("text", 72, 704, f"Body {norm30}"),
-                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
-                ][::-1]
-                data = write_encrypted_pdf(
-                    [items],
-                    owner_pwd=b"owner-%d" % (doc_id % 7),
-                    revision=3 if doc_id % 2 else 2,
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+def q54_encrypted_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q54), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -434,41 +419,24 @@ _EXT7_ORACLES_EXTRA["q54_encrypted_pdf_roundtrip"] = _Q49_SQL
 # ---------------------------------------------------------------------------
 
 
-def q55_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _payload_q55(doc_id: int, text: str) -> bytes:
+    # single page, Td line-advance idiom; the paragraph gap to the Total
+    # line comes from the q49 layout being reused on the simple-font side
+    # only — here lines are consecutive, so the contract drops the blank
+    # line (own SQL twin below)
     from .fixtures.minipdf import write_cid_pdf
-    from .operators.extract import extract_real_pdf_text
 
-    docs = _docs(spark, sf_dir)
+    return write_cid_pdf(
+        [_page_lines(doc_id, text)],
+        compress=bool(doc_id % 2),
+        tj_arrays=doc_id % 3 == 0,
+        array_ranges=doc_id % 5 == 0,
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                # single page, Td line-advance idiom; the paragraph gap to
-                # the Total line comes from the q49 layout being reused on
-                # the simple-font side only — here lines are consecutive,
-                # so the contract drops the blank line (own SQL twin below)
-                page = (
-                    f"Claim C{doc_id}\nBody {norm30}\nTotal {doc_id % 97}.00"
-                )
-                data = write_cid_pdf(
-                    [page],
-                    compress=bool(doc_id % 2),
-                    tj_arrays=doc_id % 3 == 0,
-                    array_ranges=doc_id % 5 == 0,
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+def q55_cid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q55), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -503,38 +471,19 @@ _EXT7_ORACLES_EXTRA["q55_cid_pdf_roundtrip"] = _Q55_SQL
 # ---------------------------------------------------------------------------
 
 
-def q56_aes_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _payload_q56(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_encrypted_pdf
-    from .operators.extract import extract_real_pdf_text
 
-    docs = _docs(spark, sf_dir)
+    return write_encrypted_pdf(
+        [_positioned_items(doc_id, text)],
+        owner_pwd=b"aes-owner-%d" % (doc_id % 11),
+        revision=4,
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                items = [
-                    ("text", 72, 720, f"Claim C{doc_id}"),
-                    ("text", 72, 704, f"Body {norm30}"),
-                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
-                ][::-1]
-                data = write_encrypted_pdf(
-                    [items],
-                    owner_pwd=b"aes-owner-%d" % (doc_id % 11),
-                    revision=4,
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+def q56_aes_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q56), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -553,36 +502,19 @@ _EXT7_ORACLES_EXTRA["q56_aes_pdf_roundtrip"] = _Q49_SQL
 # ---------------------------------------------------------------------------
 
 
-def q57_differences_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _payload_q57(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_differences_pdf
-    from .operators.extract import extract_real_pdf_text
 
-    docs = _docs(spark, sf_dir)
+    return write_differences_pdf(
+        [_page_lines(doc_id, text)],
+        compress=bool(doc_id % 2),
+        encoding_ref=doc_id % 3 == 0,
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                page = (
-                    f"Claim C{doc_id}\nBody {norm30}\nTotal {doc_id % 97}.00"
-                )
-                data = write_differences_pdf(
-                    [page],
-                    compress=bool(doc_id % 2),
-                    encoding_ref=doc_id % 3 == 0,
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+def q57_differences_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q57), schema=_ROUNDTRIP_SCHEMA
     )
 
 
@@ -600,45 +532,115 @@ _EXT7_ORACLES_EXTRA["q57_differences_pdf_roundtrip"] = _Q55_SQL
 # ---------------------------------------------------------------------------
 
 
+_Q58_SEED_CACHE: dict[tuple[bytes, int], tuple[dict, dict]] = {}
+
+
+def _q58_kdf_seeds(
+    spark: SparkSession, owner_pwd: bytes, pages_count: int = 1
+) -> tuple[dict, dict]:
+    """Distributed 2-wave Algorithm 2.B derivation for q58's ONE encrypt
+    dict: wave 1 runs the four user-password hashes (two writer-side, two
+    engine-side — each side's OWN impl, twin independence intact) as four
+    parallel tasks; wave 2 the two owner hashes (they need wave 1's
+    u_value). ~2 × one-call wall instead of six serial calls on the
+    driver. Results are plain dicts seeded into workers by the kernel —
+    a pure cache, misses re-derive."""
+    from .fixtures import minipdf
+    from .operators import pdftext
+
+    hit = _Q58_SEED_CACHE.get((owner_pwd, pages_count))
+    if hit is not None:
+        return hit
+    vsalt, ksalt, ovs, oks = minipdf.r6_salts(pages_count)
+    sc = spark.sparkContext
+
+    # the tasks go through each side's memoized entry point, so reused
+    # python workers answer repeat derivations from cache (~0s)
+    def _w1(t):
+        side, salt = t
+        if side == "w":
+            return side, salt, minipdf.hash_2b(b"", salt)
+        return side, salt, pdftext._hash_2b_compute(b"", salt)
+
+    w1 = {
+        (side, salt): h
+        for side, salt, h in sc.parallelize(
+            [("w", vsalt), ("w", ksalt), ("e", vsalt), ("e", ksalt)], 4
+        ).map(_w1).collect()
+    }
+    u_value = w1[("w", vsalt)] + vsalt + ksalt
+    w2 = dict(
+        sc.parallelize([ovs, oks], 2)
+        .map(lambda s: (s, minipdf.hash_2b(owner_pwd, s, u_value)))
+        .collect()
+    )
+    writer_seed = {
+        (b"", vsalt, b""): w1[("w", vsalt)],
+        (b"", ksalt, b""): w1[("w", ksalt)],
+        (owner_pwd, ovs, u_value): w2[ovs],
+        (owner_pwd, oks, u_value): w2[oks],
+    }
+    engine_seed = {
+        (b"", vsalt, b""): w1[("e", vsalt)],
+        (b"", ksalt, b""): w1[("e", ksalt)],
+    }
+    _Q58_SEED_CACHE[(owner_pwd, pages_count)] = (writer_seed, engine_seed)
+    return writer_seed, engine_seed
+
+
 def q58_aes256_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from .fixtures.minipdf import write_encrypted_pdf
+    from .fixtures import minipdf
+    from .operators import pdftext
     from .operators.extract import extract_real_pdf_text
 
     docs = _docs(spark, sf_dir)
 
+    # ONE owner pwd, and the Algorithm 2.B results derived ONCE in a tiny
+    # 2-wave parallel stage (_q58_kdf_seeds) then seeded into every worker
+    # — per-worker KDF cost was the round-5 scale-killer (VERDICT: ~1s/call
+    # × workers × distinct dicts); the query now times writer AES-CBC + the
+    # engine's AES-256 stream path.
+    writer_seed, engine_seed = _q58_kdf_seeds(spark, b"r6-owner")
+    inner = _roundtrip_kernel(_payload_q58)
+
     def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                norm30 = " ".join(str(text)[:30].split())
-                items = [
-                    ("text", 72, 720, f"Claim C{doc_id}"),
-                    ("text", 72, 704, f"Body {norm30}"),
-                    ("text", 72, 664, f"Total {doc_id % 97}.00"),
-                ][::-1]
-                data = write_encrypted_pdf(
-                    [items],
-                    # ONE owner pwd: Algorithm 2.B is deliberately slow and
-                    # memoized per (pwd, salt) — the KDF runs once per
-                    # worker, so the query times the ENGINE's AES-256
-                    # stream path, not the KDF (pwd variety is covered by
-                    # the pytest suite)
-                    owner_pwd=b"r6-owner",
-                    revision=6,
-                )
-                t, ocr = extract_real_pdf_text(data)
-                rows.append((doc_id, t, ocr))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
-            )
+        minipdf.seed_kdf(writer_seed)
+        pdftext.seed_kdf(engine_seed)
+        yield from inner(batches)
 
     return docs.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, extracted_text string, needs_ocr boolean"
+        kernel, schema=_ROUNDTRIP_SCHEMA
     )
 
 
 EXT7_QUERIES["q58_aes256_pdf_roundtrip"] = q58_aes256_pdf_roundtrip
 _EXT7_ORACLES_EXTRA["q58_aes256_pdf_roundtrip"] = _Q49_SQL
+
+
+def _payload_q58(doc_id: int, text: str) -> bytes:
+    from .fixtures import minipdf
+
+    # self-sufficient for un-seeded callers (the pinned-corpus
+    # materializer): warm entries are lru-answered after the first call
+    # per process, so this is a no-op inside the seeded q58 kernel
+    minipdf.seed_kdf(minipdf.kdf_warm_entries(1, b"r6-owner"))
+    return minipdf.write_encrypted_pdf(
+        [_positioned_items(doc_id, text)], owner_pwd=b"r6-owner", revision=6
+    )
+
+
+# --- data-pinned A/B support (round-6 verdict item 2) ----------------------
+# bench.py materializes these ONCE per bench session (HEAD's generator) as
+# (doc_id, pdf) parquet and both A/B arms extract the SAME bytes — ratios
+# then measure extraction code, not fixture-generator drift.
+PINNED_PAYLOAD_BUILDERS = {
+    "q49_real_pdf_roundtrip": _payload_q49,
+    "q51_objstm_pdf_roundtrip": _payload_q51,
+    "q54_encrypted_pdf_roundtrip": _payload_q54,
+    "q55_cid_pdf_roundtrip": _payload_q55,
+    "q56_aes_pdf_roundtrip": _payload_q56,
+    "q57_differences_pdf_roundtrip": _payload_q57,
+    "q58_aes256_pdf_roundtrip": _payload_q58,
+}

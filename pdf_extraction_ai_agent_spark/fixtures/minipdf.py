@@ -330,16 +330,13 @@ def write_encrypted_pdf(
     file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
     if revision == 6:
         # AES-256 (ISO 32000-2): deterministic salts; empty user password.
-        vsalt = hashlib.md5(b"r6-vsalt" + bytes(len(pages))).digest()[:8]
-        ksalt = hashlib.md5(b"r6-ksalt" + bytes(len(pages))).digest()[:8]
+        vsalt, ksalt, ovs, oks = r6_salts(len(pages))
         key = (hashlib.md5(b"r6-filekey-a" + owner_pwd).digest()
                + hashlib.md5(b"r6-filekey-b").digest())  # 32-byte file key
         u_value = hash_2b(user_pwd, vsalt) + vsalt + ksalt
         ue_value = _aes_cbc_encrypt_nopad(
             hash_2b(user_pwd, ksalt), bytes(16), key
         )
-        ovs = hashlib.md5(b"r6-ovsalt").digest()[:8]
-        oks = hashlib.md5(b"r6-oksalt").digest()[:8]
         o_value = hash_2b(owner_pwd, ovs, u_value) + ovs + oks
         oe_value = _aes_cbc_encrypt_nopad(
             hash_2b(owner_pwd, oks, u_value), bytes(16), key
@@ -791,15 +788,57 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# driver-precomputed Algorithm 2.B entries (kdf_warm_entries), seeded into
+# worker processes so write_encrypted_pdf(revision=6) kernels don't re-pay
+# the ~1s/call KDF per worker; misses fall through to the writer's own impl
+_KDF_SEED: dict[tuple[bytes, bytes, bytes], bytes] = {}
+
+
+def seed_kdf(entries: dict[tuple[bytes, bytes, bytes], bytes]) -> None:
+    _KDF_SEED.update(entries)
+
+
+def r6_salts(pages_count: int) -> tuple[bytes, bytes, bytes, bytes]:
+    """(vsalt, ksalt, ovs, oks) that write_encrypted_pdf(revision=6) uses
+    for a given page count — the ONE place the deterministic-salt formulas
+    live, so seed derivation (kdf_warm_entries / the q58 parallel KDF
+    stage) cannot drift from the writer."""
+    import hashlib
+
+    return (
+        hashlib.md5(b"r6-vsalt" + bytes(pages_count)).digest()[:8],
+        hashlib.md5(b"r6-ksalt" + bytes(pages_count)).digest()[:8],
+        hashlib.md5(b"r6-ovsalt").digest()[:8],
+        hashlib.md5(b"r6-oksalt").digest()[:8],
+    )
+
+
+def kdf_warm_entries(
+    pages_count: int, owner_pwd: bytes, user_pwd: bytes = b""
+) -> dict[tuple[bytes, bytes, bytes], bytes]:
+    """The four Algorithm 2.B results write_encrypted_pdf(revision=6) needs
+    for a given page count — computed with the WRITER's own impl on the
+    caller (driver), so query kernels can close them over mapInPandas and
+    seed each worker instead of re-deriving there. The seed is a pure
+    cache: a stale/wrong entry set just means a worker re-derives."""
+    vsalt, ksalt, ovs, oks = r6_salts(pages_count)
+    u_value = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+    return {
+        (user_pwd, vsalt, b""): hash_2b(user_pwd, vsalt),
+        (user_pwd, ksalt, b""): hash_2b(user_pwd, ksalt),
+        (owner_pwd, ovs, u_value): hash_2b(owner_pwd, ovs, u_value),
+        (owner_pwd, oks, u_value): hash_2b(owner_pwd, oks, u_value),
+    }
+
+
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 Algorithm 2.B — writer-side copy (engine and oracle
-    each carry their own over their own AES primitives); memoized."""
-    import hashlib
-    from functools import lru_cache
-
-    global hash_2b
-    inner = hash_2b = lru_cache(maxsize=256)(_hash_2b_impl)
-    return inner(password, salt, udata)
+    each carry their own over their own AES primitives); memoized, with
+    driver-seeded entries (seed_kdf) consulted first."""
+    hit = _KDF_SEED.get((password, salt, udata))
+    if hit is not None:
+        return hit
+    return _hash_2b_cached(password, salt, udata)
 
 
 def _hash_2b_impl(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
@@ -817,3 +856,8 @@ def _hash_2b_impl(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
         if i >= 64 and e[-1] <= i - 32:
             break
     return k[:32]
+
+
+from functools import lru_cache  # noqa: E402
+
+_hash_2b_cached = lru_cache(maxsize=256)(_hash_2b_impl)

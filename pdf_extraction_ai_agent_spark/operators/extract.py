@@ -496,13 +496,30 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     )
 
 
-def with_extraction(df, text_col: str = "text", tool_col: str = "tool"):
+def with_extraction(df, text_col: str = "text", tool_col: str = "tool",
+                    kdf_seed: dict | None = None):
     """Append extraction columns to a transcripts DataFrame.
 
     Declarative so Catalyst keeps column pruning/pushdown around the UDF;
     only (text, tool) cross the Arrow boundary.
+
+    ``kdf_seed``: driver-precomputed Algorithm 2.B entries (see
+    plans.pipeline.precompute_kdf_seed) closed over the UDF and installed
+    in each python worker before the batch runs, so AES-256 payloads never
+    re-pay the ~1s/call KDF per worker. Pure cache — a miss re-derives.
     """
-    udf = F.pandas_udf(extract_turn_batch, EXTRACT_RESULT_TYPE)
+    if kdf_seed:
+        seed = dict(kdf_seed)
+
+        def _seeded_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+            from .pdftext import seed_kdf
+
+            seed_kdf(seed)
+            return extract_turn_batch(text, tool)
+
+        udf = F.pandas_udf(_seeded_batch, EXTRACT_RESULT_TYPE)
+    else:
+        udf = F.pandas_udf(extract_turn_batch, EXTRACT_RESULT_TYPE)
     res = udf(F.col(text_col), F.col(tool_col))
     return (
         df.withColumn("_ex", res)

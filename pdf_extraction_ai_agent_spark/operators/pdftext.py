@@ -580,9 +580,30 @@ def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 from functools import lru_cache
 
+# Pre-derived Algorithm 2.B results seeded from the DRIVER (see
+# plans.pipeline.precompute_kdf_seed): the lru_cache below is per python
+# WORKER process, so without seeding every worker re-pays the ~1s/call KDF
+# for every distinct encrypt dict — (distinct dicts × workers) seconds at
+# cluster scale. The seed is a pure cache: a miss falls through to the
+# engine's own computation, so correctness never depends on it.
+_KDF_SEED: dict[tuple[bytes, bytes, bytes], bytes] = {}
+
+
+def seed_kdf(entries: dict[tuple[bytes, bytes, bytes], bytes]) -> None:
+    """Install driver-precomputed (password, salt, udata) → hash entries
+    into this process's KDF cache (idempotent; called per UDF batch)."""
+    _KDF_SEED.update(entries)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    hit = _KDF_SEED.get((password, salt, udata))
+    if hit is not None:
+        return hit
+    return _hash_2b_compute(password, salt, udata)
+
 
 @lru_cache(maxsize=256)
-def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+def _hash_2b_compute(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 Algorithm 2.B (R6): iterated SHA-256/384/512 selected by
     an AES-128-CBC encryption of the rolling state — the password hash
     behind AES-256 /U //O validation and key derivation. Memoized: 2.B is
@@ -752,6 +773,48 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | 
     if not ok:
         raise _UnsupportedEncryption("user password is not empty")
     return key, method
+
+
+def aesv3_kdf_salts(data: bytes) -> bytes | None:
+    """Validation ‖ key salts (``u[32:40] + u[40:48]``, 16 bytes) of a
+    V5/R6 AES-256 standard-handler file, or None. A CHEAP single-purpose
+    parse (trailer → /Encrypt object → /U) for the distributed KDF
+    pre-pass — it never runs Algorithm 2.B itself, and a wrong/missing
+    answer only costs a cache miss (the extract rung re-derives)."""
+    if not data.startswith(b"%PDF-") or b"/Encrypt" not in data:
+        return None
+    t_at = data.rfind(b"trailer")
+    if t_at < 0:
+        return None
+    td = _dict_of(data[t_at:])
+    if b"/Encrypt" not in td:
+        return None
+    m = _REF_RE.search(_value_of(td, b"/Encrypt"))
+    if not m:
+        return None
+    om = re.search(rb"(?<![0-9])%d\s+\d+\s+obj\b" % int(m.group(1)), data)
+    if not om:
+        return None
+    end = data.find(b"endobj", om.end())
+    d = _dict_of(data[om.end(): end if end >= 0 else len(data)])
+    if not (re.search(rb"/V\s+5\b", d) and re.search(rb"/R\s+6\b", d)):
+        return None
+    u_val = _hex_or_literal(_value_of(d, b"/U"))
+    if u_val is None or len(u_val) < 48:
+        return None
+    return u_val[32:48]
+
+
+def kdf_seed_for_salts(salt16: bytes) -> dict[tuple[bytes, bytes, bytes], bytes]:
+    """Algorithm 2.B entries for one 16-byte (validation ‖ key) salt pair
+    under the EMPTY user password — the two hashes _encryption_key's V5/R6
+    branch needs. Computed with the engine's OWN _hash_2b_compute (twin
+    independence holds: this only relocates where the engine's KDF runs)."""
+    v, k = bytes(salt16[:8]), bytes(salt16[8:16])
+    return {
+        (b"", v, b""): _hash_2b_compute(b"", v),
+        (b"", k, b""): _hash_2b_compute(b"", k),
+    }
 
 
 def _stream_data(body: bytes, num: int | None = None,

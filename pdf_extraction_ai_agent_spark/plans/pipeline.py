@@ -23,6 +23,7 @@ narrow and stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,6 +73,56 @@ def _max_conv_rows(transcripts: DataFrame) -> int:
     return int(row.mx or 0)
 
 
+def precompute_kdf_seed(transcripts: DataFrame, text_col: str = "text") -> dict:
+    """AES-256 KDF pre-stage (round-6 verdict item 1).
+
+    ISO 32000-2 Algorithm 2.B is ~1s/call pure Python BY DESIGN, and its
+    lru_cache lives per python WORKER — so without this stage a corpus of
+    V5/R6-encrypted PDFs re-pays (distinct encrypt dicts × workers) seconds
+    of KDF. This derives each distinct salt pair ONCE: filter to encrypted
+    real-PDF payloads (substring predicates, JVM-side), extract the V5/R6
+    salts with a cheap Arrow kernel (pdftext.aesv3_kdf_salts — trailer
+    parse only, no KDF), distinct (the shuffle carries 16-byte rows), run
+    the KDF once per distinct salt ON THE EXECUTORS, and collect the tiny
+    {(pwd, salt, udata) → hash} map to close over the extract UDF
+    (with_extraction(kdf_seed=...)). At 100 TB the map is bounded by the
+    number of DISTINCT encrypt dicts, not files — the collect is safe, and
+    extract workers then do only AES-CBC, never the KDF. Misses still
+    re-derive in-worker, so the seed is a pure cache."""
+    from ..operators.pdftext import aesv3_kdf_salts, kdf_seed_for_salts
+
+    @F.pandas_udf("binary")
+    def _salts(t: pd.Series) -> pd.Series:
+        return t.map(
+            lambda s: aesv3_kdf_salts(str(s).encode("latin-1", errors="ignore"))
+            if s is not None else None
+        )
+
+    @F.pandas_udf("binary")
+    def _kdf_pair(s: pd.Series) -> pd.Series:
+        # validation-salt hash ‖ key-salt hash, 64 bytes
+        def both(b) -> bytes:
+            d = kdf_seed_for_salts(bytes(b))
+            return d[(b"", bytes(b)[:8], b"")] + d[(b"", bytes(b)[8:16], b"")]
+        return s.map(both)
+
+    rows = (
+        transcripts.select(F.col(text_col).alias("t"))
+        .filter(F.col("t").startswith("%PDF-") & F.col("t").contains("/Encrypt"))
+        .select(_salts("t").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .select("s", _kdf_pair("s").alias("h"))
+        .collect()
+    )
+    seed: dict = {}
+    for r in rows:
+        s, h = bytes(r["s"]), bytes(r["h"])
+        seed[(b"", s[:8], b"")] = h[:32]
+        seed[(b"", s[8:16], b"")] = h[32:64]
+    return seed
+
+
 def salted_repartition(df: DataFrame, num_partitions: int | None, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Explicit repartition before the heavy UDF stage (north rule):
     hash(conv_id) + a turn-level salt so skewed conversations split."""
@@ -90,6 +141,7 @@ def extract_pipeline(
     salt_buckets: int | str = DEFAULT_SALT_BUCKETS,
     observation=None,
     max_conv_rows: int | None = None,
+    kdf_seed: dict | bool | None = True,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -106,6 +158,12 @@ def extract_pipeline(
     snapshot — plans/lineage.py cached_max_conv_rows); ignored unless
     ``salt_buckets='auto'``.
 
+    ``kdf_seed``: True (default) runs precompute_kdf_seed on this input so
+    AES-256 payloads never re-pay the Algorithm 2.B KDF per worker; a dict
+    reuses a seed the caller derived once for the whole input (the
+    resumable job does this — jobs/run_extraction.py); False/None skips
+    the pre-pass entirely (corpora known to carry no encrypted PDFs).
+
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
     [, lob, lobs]).
@@ -118,9 +176,11 @@ def extract_pipeline(
         salt_buckets = _salt_for_max_rows(mx)
         if mx <= DEFAULT_TURN_BUCKET_WIDTH:
             ordering_bucket_width = None  # no conv needs the fan-out
+    if kdf_seed is True:
+        kdf_seed = precompute_kdf_seed(transcripts)
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
-    df = with_extraction(df).drop("text", "tool")
+    df = with_extraction(df, kdf_seed=kdf_seed or None).drop("text", "tool")
     df = with_turn_pos(df, bucket_width=ordering_bucket_width)
     # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
     # pass a pyspark Observation to read them after an action, else they
