@@ -101,3 +101,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
             **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles()}
+
+def pinned_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """name -> (spark, pinned_parquet_path) -> DataFrame: extraction-only
+    arms over a pre-materialized (doc_id, pdf) corpus, used by the
+    data-pinned A/B bench (scripts/bench_headline_child.py). Not part of
+    the driver contract — the driver uses queries()/oracle_sql()."""
+    from pdf_extraction_ai_agent_spark.entry_queries_ext7 import (
+        pinned_queries as _pq,
+    )
+
+    return _pq()

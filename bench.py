@@ -266,18 +266,57 @@ def _baseline_worktree() -> tuple[str, str] | None:
         return None
 
 
+def _pinned_corpus_dir() -> tuple[str, list[str]] | None:
+    """Materialize the roundtrip payload corpora ONCE from HEAD's fixture
+    generators (round-6 verdict item 2) so both A/B arms extract identical
+    bytes. Keyed by HEAD sha — a re-run within the same commit reuses the
+    parquet; a new commit re-pins (its generators may differ). Returns
+    (dir, pinned_names) or None (→ arms fall back to live generators)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    names = [n for n in HEADLINE if n.endswith("_pdf_roundtrip")]
+    if not names:
+        return None
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=here, timeout=60,
+        ).stdout.strip()
+        if not sha:
+            return None
+        out_dir = os.path.join(here, ".bench_cache", f"pinned_{sha[:12]}")
+        child = os.path.join(here, "scripts", "bench_pin_corpus.py")
+        r = subprocess.run(
+            [sys.executable, child, out_dir, SF_DIR, str(CPUS)] + names,
+            capture_output=True, text=True, timeout=1800,
+        )
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            return None
+        pinned = sorted(json.loads(lines[-1])["pinned"])
+        return (out_dir, pinned) if pinned else None
+    except Exception:
+        return None
+
+
 def _headline_ab(reps: int = 3) -> dict | None:
     """Variance-proof headline comparison (round-3 verdict item 2): HEAD vs
     the previous round's commit, run INTERLEAVED (B,H) × reps in fresh JVMs
     within this one bench session, per-query median/min/max both arms plus
     the median-ratio delta column. A ~20% machine-drift burst hits both
-    arms, so only a genuine code change moves the ratio."""
+    arms, so only a genuine code change moves the ratio. The roundtrip
+    queries additionally run DATA-PINNED (round-6 verdict item 2): one
+    corpus materialized from HEAD's generators, extracted by both arms —
+    their ratios measure extraction code, never fixture drift."""
     base = _baseline_worktree()
     if base is None:
         return None
     base_path, base_sha = base
     here = os.path.dirname(os.path.abspath(__file__))
     child = os.path.join(here, "scripts", "bench_headline_child.py")
+    pin = _pinned_corpus_dir()
+    child_env = dict(os.environ)
+    if pin is not None:
+        child_env["SPARK_GRAFT_BENCH_PINNED_DIR"] = pin[0]
     arms = {"base": base_path, "head": here}
     samples: dict[str, dict[str, list[float]]] = {a: {} for a in arms}
     for _ in range(reps):
@@ -288,6 +327,7 @@ def _headline_ab(reps: int = 3) -> dict | None:
                 out = subprocess.run(
                     [sys.executable, child, root, SF_DIR, str(CPUS)] + HEADLINE,
                     capture_output=True, text=True, timeout=1800,
+                    env=child_env,
                 )
             except (subprocess.TimeoutExpired, OSError) as e:
                 # a wedged child must degrade to the skip path, not lose the
@@ -321,7 +361,13 @@ def _headline_ab(reps: int = 3) -> dict | None:
                 stats(h)["median"] / max(stats(b)["median"], 1e-9), 3
             )
         queries[q] = row
-    return {"baseline_sha": base_sha, "reps": reps, "queries": queries}
+    return {
+        "baseline_sha": base_sha,
+        "reps": reps,
+        "queries": queries,
+        # which queries ran over the shared materialized corpus (both arms)
+        "data_pinned": pin[1] if pin is not None else [],
+    }
 
 
 def _scaling(transcripts_path: str) -> dict:

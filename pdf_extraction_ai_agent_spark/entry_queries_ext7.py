@@ -644,3 +644,51 @@ PINNED_PAYLOAD_BUILDERS = {
     "q57_differences_pdf_roundtrip": _payload_q57,
     "q58_aes256_pdf_roundtrip": _payload_q58,
 }
+
+
+def _pinned_extract_kernel():
+    """(doc_id, pdf) batches -> (doc_id, extracted_text, needs_ocr): the
+    extraction half of the roundtrip kernels, over pre-materialized bytes."""
+    import pandas as pd
+
+    from .operators.extract import extract_real_pdf_text
+
+    def kernel(batches):
+        for b in batches:
+            rows = []
+            for doc_id, payload in zip(b["doc_id"], b["pdf"]):
+                t, ocr = extract_real_pdf_text(bytes(payload))
+                rows.append((int(doc_id), t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return kernel
+
+
+def pinned_queries() -> dict:
+    """name -> (spark, parquet_path) -> DataFrame over the materialized
+    (doc_id, pdf) corpus — the extraction-only arm of the data-pinned A/B.
+    Runs THIS tree's extraction strategy (q58 keeps its KDF pre-seeding,
+    which is part of the code under comparison) on bytes both arms share."""
+
+    def make(name):
+        def run(spark: SparkSession, path: str) -> DataFrame:
+            df = spark.read.parquet(path).select("doc_id", "pdf")
+            base = _pinned_extract_kernel()
+            if name == "q58_aes256_pdf_roundtrip":
+                from .operators import pdftext
+
+                _, engine_seed = _q58_kdf_seeds(spark, b"r6-owner")
+
+                def kernel(batches):
+                    pdftext.seed_kdf(engine_seed)
+                    yield from base(batches)
+
+            else:
+                kernel = base
+            return df.mapInPandas(kernel, schema=_ROUNDTRIP_SCHEMA)
+
+        return run
+
+    return {name: make(name) for name in PINNED_PAYLOAD_BUILDERS}

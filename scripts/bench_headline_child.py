@@ -4,10 +4,20 @@ print ONE JSON line ``{"queries": {name: sec|null}, "root": ...}``.
 
 Used by bench.py's variance-proof protocol (round-3 verdict item 2): HEAD
 and the previous round's commit run INTERLEAVED (B,H,B,H,...) in one bench
-session, ≥3 reps each, so multi-minute host-interference bursts land on
+session, >=3 reps each, so multi-minute host-interference bursts land on
 both arms equally and a machine drift can never masquerade as a per-query
 regression. Queries absent from a tree's ``queries()`` (newer additions)
 report null there.
+
+Data-pinned arm (round-6 verdict item 2): when
+``$SPARK_GRAFT_BENCH_PINNED_DIR`` holds a materialized (doc_id, pdf)
+corpus for a query (written by scripts/bench_pin_corpus.py from HEAD's
+generators), the child times extraction over THOSE bytes instead of the
+arm's own fixture generator — via the arm's exported ``pinned_queries()``
+when present (so e.g. q58's KDF pre-seeding, a code change under test,
+stays in the measurement), else a generic kernel over the arm's
+``extract_real_pdf_text``. Either way both arms see identical input, so
+the ratio measures code, not corpus drift.
 """
 
 from __future__ import annotations
@@ -16,6 +26,39 @@ import json
 import os
 import sys
 import time
+
+
+def _generic_pinned_fn(name: str):
+    """Fallback pinned extractor for trees predating pinned_queries():
+    the arm's extract_real_pdf_text over the shared bytes."""
+
+    def run(spark, path):
+        import pandas as pd
+
+        from pdf_extraction_ai_agent_spark.operators.extract import (
+            extract_real_pdf_text,
+        )
+
+        def kernel(batches):
+            for b in batches:
+                rows = []
+                for doc_id, payload in zip(b["doc_id"], b["pdf"]):
+                    t, ocr = extract_real_pdf_text(bytes(payload))
+                    rows.append((int(doc_id), t, ocr))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+                )
+
+        return (
+            spark.read.parquet(path)
+            .select("doc_id", "pdf")
+            .mapInPandas(
+                kernel,
+                schema="doc_id long, extracted_text string, needs_ocr boolean",
+            )
+        )
+
+    return run
 
 
 def main() -> None:
@@ -35,13 +78,25 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    pinned_dir = os.environ.get("SPARK_GRAFT_BENCH_PINNED_DIR") or ""
+    pq_export = getattr(entry, "pinned_queries", None)
+    pinned_fns = pq_export() if pq_export else {}
+    pinned_ran: list[str] = []
 
     def run(name: str) -> float | None:
-        fn = qs.get(name)
-        if fn is None:
-            return None
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
+        ppath = os.path.join(pinned_dir, name) if pinned_dir else ""
+        if ppath and os.path.isdir(ppath) and name in qs:
+            fn = pinned_fns.get(name) or _generic_pinned_fn(name)
+            if name not in pinned_ran:
+                pinned_ran.append(name)
+            t0 = time.monotonic()
+            df = fn(spark, ppath)
+        else:
+            fn = qs.get(name)
+            if fn is None:
+                return None
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
         # same full-evaluation action as bench.py's in-process headline
         df.agg(
             F.count(F.lit(1)),
@@ -56,7 +111,7 @@ def main() -> None:
 
     out = {n: run(n) for n in names}
     spark.stop()
-    print(json.dumps({"queries": out, "root": root}))
+    print(json.dumps({"queries": out, "root": root, "pinned": sorted(pinned_ran)}))
 
 
 if __name__ == "__main__":
