@@ -83,9 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import EXT5_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import EXT6_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import EXT7_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext8 import EXT8_QUERIES
 
     merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
-              **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES}
+              **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES,
+              **EXT8_QUERIES}
     return {name: _release_then(fn) for name, fn in merged.items()}
 
 
@@ -98,17 +100,21 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext5 import ext5_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import ext6_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import ext7_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext8 import ext8_oracles
 
     return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
-            **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles()}
+            **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles(),
+            **ext8_oracles()}
 
 def pinned_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name -> (spark, pinned_parquet_path) -> DataFrame: extraction-only
     arms over a pre-materialized (doc_id, pdf) corpus, used by the
     data-pinned A/B bench (scripts/bench_headline_child.py). Not part of
     the driver contract — the driver uses queries()/oracle_sql()."""
+    from pdf_extraction_ai_agent_spark import entry_queries_ext8  # noqa: F401
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import (
         pinned_queries as _pq,
     )
 
+    # importing ext8 registers its builders in PINNED_PAYLOAD_BUILDERS
     return _pq()

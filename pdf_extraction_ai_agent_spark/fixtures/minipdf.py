@@ -861,3 +861,171 @@ def _hash_2b_impl(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 from functools import lru_cache  # noqa: E402
 
 _hash_2b_cached = lru_cache(maxsize=256)(_hash_2b_impl)
+
+
+# --- named base encodings + subset fonts (round-6) -------------------------
+
+
+def _assemble_classic(objs: dict[int, bytes]) -> bytes:
+    """Classic-xref file from a CONTIGUOUS 1..N object dict (the layout
+    write_differences_pdf uses, shared by the round-6 font writers)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1") + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    total = max(objs) + 1
+    out += f"xref\n0 {total}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for num in range(1, total):
+        out += f"{offsets[num]:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {total} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+def _page_objects(
+    objs: dict[int, bytes], pages: list[str], encode_line, compress: bool,
+    first: int = 6,
+) -> None:
+    """Append page + content objects (numbers first, first+1, …) and the
+    catalog/pages tree for the simple-font writers."""
+    n = len(pages)
+    kids = " ".join(f"{first + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    for i, text in enumerate(pages):
+        page_num, cont_num = first + 2 * i, first + 1 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        encoded = "\n".join(encode_line(l) for l in text.split("\n"))
+        data = _content_stream(encoded, tj_arrays=False)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+
+def write_base_encoded_pdf(
+    pages: list[str],
+    encoding: str = "WinAnsiEncoding",
+    differences: bool = False,
+    indirect: bool = False,
+    compress: bool = False,
+) -> bytes:
+    """Simple Type1 font whose /Encoding is a NAMED Annex D base encoding
+    (WinAnsi / MacRoman / Standard) — text bytes are produced through the
+    INVERSE of the spec table, so a parser reading them as latin-1 emits
+    wrong 0x80–0x9F text (curly quotes, euro, dashes). ``differences``
+    additionally overlays a /Differences array on codes the base table
+    leaves UNDEFINED (cp1252's holes), exercising base+overlay precedence
+    with no collision risk; ``indirect`` puts the encoding dict in its
+    own object. Raises ValueError on a character the chosen base table
+    cannot encode (fixture contract)."""
+    from .. import spec
+
+    tbl = spec.BASE_ENCODING_TABLES[encoding]
+    inv: dict[str, int] = {}
+    for code in sorted(tbl):
+        inv.setdefault(tbl[code], code)
+    remap: dict[str, int] = {}
+    enc_val = f"/{encoding}"
+    if differences:
+        undefined = sorted(set(range(256)) - set(tbl))
+        rev_glyph: dict[str, str] = {}
+        for gname, ch in spec.GLYPH_TO_UNICODE.items():
+            if len(ch) == 1:
+                rev_glyph.setdefault(ch, gname)
+        movable = [
+            c for c in sorted({c for p in pages for c in p})
+            if c in rev_glyph and c in inv
+        ]
+        remap = dict(zip(movable, undefined))
+        if remap:
+            items = sorted((b, rev_glyph[c]) for c, b in remap.items())
+            arr = " ".join(f"{b} /{g}" for b, g in items)
+            enc_val = f"<< /BaseEncoding /{encoding} /Differences [ {arr} ] >>"
+
+    def encode_line(line: str) -> str:
+        out = []
+        for c in line:
+            if c in remap:
+                out.append(chr(remap[c]))
+            elif c in inv:
+                out.append(chr(inv[c]))
+            else:
+                raise ValueError(f"char {c!r} not encodable under {encoding}")
+        return "".join(out)
+
+    objs: dict[int, bytes] = {}
+    if indirect:
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding 4 0 R >>"
+        )
+        objs[4] = enc_val.encode("latin-1")
+    else:
+        objs[3] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding {enc_val} >>"
+        ).encode("latin-1")
+        objs[4] = b"<< /Type /Encoding >>"  # placeholder keeps numbering stable
+    objs[5] = b"null"  # numbering parity with write_subset_font_pdf
+    _page_objects(objs, pages, encode_line, compress)
+    return _assemble_classic(objs)
+
+
+def write_subset_font_pdf(
+    pages: list[str], compress: bool = False, cmap_compress: bool = False
+) -> bytes:
+    """Simple Type1 SUBSET font (the Camelot-style real-world shape): the
+    /Differences array names glyphs g3, g5, … — meaningless to any glyph
+    list — and only the font's own 1-byte /ToUnicode CMap carries their
+    text. Every distinct character is assigned a fresh code from 0x30, so
+    a latin-1 or glyph-name reading of the bytes is garbage; correct
+    extraction REQUIRES the CMap path."""
+    charset = sorted({c for p in pages for c in p if c != "\n"})
+    if len(charset) > 0xFF - 0x30:
+        raise ValueError("fixture charset exceeds one-byte code space")
+    codes = {c: 0x30 + i for i, c in enumerate(charset)}
+    diff = "[ 48 " + " ".join(f"/g{3 + i}" for i in range(len(charset))) + " ]"
+    bf = "\n".join(
+        f"<{code:02X}> <{c.encode('utf-16-be').hex().upper()}>"
+        for c, code in codes.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bf}\nendbfchar\n"
+        "endcmap end\n"
+    ).encode("latin-1")
+    filt = b""
+    if cmap_compress:
+        cmap = zlib.compress(cmap)
+        filt = b"/Filter /FlateDecode "
+    objs: dict[int, bytes] = {
+        3: (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /GHIJKL+FakeSerif "
+            f"/Encoding 4 0 R /ToUnicode 5 0 R >>"
+        ).encode("latin-1"),
+        4: f"<< /Type /Encoding /Differences {diff} >>".encode("latin-1"),
+        5: (
+            b"<< " + filt + f"/Length {len(cmap)} >>".encode("latin-1")
+            + b"\nstream\n" + cmap + b"\nendstream"
+        ),
+    }
+
+    def encode_line(line: str) -> str:
+        return "".join(chr(codes[c]) for c in line)
+
+    _page_objects(objs, pages, encode_line, compress)
+    return _assemble_classic(objs)

@@ -330,14 +330,85 @@ def _parse_differences(enc_d: bytes) -> dict[int, str] | None:
     return out
 
 
+_NAMED_ENC_RE = re.compile(rb"/Encoding\s*/([A-Za-z][A-Za-z0-9]*)")
+_BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z][A-Za-z0-9]*)")
+_LATIN1_TABLE = {b: chr(b) for b in range(256)}
+
+
+def _base_table(enc_name: bytes | None) -> dict[int, str]:
+    """Byte→char base table for a simple font: the latin-1 identity when
+    no base encoding is named (the fixture/simple-font default), else the
+    Annex D table from spec.BASE_ENCODING_TABLES. Raises _UnsupportedFont
+    on a name outside the modeled set — an unmodeled encoding read as
+    latin-1 would emit WRONG text (WinAnsi differs at 0x80–0x9F), and
+    wrong text must never beat no text."""
+    from .. import spec
+
+    if enc_name is None:
+        return _LATIN1_TABLE
+    tbl = spec.BASE_ENCODING_TABLES.get(enc_name.decode("latin-1"))
+    if tbl is None:
+        raise _UnsupportedFont("unmodeled base encoding name")
+    return tbl
+
+
+def _simple_font_handle(
+    objs: dict[int, bytes], fd: bytes, enc_key: tuple[bytes, str] | None
+) -> tuple[str, dict[int, str]] | None:
+    """Handle for a non-Type0 font dict. Precedence: an embedded
+    /ToUnicode CMap is authoritative (subset fonts name glyphs g3, g7, …
+    — only the CMap carries their meaning), then /Encoding (a named base
+    encoding, or a dict with /BaseEncoding + /Differences overlay), else
+    the latin-1 default. All byte-map handles bail (not guess) on a code
+    the map leaves undefined."""
+    if b"/ToUnicode" in fd:
+        tm = _REF_RE.search(_value_of(fd, b"/ToUnicode"))
+        if not tm or int(tm.group(1)) not in objs:
+            raise _UnsupportedFont("unresolvable simple-font ToUnicode")
+        tnum = int(tm.group(1))
+        raw = _stream_data(objs[tnum], num=tnum, enc_key=enc_key)
+        cmap = _parse_tounicode(raw) if raw is not None else None
+        if cmap is None or any(k > 0xFF for k in cmap):
+            raise _UnsupportedFont("undecodable simple-font ToUnicode CMap")
+        return ("diff", cmap)
+    if b"/Encoding" not in fd and b"/Differences" not in fd:
+        return None
+    enc_d = _nested_dict_of(fd, b"/Encoding", objs)
+    if enc_d:
+        bm = _BASE_ENC_RE.search(enc_d)
+        table = dict(_base_table(bm.group(1) if bm else None))
+        if b"/Differences" in enc_d:
+            dmap = _parse_differences(enc_d)
+            if dmap is None:
+                raise _UnsupportedFont("unmodeled /Differences entry")
+            table.update(dmap)
+        elif bm is None:
+            return None  # encoding dict with nothing modeled → default
+        return ("diff", table)
+    nm = _NAMED_ENC_RE.search(fd)
+    if nm is not None:
+        return ("diff", _base_table(nm.group(1)))
+    rm = _REF_RE.search(_value_of(fd, b"/Encoding"))
+    if rm and int(rm.group(1)) in objs:
+        # indirect /Encoding whose object is a BARE name
+        nm2 = re.fullmatch(
+            rb"/([A-Za-z][A-Za-z0-9]*)", objs[int(rm.group(1))].strip()
+        )
+        if nm2:
+            return ("diff", _base_table(nm2.group(1)))
+    raise _UnsupportedFont("unresolvable /Encoding")
+
+
 def _page_fonts(
     objs: dict[int, bytes], page_d: bytes, enc_key: tuple[bytes, str] | None
 ) -> dict[bytes, tuple[str, dict[int, str]] | None]:
     """Resource name → font handle for one page: None = simple latin-1,
     ('cid', map) = Type0 with a ToUnicode CMap, ('diff', map) = simple
-    font with an /Encoding /Differences byte remap. Raises
-    _UnsupportedFont on a Type0 font whose encoding is not /Identity-H,
-    a missing/undecodable ToUnicode, or a /Differences array with glyph
+    font read through a byte→char map (an embedded 1-byte ToUnicode CMap,
+    a named Annex D base encoding, and/or an /Encoding /Differences
+    remap). Raises _UnsupportedFont on a Type0 font whose encoding is not
+    /Identity-H, a missing/undecodable ToUnicode, a base-encoding name
+    outside the modeled Annex D set, or a /Differences array with glyph
     names outside the shared AGL subset."""
     fonts: dict[bytes, tuple[str, dict[int, str]] | None] = {}
     res_d = _nested_dict_of(page_d, b"/Resources", objs)
@@ -351,15 +422,7 @@ def _page_fonts(
             continue  # unresolved name → Tf bails under strict fonts
         fd = _dict_of(body)
         if b"/Type0" not in fd:
-            if b"/Differences" in fd or b"/Encoding" in fd:
-                enc_d = _nested_dict_of(fd, b"/Encoding", objs)
-                if enc_d and b"/Differences" in enc_d:
-                    dmap = _parse_differences(enc_d)
-                    if dmap is None:
-                        raise _UnsupportedFont("unmodeled /Differences entry")
-                    fonts[name] = ("diff", dmap)
-                    continue
-            fonts[name] = None
+            fonts[name] = _simple_font_handle(objs, fd, enc_key)
             continue
         # the value of /Encoding is itself a name — match it directly
         # (_value_of stops at the next /name, so it can't return one)
@@ -380,13 +443,20 @@ def _page_fonts(
 def _decode_shown(raw: bytes, handle: tuple[str, dict[int, str]] | None) -> str | None:
     """Shown-string bytes → text under the active font handle: latin-1
     (None), big-endian 2-byte codes through a ToUnicode map ('cid'), or a
-    byte remap with latin-1 fallback for unmapped codes ('diff'). None
-    (→ rung bail) on odd-length CID strings or unmapped CID codes."""
+    byte→char map ('diff'). None (→ rung bail) on odd-length CID strings,
+    unmapped CID codes, or a byte the map leaves undefined (e.g. cp1252's
+    holes) — undefined codes bail, never guess."""
     if handle is None:
         return raw.decode("latin-1")
     kind, m = handle
     if kind == "diff":
-        return "".join(m[b] if b in m else chr(b) for b in raw)
+        out_d: list[str] = []
+        for b in raw:
+            ch = m.get(b)
+            if ch is None:
+                return None
+            out_d.append(ch)
+        return "".join(out_d)
     if len(raw) % 2:
         return None
     out: list[str] = []
@@ -1152,12 +1222,18 @@ def _page_contents(data: bytes):
     if not page_nums:
         return None
     # C-substring pre-filter (see _expand_object_streams note): the font
-    # resolution pass only runs on files that declare a Type0 font or a
-    # /Differences encoding at all; such files also make every Tf name
-    # STRICT (unresolvable → bail) since an unresolved font could be the
-    # remapped one
+    # resolution pass only runs on files that declare a Type0 font, a
+    # /Differences encoding, a simple-font ToUnicode CMap, or a NAMED
+    # /Encoding (e.g. /WinAnsiEncoding — reading those bytes as latin-1
+    # would emit wrong 0x80–0x9F text) at all; such files also make every
+    # Tf name STRICT (unresolvable → bail) since an unresolved font could
+    # be the remapped one
     strict_fonts = any(
-        b"/Type0" in body or b"/Differences" in body for body in objs.values()
+        b"/Type0" in body
+        or b"/Differences" in body
+        or b"/ToUnicode" in body
+        or b"/Encoding" in body
+        for body in objs.values()
     )
     out: list[tuple[bytes, dict[bytes, tuple[str, dict[int, str]] | None]]] = []
     for num in page_nums:

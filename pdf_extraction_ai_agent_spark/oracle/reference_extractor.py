@@ -798,16 +798,66 @@ def _oracle_parse_differences(seg: bytes) -> dict[int, str]:
     return out
 
 
+def _oracle_base_table(name: bytes | None) -> dict[int, str]:
+    """Base byte→char table: latin-1 identity when unnamed, else the
+    shared Annex D data table (spec.BASE_ENCODING_TABLES — pure data,
+    like the AGL glyph list; the lookup/bail logic stays per-twin).
+    Raises on unmodeled names — reading e.g. WinAnsi as latin-1 would
+    emit wrong 0x80–0x9F text."""
+    if name is None:
+        return {b: chr(b) for b in range(256)}
+    tbl = spec.BASE_ENCODING_TABLES.get(name.decode("latin-1"))
+    if tbl is None:
+        raise RuntimeError("unmodeled base encoding — out of twin scope")
+    return dict(tbl)
+
+
+def _oracle_tounicode_map(data: bytes, num: int) -> dict[int, str]:
+    """Resolve + decode a /ToUnicode CMap stream object by number."""
+    cbody = _oracle_obj_body(data, num)
+    if cbody is None:
+        raise RuntimeError("unresolvable ToUnicode object — out of twin scope")
+    s_at = cbody.find(b"stream")
+    if s_at < 0:
+        raise RuntimeError("ToUnicode without a stream")
+    at = s_at + 6
+    if cbody[at : at + 2] == b"\r\n":
+        at += 2
+    elif cbody[at : at + 1] == b"\n":
+        at += 1
+    lm = re.search(rb"/Length\s+(\d+)", cbody[:s_at])
+    if lm:
+        raw = cbody[at : at + int(lm.group(1))]
+    else:
+        e = cbody.find(b"endstream", at)
+        raw = cbody[at : e if e >= 0 else len(cbody)].rstrip(b"\r\n")
+    if b"/FlateDecode" in cbody[:s_at]:
+        import zlib
+
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            raise RuntimeError("undecodable ToUnicode stream")
+    return _oracle_parse_cmap(raw)
+
+
 def _oracle_font_maps(data: bytes, enc_key: bytes | None):
     """(resource-name → font handle, strict) for the whole file: handles
     are None (simple latin-1), ('cid', map) (Type0 + ToUnicode) or
-    ('diff', map) (/Encoding /Differences byte remap). The oracle scanner
-    has no page model, so /Font resource names resolve GLOBALLY; a name
-    bound to two different font objects, an encrypted CID/Differences
-    file, or any unmodeled configuration raises (out of twin scope — the
-    fixtures never produce those shapes; the engine resolves fonts per
-    page and also covers encrypted CID files)."""
-    if b"/Type0" not in data and b"/Differences" not in data:
+    ('diff', map) (a byte→char map: a simple font's own 1-byte ToUnicode
+    CMap, a named Annex D base encoding, and/or an /Encoding
+    /Differences overlay). The oracle scanner has no page model, so
+    /Font resource names resolve GLOBALLY; a name bound to two different
+    font objects, an encrypted CID/Differences file, or any unmodeled
+    configuration raises (out of twin scope — the fixtures never produce
+    those shapes; the engine resolves fonts per page and also covers
+    encrypted CID files)."""
+    if (
+        b"/Type0" not in data
+        and b"/Differences" not in data
+        and b"/ToUnicode" not in data
+        and b"/Encoding" not in data
+    ):
         return {}, False
     if enc_key is not None:
         raise RuntimeError("encrypted CID/Differences file — out of twin scope")
@@ -828,17 +878,50 @@ def _oracle_font_maps(data: bytes, enc_key: bytes | None):
         if body is None:
             raise RuntimeError("unresolvable font object — out of twin scope")
         if b"/Type0" not in body:
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", body)
+            if tm:
+                # subset-font path: the font's OWN 1-byte CMap is
+                # authoritative (its /Differences names g3, g7, … carry
+                # no unicode meaning)
+                cmap = _oracle_tounicode_map(data, int(tm.group(1)))
+                if any(k > 0xFF for k in cmap):
+                    raise RuntimeError(
+                        "wide simple-font ToUnicode — out of twin scope"
+                    )
+                maps[name] = ("diff", cmap)
+                continue
             enc_seg = body
             em = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", body)
             if em:
                 enc_seg = _oracle_obj_body(data, int(em.group(1))) or b""
+            nm = re.search(rb"/Encoding\s*/([A-Za-z][A-Za-z0-9]*)", body)
+            bm = re.search(rb"/BaseEncoding\s*/([A-Za-z][A-Za-z0-9]*)", enc_seg)
+            # an indirect /Encoding object may be a BARE name
+            nm2 = (
+                re.fullmatch(rb"/([A-Za-z][A-Za-z0-9]*)", enc_seg.strip())
+                if em
+                else None
+            )
+            base_name = (
+                nm.group(1)
+                if nm
+                else nm2.group(1)
+                if nm2
+                else bm.group(1)
+                if bm
+                else None
+            )
             if b"/Differences" in enc_seg:
                 at = enc_seg.find(b"/Differences")
                 lb = enc_seg.find(b"[", at)
                 rb_ = enc_seg.find(b"]", lb)
                 if lb < 0 or rb_ < 0:
                     raise RuntimeError("malformed /Differences array — out of twin scope")
-                maps[name] = ("diff", _oracle_parse_differences(enc_seg[lb:rb_ + 1]))
+                table = _oracle_base_table(base_name)
+                table.update(_oracle_parse_differences(enc_seg[lb:rb_ + 1]))
+                maps[name] = ("diff", table)
+            elif base_name is not None:
+                maps[name] = ("diff", _oracle_base_table(base_name))
             else:
                 maps[name] = None
             continue
@@ -847,41 +930,25 @@ def _oracle_font_maps(data: bytes, enc_key: bytes | None):
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", body)
         if not tm:
             raise RuntimeError("Type0 font without ToUnicode — out of twin scope")
-        cbody = _oracle_obj_body(data, int(tm.group(1)))
-        if cbody is None:
-            raise RuntimeError("unresolvable ToUnicode object — out of twin scope")
-        s_at = cbody.find(b"stream")
-        if s_at < 0:
-            raise RuntimeError("ToUnicode without a stream")
-        at = s_at + 6
-        if cbody[at : at + 2] == b"\r\n":
-            at += 2
-        elif cbody[at : at + 1] == b"\n":
-            at += 1
-        lm = re.search(rb"/Length\s+(\d+)", cbody[:s_at])
-        if lm:
-            raw = cbody[at : at + int(lm.group(1))]
-        else:
-            e = cbody.find(b"endstream", at)
-            raw = cbody[at : e if e >= 0 else len(cbody)].rstrip(b"\r\n")
-        if b"/FlateDecode" in cbody[:s_at]:
-            import zlib
-
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                raise RuntimeError("undecodable ToUnicode stream")
-        maps[name] = ("cid", _oracle_parse_cmap(raw))
+        maps[name] = ("cid", _oracle_tounicode_map(data, int(tm.group(1))))
     return maps, True
 
 
 def _oracle_decode_shown(bs: bytes, handle) -> str:
-    """Shown bytes under the active font handle (None / 'cid' / 'diff')."""
+    """Shown bytes under the active font handle (None / 'cid' / 'diff').
+    A byte the 'diff' map leaves undefined raises — undefined codes are
+    refused, never guessed (the engine rung bails there)."""
     if handle is None:
         return bs.decode("latin-1")
     kind, m = handle
     if kind == "diff":
-        return "".join(m.get(b, chr(b)) for b in bs)
+        out = []
+        for b in bs:
+            ch = m.get(b)
+            if ch is None:
+                raise RuntimeError("undefined byte code — out of twin scope")
+            out.append(ch)
+        return "".join(out)
     return _oracle_cid_decode(bs, m)
 
 

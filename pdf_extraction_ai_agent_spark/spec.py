@@ -238,3 +238,43 @@ def _build_glyph_table() -> dict:
 
 
 GLYPH_TO_UNICODE = _build_glyph_table()
+
+
+def _build_base_encoding_tables() -> dict[str, dict[int, str]]:
+    """Simple-font named base encodings, PDF 32000-1 Annex D.2 (public
+    data — both extraction twins read these tables; each side keeps its
+    own lookup/bail logic). A code ABSENT from a table is undefined: the
+    extractor bails rather than guess (wrong text must never beat no
+    text). Deliberately left undefined:
+
+    - WinAnsi: cp1252's five unassigned holes (0x81 8D 8F 90 9D) and
+      0xAD, where Annex D names the glyph 'hyphen' but cp1252 carries
+      SOFT HYPHEN — an ambiguity we refuse instead of pick.
+    - MacRoman: 0xCA (Annex D 'space' vs the codec's NO-BREAK SPACE),
+      0xDB ('currency' vs the post-Mac-OS-8.5 euro the codec returns)
+      and 0xF0 (the Apple logo, no Unicode mapping).
+    - Standard: the high half entirely (Annex D's 0xA1+ symbol set is
+      not modeled); 0x27/0x60 are quoteright/quoteleft, NOT the ASCII
+      apostrophe/grave.
+    """
+    win: dict[int, str] = {}
+    for b in range(256):
+        if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D, 0xAD):
+            continue
+        win[b] = bytes([b]).decode("cp1252")
+    mac: dict[int, str] = {b: chr(b) for b in range(0x80)}
+    for b in range(0x80, 256):
+        if b in (0xCA, 0xDB, 0xF0):
+            continue
+        mac[b] = bytes([b]).decode("mac_roman")
+    std: dict[int, str] = {b: chr(b) for b in range(0x80)}
+    std[0x27] = "’"
+    std[0x60] = "‘"
+    return {
+        "WinAnsiEncoding": win,
+        "MacRomanEncoding": mac,
+        "StandardEncoding": std,
+    }
+
+
+BASE_ENCODING_TABLES = _build_base_encoding_tables()

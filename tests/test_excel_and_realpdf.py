@@ -1067,3 +1067,128 @@ def test_aes256_encrypted_pdf_roundtrip_and_bails():
     assert tokenize_pdf_text(v5x) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(v5x.decode("latin-1"))
+
+
+def test_base_encoded_pdf_parity_matrix():
+    """Round-6 simple-font encodings (reference reads these via
+    pdfplumber/fitz, src/claim_extractor/extract_text.py:27-36): a named
+    Annex D /Encoding (WinAnsi / MacRoman / Standard) decodes through the
+    spec table on BOTH twins, across /Differences overlays, indirect
+    encoding objects and Flate compression."""
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_base_encoded_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    texts = {
+        # non-ASCII where the base tables DIFFER from latin-1
+        "WinAnsiEncoding": [
+            "Quote “curly” — naïve é claim total 125.00",
+            "euro € dagger † registered ® multiply ×",
+        ],
+        "MacRomanEncoding": [
+            "Quote “curly” — naïve é claim total 125.00",
+            "bullet • pi π infinity ∞ trademark ™",
+        ],
+        # Standard models only the low half (0x27/0x60 are the curly pair)
+        "StandardEncoding": [
+            "plain claim text with a longer body line",
+            "right ’ and left ‘ quotes around words",
+        ],
+    }
+    for enc, pages in texts.items():
+        for differences in (False, True):
+            for indirect in (False, True):
+                for compress in (False, True):
+                    data = write_base_encoded_pdf(
+                        pages,
+                        encoding=enc,
+                        differences=differences,
+                        indirect=indirect,
+                        compress=compress,
+                    )
+                    got = tokenize_pdf_text(data)
+                    assert got == pages, (enc, differences, indirect, compress)
+                    text, ocr = extract_real_pdf(data.decode("latin-1"))
+                    expected = "\n".join(
+                        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+                        for i, p in enumerate(pages)
+                    ).strip()
+                    assert text == expected
+                    assert ocr is False
+
+
+def test_subset_font_pdf_cmap_is_authoritative():
+    """Subset fonts (/Differences naming g3, g5, … with a private code
+    assignment): only the font's own 1-byte /ToUnicode CMap carries the
+    text — both twins must read through it, under stream and CMap
+    compression."""
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_subset_font_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["Claim C7\nBody “quoted” — naïve\nTotal 12.00"]
+    for compress in (False, True):
+        for cmap_compress in (False, True):
+            data = write_subset_font_pdf(
+                pages, compress=compress, cmap_compress=cmap_compress
+            )
+            assert tokenize_pdf_text(data) == pages, (compress, cmap_compress)
+            text, _ = extract_real_pdf(data.decode("latin-1"))
+            expected = "\n".join(
+                spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + p.strip()
+                for i, p in enumerate(pages)
+            ).strip()
+            assert text == expected
+
+
+def test_base_encoding_bails_never_guess():
+    """Wrong text must never beat no text: unmodeled encoding names, the
+    cp1252 holes, and a corrupted subset CMap all BAIL on both twins —
+    and a WinAnsi 0x80–0x9F byte is never read as latin-1."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_base_encoded_pdf, write_subset_font_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    good = write_base_encoded_pdf(["claim “text”"], encoding="WinAnsiEncoding")
+    assert tokenize_pdf_text(good) == ["claim “text”"]
+
+    # the 0x93 byte in the content IS the curly quote — never U+0093
+    pages = tokenize_pdf_text(good)
+    assert "\x93" not in pages[0]
+
+    # unmodeled base-encoding name bails at the tokenizer rung
+    bad_name = good.replace(b"/WinAnsiEncoding", b"/PDFDocEncodingX")
+    assert tokenize_pdf_text(bad_name) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(bad_name.decode("latin-1"))
+
+    # a cp1252 hole byte (0x81) is UNDEFINED under WinAnsi: bail
+    s_at = good.find(b"claim \x93text\x94")
+    assert s_at > 0
+    hole = good[:s_at] + b"\x81" + good[s_at + 1:]
+    assert tokenize_pdf_text(hole) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(hole.decode("latin-1"))
+
+    # corrupting the subset CMap must bail, not fall back to garbage
+    sub = write_subset_font_pdf(["alpha beta"])
+    broken = sub.replace(b"beginbfchar", b"beginbfchaX", 1)
+    assert tokenize_pdf_text(broken) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(broken.decode("latin-1"))
