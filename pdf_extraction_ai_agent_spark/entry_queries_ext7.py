@@ -532,23 +532,25 @@ _EXT7_ORACLES_EXTRA["q57_differences_pdf_roundtrip"] = _Q55_SQL
 # ---------------------------------------------------------------------------
 
 
-_Q58_SEED_CACHE: dict[tuple[bytes, int], tuple[dict, dict]] = {}
+_Q58_SEED_CACHE: dict[tuple[bytes, int, bytes], tuple[dict, dict]] = {}
 
 
 def _q58_kdf_seeds(
-    spark: SparkSession, owner_pwd: bytes, pages_count: int = 1
+    spark: SparkSession, owner_pwd: bytes, pages_count: int = 1,
+    user_pwd: bytes = b"",
 ) -> tuple[dict, dict]:
-    """Distributed 2-wave Algorithm 2.B derivation for q58's ONE encrypt
-    dict: wave 1 runs the four user-password hashes (two writer-side, two
-    engine-side — each side's OWN impl, twin independence intact) as four
+    """Distributed 2-wave Algorithm 2.B derivation for ONE R6 encrypt
+    dict: wave 1 runs the user-password hashes (writer-side and
+    engine-side — each side's OWN impl, twin independence intact) as
     parallel tasks; wave 2 the two owner hashes (they need wave 1's
-    u_value). ~2 × one-call wall instead of six serial calls on the
-    driver. Results are plain dicts seeded into workers by the kernel —
-    a pure cache, misses re-derive."""
+    u_value). ~2 × one-call wall instead of serial calls on the driver.
+    With a non-empty ``user_pwd`` (q60) the engine side also gets the
+    (empty, vsalt) probe it tries first. Results are plain dicts seeded
+    into workers by the kernel — a pure cache, misses re-derive."""
     from .fixtures import minipdf
     from .operators import pdftext
 
-    hit = _Q58_SEED_CACHE.get((owner_pwd, pages_count))
+    hit = _Q58_SEED_CACHE.get((owner_pwd, pages_count, user_pwd))
     if hit is not None:
         return hit
     vsalt, ksalt, ovs, oks = minipdf.r6_salts(pages_count)
@@ -557,34 +559,32 @@ def _q58_kdf_seeds(
     # the tasks go through each side's memoized entry point, so reused
     # python workers answer repeat derivations from cache (~0s)
     def _w1(t):
-        side, salt = t
+        side, pwd, salt = t
         if side == "w":
-            return side, salt, minipdf.hash_2b(b"", salt)
-        return side, salt, pdftext._hash_2b_compute(b"", salt)
+            return t, minipdf.hash_2b(pwd, salt)
+        return t, pdftext._hash_2b_compute(pwd, salt)
 
-    w1 = {
-        (side, salt): h
-        for side, salt, h in sc.parallelize(
-            [("w", vsalt), ("w", ksalt), ("e", vsalt), ("e", ksalt)], 4
-        ).map(_w1).collect()
-    }
-    u_value = w1[("w", vsalt)] + vsalt + ksalt
+    tasks = [("w", user_pwd, vsalt), ("w", user_pwd, ksalt),
+             ("e", user_pwd, vsalt), ("e", user_pwd, ksalt)]
+    if user_pwd != b"":
+        tasks.append(("e", b"", vsalt))  # the empty-password probe
+    w1 = dict(sc.parallelize(tasks, len(tasks)).map(_w1).collect())
+    u_value = w1[("w", user_pwd, vsalt)] + vsalt + ksalt
     w2 = dict(
         sc.parallelize([ovs, oks], 2)
         .map(lambda s: (s, minipdf.hash_2b(owner_pwd, s, u_value)))
         .collect()
     )
     writer_seed = {
-        (b"", vsalt, b""): w1[("w", vsalt)],
-        (b"", ksalt, b""): w1[("w", ksalt)],
+        (user_pwd, vsalt, b""): w1[("w", user_pwd, vsalt)],
+        (user_pwd, ksalt, b""): w1[("w", user_pwd, ksalt)],
         (owner_pwd, ovs, u_value): w2[ovs],
         (owner_pwd, oks, u_value): w2[oks],
     }
     engine_seed = {
-        (b"", vsalt, b""): w1[("e", vsalt)],
-        (b"", ksalt, b""): w1[("e", ksalt)],
+        (pwd, salt, b""): h for (side, pwd, salt), h in w1.items() if side == "e"
     }
-    _Q58_SEED_CACHE[(owner_pwd, pages_count)] = (writer_seed, engine_seed)
+    _Q58_SEED_CACHE[(owner_pwd, pages_count, user_pwd)] = (writer_seed, engine_seed)
     return writer_seed, engine_seed
 
 

@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .entry_queries_ext7 import (
     PINNED_PAYLOAD_BUILDERS,
     _docs,
+    _positioned_items,
+    _q58_kdf_seeds,
+    _Q49_SQL,
     _ROUNDTRIP_SCHEMA,
     _roundtrip_kernel,
 )
@@ -103,3 +106,69 @@ PINNED_PAYLOAD_BUILDERS["q59_font_encodings_pdf_roundtrip"] = _payload_q59
 
 def ext8_oracles() -> dict[str, str]:
     return dict(_EXT8_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# q60 — PASSWORD-PROTECTED PDF round trip under the ORACLE GATE: files
+# whose USER password is non-empty, opened via the pipeline's candidate
+# password book (spec.KNOWN_USER_PASSWORDS — Algorithm 4/5 validation on
+# R2/R3/R4, Algorithm 2.B on R6; the empty password is probed first, then
+# each book entry). Rotation per doc: rev 2 / 3 / 4 alternating the two
+# book passwords (cheap MD5-path validation), and every 4th doc V5/R6
+# AES-256 under ONE book password (its Algorithm 2.B hashes derived once
+# in the q58-style distributed pre-pass and seeded into workers — the
+# per-worker-KDF scale trap from VERDICT r5 stays dead). Reference
+# parity: the reference surfaces password-protected PDFs as extraction
+# failures (extract_text.py's library chain has no password plumbing);
+# this engine opens the ones whose password is known to the job config.
+# ---------------------------------------------------------------------------
+
+_Q60_R6_OWNER = b"q60-owner"
+
+
+def _payload_q60(doc_id: int, text: str) -> bytes:
+    from . import spec
+    from .fixtures import minipdf
+
+    k = doc_id % 4
+    if k == 3:
+        pw = spec.KNOWN_USER_PASSWORDS[0]
+        # self-sufficient for un-seeded callers (pinned-corpus
+        # materializer); lru-answered after the first call per process
+        minipdf.seed_kdf(minipdf.kdf_warm_entries(1, _Q60_R6_OWNER, pw))
+        return minipdf.write_encrypted_pdf(
+            [_positioned_items(doc_id, text)],
+            owner_pwd=_Q60_R6_OWNER, user_pwd=pw, revision=6,
+        )
+    pw = spec.KNOWN_USER_PASSWORDS[doc_id % 2]
+    return minipdf.write_encrypted_pdf(
+        [_positioned_items(doc_id, text)],
+        owner_pwd=b"owner-%d" % (doc_id % 5), user_pwd=pw,
+        revision=(2, 3, 4)[k],
+    )
+
+
+def q60_password_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import spec
+    from .fixtures import minipdf
+    from .operators import pdftext
+
+    docs = _docs(spark, sf_dir)
+    writer_seed, engine_seed = _q58_kdf_seeds(
+        spark, _Q60_R6_OWNER, 1, user_pwd=spec.KNOWN_USER_PASSWORDS[0]
+    )
+    inner = _roundtrip_kernel(_payload_q60)
+
+    def kernel(batches):
+        minipdf.seed_kdf(writer_seed)
+        pdftext.seed_kdf(engine_seed)
+        yield from inner(batches)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q60_password_pdf_roundtrip"] = q60_password_pdf_roundtrip
+_EXT8_ORACLES["q60_password_pdf_roundtrip"] = _Q49_SQL
+PINNED_PAYLOAD_BUILDERS["q60_password_pdf_roundtrip"] = _payload_q60

@@ -312,7 +312,9 @@ def write_encrypted_pdf(
     permissions: int = -44, revision: int = 2,
 ) -> bytes:
     """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
-    security handler and an EMPTY user password — V1/R2 40-bit RC4 by
+    security handler (``user_pwd`` defaults to empty — the ubiquitous
+    owner-locked shape; non-empty makes a genuinely password-protected
+    file that only opens with that user password) — V1/R2 40-bit RC4 by
     default, V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+ shape
     that dominates real encrypted PDFs), or V4/R4 AESV2 (AES-128-CBC via
     the /StdCF crypt filter — the Acrobat 7+ default) with
@@ -322,8 +324,8 @@ def write_encrypted_pdf(
     without prompting). Every stream is encrypted under its per-object
     key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
     dict and /ID land in the trailer. pdftext.py's rung decrypts these
-    dependency-free; any non-empty user password (which it cannot know)
-    makes the rung bail to the library chain."""
+    dependency-free; a user password outside its candidate book makes
+    the rung bail to the library chain."""
     import hashlib
 
     plain = write_minimal_pdf(pages)

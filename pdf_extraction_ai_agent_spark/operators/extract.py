@@ -247,7 +247,7 @@ def extract_real_pdf_text(payload) -> tuple[str, bool]:
     # exercises this path in-sandbox on real bytes
     from .pdftext import assemble_reading_order, tokenize_pdf_runs
 
-    pages_runs = tokenize_pdf_runs(data)
+    pages_runs = tokenize_pdf_runs(data, passwords=spec.KNOWN_USER_PASSWORDS)
     if pages_runs is not None:
         bodies = assemble_reading_order(pages_runs)
         text = "\n".join(

@@ -32,12 +32,13 @@ Scope (returns None → caller falls through to the library chain):
   odd-length CID string — or ANY unresolvable Tf name while the file
   declares a Type0 font — aborts the rung (wrong text must never beat no
   text);
-- standard-security-handler encryption with an EMPTY user password:
-  RC4 V1/R2 (40-bit) and V2/R3 (128-bit), V4/R4 with the /StdCF
-  /CFM /AESV2 crypt filter (AES-128-CBC, per-object keys), and V5/R6
-  AES-256 (/CFM /AESV3 — Algorithm 2.B password hash, file key
-  unwrapped from /UE, streams under the file key) — /U-verified; any
-  other configuration (real user passwords, non-StdCF filters,
+- standard-security-handler encryption with the EMPTY user password or
+  a password from the caller-supplied candidate book: RC4 V1/R2
+  (40-bit) and V2/R3 (128-bit), V4/R4 with the /StdCF /CFM /AESV2
+  crypt filter (AES-128-CBC, per-object keys), and V5/R6 AES-256
+  (/CFM /AESV3 — Algorithm 2.B password hash, file key unwrapped from
+  /UE, streams under the file key) — /U-verified per candidate; any
+  other configuration (a password outside the book, non-StdCF filters,
   encrypted ObjStm/xref-stream layouts) aborts the rung;
 - simple-font /Encoding /Differences byte remaps (legacy generators,
   scanner output): remapped codes resolve through the shared AGL-subset
@@ -735,16 +736,23 @@ def _hex_or_literal(v: bytes) -> bytes | None:
     return None
 
 
-def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | None:
+def _encryption_key(
+    data: bytes, objs: dict[int, bytes], passwords: tuple[bytes, ...] = ()
+) -> tuple[bytes, str] | None:
     """None = not encrypted. (base_key, 'rc4'|'aes') for a file encrypted
     with the STANDARD handler — V1/R2 (40-bit RC4), V2/R3 (/Length up to
     128-bit RC4, the Acrobat 5+ shape), V4/R4 with the /StdCF AESV2
     crypt filter (AES-128-CBC, the Acrobat 7+ default), or V5/R6 AES-256
-    (AESV3: Algorithm 2.B hash validates the empty user password against
-    /U and unwraps the file key from /UE) — returned methods 'rc4',
-    'aes' (per-object keys) and 'aesv3' (file key). Raises
-    _UnsupportedEncryption for every other configuration (non-StdCF
-    crypt filters, /EncryptMetadata false on V4, real user passwords,
+    (AESV3: Algorithm 2.B hash validates the user password against /U
+    and unwraps the file key from /UE) — returned methods 'rc4', 'aes'
+    (per-object keys) and 'aesv3' (file key). ``passwords`` is the
+    pipeline's candidate USER-password book (config-supplied, the way
+    batch jobs carry a department password list); the empty password is
+    always tried first, then each candidate in order — Algorithm 4/5
+    (R≤4) / 2.B /U validation (R6) picks the first that opens the file.
+    Raises _UnsupportedEncryption for every other configuration
+    (non-StdCF crypt filters, /EncryptMetadata false on V4, a user
+    password outside the book, owner-password-only knowledge,
     encrypted files using xref streams/ObjStm, malformed /Encrypt).
     Document-level strings (/Info etc.) are /StrF-encrypted too but
     never feed extraction, so only stream decryption is wired."""
@@ -795,10 +803,14 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | 
         ue_val = _hex_or_literal(_value_of(d, b"/UE"))
         if u_val is None or ue_val is None or len(u_val) < 48 or len(ue_val) != 32:
             raise _UnsupportedEncryption("malformed /U //UE")
-        if _hash_2b(b"", u_val[32:40]) != u_val[:32]:
-            raise _UnsupportedEncryption("user password is not empty")
-        inter = _hash_2b(b"", u_val[40:48])
-        return _aes_cbc_decrypt_nopad(inter, bytes(16), ue_val), "aesv3"
+        for pwd in (b"",) + tuple(passwords):
+            # ISO 32000-2 truncates the UTF-8 password to 127 bytes
+            # (SASLprep is out of scope — the password book is ASCII)
+            pwd = pwd[:127]
+            if _hash_2b(pwd, u_val[32:40]) == u_val[:32]:
+                inter = _hash_2b(pwd, u_val[40:48])
+                return _aes_cbc_decrypt_nopad(inter, bytes(16), ue_val), "aesv3"
+        raise _UnsupportedEncryption("user password outside the book")
     method = "rc4"
     if (ver, rev) == (4, 4):
         # V4 delegates to crypt filters: only the ubiquitous
@@ -822,27 +834,28 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]) -> tuple[bytes, str] | 
     pm = re.search(rb"/P\s+(-?\d+)", d)
     if o_val is None or u_val is None or len(o_val) != 32 or not pm:
         raise _UnsupportedEncryption("malformed /O //U //P")
-    h = hashlib.md5()
-    h.update(_PDF_PAD)  # empty user password → padded pwd IS the pad
-    h.update(o_val)
-    h.update(_struct.pack("<i", int(pm.group(1))))
-    h.update(file_id)
-    digest = h.digest()
-    if rev >= 3:  # Algorithm 2, R3: 50 re-hash rounds of the key prefix
-        for _ in range(50):
-            digest = hashlib.md5(digest[:n_key]).digest()
-    key = digest[:n_key]
-    if rev == 2:
-        ok = _rc4(key, _PDF_PAD) == u_val
-    else:  # Algorithm 5, R3: 20-round RC4 chain over md5(PAD ‖ ID),
-        # compare the first 16 bytes (the stored tail is arbitrary)
-        u = hashlib.md5(_PDF_PAD + file_id).digest()
-        for i in range(20):
-            u = _rc4(bytes(b ^ i for b in key), u)
-        ok = u == u_val[:16]
-    if not ok:
-        raise _UnsupportedEncryption("user password is not empty")
-    return key, method
+    for pwd in (b"",) + tuple(passwords):
+        h = hashlib.md5()
+        h.update((pwd + _PDF_PAD)[:32])  # Algorithm 2: padded user pwd
+        h.update(o_val)
+        h.update(_struct.pack("<i", int(pm.group(1))))
+        h.update(file_id)
+        digest = h.digest()
+        if rev >= 3:  # Algorithm 2, R3: 50 re-hash rounds of the key prefix
+            for _ in range(50):
+                digest = hashlib.md5(digest[:n_key]).digest()
+        key = digest[:n_key]
+        if rev == 2:  # Algorithm 4: U = RC4(key, PAD)
+            ok = _rc4(key, _PDF_PAD) == u_val
+        else:  # Algorithm 5, R3: 20-round RC4 chain over md5(PAD ‖ ID),
+            # compare the first 16 bytes (the stored tail is arbitrary)
+            u = hashlib.md5(_PDF_PAD + file_id).digest()
+            for i in range(20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            ok = u == u_val[:16]
+        if ok:
+            return key, method
+    raise _UnsupportedEncryption("user password outside the book")
 
 
 def aesv3_kdf_salts(data: bytes) -> bytes | None:
@@ -1206,16 +1219,16 @@ _MOVE_RE = re.compile(
 )
 
 
-def _page_contents(data: bytes):
+def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
     """Shared page walk: a list of (content_bytes, fonts) per page plus the
     file-wide has_type0 flag — `(pages, has_type0)` — or None overall when
-    the file is out of scope. Handles the standard-handler RC4
-    empty-user-password encryption in-line (_encryption_key) and resolves
-    each page's font resources (ToUnicode maps for Type0 fonts); any other
-    encrypted or font configuration bails."""
+    the file is out of scope. Handles standard-handler encryption in-line
+    (_encryption_key, with ``passwords`` as the candidate user-password
+    book) and resolves each page's font resources (ToUnicode maps for
+    Type0 fonts); any other encrypted or font configuration bails."""
     objs = _objects(data)
     try:
-        enc_key = _encryption_key(data, objs)
+        enc_key = _encryption_key(data, objs, passwords)
     except _UnsupportedEncryption:
         return None
     page_nums = _page_objects(objs)
@@ -1259,13 +1272,15 @@ def _page_contents(data: bytes):
     return out, strict_fonts
 
 
-def tokenize_pdf_rulings(data: bytes) -> list[list[tuple[float, float, float, float]]] | None:
+def tokenize_pdf_rulings(
+    data: bytes, passwords: tuple[bytes, ...] = ()
+) -> list[list[tuple[float, float, float, float]]] | None:
     """Per-page stroked straight segments `x1 y1 m x2 y2 l S` — the vector
     ruling geometry lattice-table extraction keys on (Camelot's line mask).
     None when the file is out of this rung's scope."""
     if not data.startswith(b"%PDF-"):
         return None
-    res = _page_contents(data)
+    res = _page_contents(data, passwords)
     if res is None:
         return None
     pages, _has_type0 = res
@@ -1316,7 +1331,9 @@ def _top_level_segments(content: bytes) -> list[tuple[float, float, float, float
     ]
 
 
-def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | None:
+def tokenize_pdf_runs(
+    data: bytes, passwords: tuple[bytes, ...] = ()
+) -> list[list[tuple[float, float, str]]] | None:
     """Per-page POSITIONED text runs (x, y, text): tracks the text-line
     origin through BT (reset), Td/TD (relative line move) and Tm with a
     pure-translation matrix (e/f); each shown string — literal or hex —
@@ -1339,7 +1356,7 @@ def tokenize_pdf_runs(data: bytes) -> list[list[tuple[float, float, str]]] | Non
     and detect_lattice_tables' cell placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
-    res = _page_contents(data)
+    res = _page_contents(data, passwords)
     if res is None:
         return None
     pages, strict_fonts = res
@@ -1516,14 +1533,16 @@ def _string_end(body: bytes, start: int) -> int:
     return len(body)
 
 
-def tokenize_pdf_text(data: bytes) -> list[str] | None:
+def tokenize_pdf_text(
+    data: bytes, passwords: tuple[bytes, ...] = ()
+) -> list[str] | None:
     """Per-page extracted text for a real PDF in STREAM order (flat; the
     layout-aware path is tokenize_pdf_runs + assemble_reading_order), or
     None when the file is outside this rung's scope (caller falls through
     to pdfplumber/fitz)."""
     if not data.startswith(b"%PDF-"):
         return None
-    res = _page_contents(data)
+    res = _page_contents(data, passwords)
     if res is None:
         return None
     pages, strict_fonts = res

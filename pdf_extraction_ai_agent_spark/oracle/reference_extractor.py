@@ -637,10 +637,11 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
         ue32 = bytes.fromhex(re.sub(rb"\s", b"", uem.group(1)).decode())
         if len(u48) < 48 or len(ue32) != 32:
             raise RuntimeError("malformed /U //UE — out of twin scope")
-        if _oracle_hash_2b(b"", u48[32:40]) != u48[:32]:
-            raise RuntimeError("user password is not empty — out of twin scope")
-        inter = _oracle_hash_2b(b"", u48[40:48])
-        return _oracle_cbc_decrypt_nopad(inter, bytes(16), ue32), "aesv3"
+        for pwd in (b"",) + tuple(spec.KNOWN_USER_PASSWORDS):
+            if _oracle_hash_2b(pwd[:127], u48[32:40]) == u48[:32]:
+                inter = _oracle_hash_2b(pwd[:127], u48[40:48])
+                return _oracle_cbc_decrypt_nopad(inter, bytes(16), ue32), "aesv3"
+        raise RuntimeError("user password outside the book — out of twin scope")
     method = "rc4"
     if pair == (4, 4):
         if (not re.search(rb"/CFM\s*/AESV2(?![A-Za-z0-9])", ed)
@@ -661,24 +662,26 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
         raise RuntimeError("non-hex /O //U or missing /P")
     o_val = bytes.fromhex(re.sub(rb"\s", b"", ov.group(1)).decode())
     file_id = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
-    digest = hashlib.md5(
-        _ORACLE_PDF_PAD + o_val + _struct.pack("<i", int(pv.group(1))) + file_id
-    ).digest()
-    if rev >= 3:
-        for _ in range(50):
-            digest = hashlib.md5(digest[:nk]).digest()
-    key = digest[:nk]
     u_val = bytes.fromhex(re.sub(rb"\s", b"", uv.group(1)).decode())
-    if rev == 2:
-        ok = _oracle_rc4(key, _ORACLE_PDF_PAD) == u_val
-    else:
-        u = hashlib.md5(_ORACLE_PDF_PAD + file_id).digest()
-        for i in range(20):
-            u = _oracle_rc4(bytes(x ^ i for x in key), u)
-        ok = u == u_val[:16]
-    if not ok:
-        raise RuntimeError("user password is not empty — out of twin scope")
-    return key, method
+    for pwd in (b"",) + tuple(spec.KNOWN_USER_PASSWORDS):
+        digest = hashlib.md5(
+            (pwd + _ORACLE_PDF_PAD)[:32] + o_val
+            + _struct.pack("<i", int(pv.group(1))) + file_id
+        ).digest()
+        if rev >= 3:
+            for _ in range(50):
+                digest = hashlib.md5(digest[:nk]).digest()
+        key = digest[:nk]
+        if rev == 2:
+            ok = _oracle_rc4(key, _ORACLE_PDF_PAD) == u_val
+        else:
+            u = hashlib.md5(_ORACLE_PDF_PAD + file_id).digest()
+            for i in range(20):
+                u = _oracle_rc4(bytes(x ^ i for x in key), u)
+            ok = u == u_val[:16]
+        if ok:
+            return key, method
+    raise RuntimeError("user password outside the book — out of twin scope")
 
 
 def _oracle_parse_cmap(cm: bytes) -> dict[int, str]:

@@ -278,3 +278,12 @@ def _build_base_encoding_tables() -> dict[str, dict[int, str]]:
 
 
 BASE_ENCODING_TABLES = _build_base_encoding_tables()
+
+
+# Candidate USER passwords for password-protected inputs (the extraction
+# contract's "password book" — batch pipelines carry config-supplied
+# department passwords; reference parity: the reference surfaces such PDFs
+# as extraction failures, this engine opens the ones whose password is
+# known). Tried in order after the empty password; pure DATA shared by
+# both twins (each side keeps its own validation logic).
+KNOWN_USER_PASSWORDS: tuple = (b"claims-batch-2024", b"wc-lossrun")

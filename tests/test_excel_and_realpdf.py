@@ -1192,3 +1192,47 @@ def test_base_encoding_bails_never_guess():
     assert tokenize_pdf_text(broken) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(broken.decode("latin-1"))
+
+
+def test_user_password_book_opens_and_bails():
+    """Non-empty USER passwords (round 6): a file protected with a
+    password from spec.KNOWN_USER_PASSWORDS opens on both twins across
+    R2/R3/R4 (Algorithm 4/5) and R6 (Algorithm 2.B); a password outside
+    the book bails on both — never garbage."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_encrypted_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    pages = ["Claim body line long enough to clear the OCR threshold 125.00"]
+    for rev in (2, 3, 4):
+        for pw in (b"",) + tuple(spec.KNOWN_USER_PASSWORDS):
+            data = write_encrypted_pdf(
+                pages, owner_pwd=b"own", user_pwd=pw, revision=rev
+            )
+            got = tokenize_pdf_text(data, passwords=spec.KNOWN_USER_PASSWORDS)
+            assert got == pages, (rev, pw)
+            text, _ = extract_real_pdf(data.decode("latin-1"))
+            assert pages[0] in text
+        bad = write_encrypted_pdf(
+            pages, user_pwd=b"not-in-the-book", revision=rev
+        )
+        assert tokenize_pdf_text(bad, passwords=spec.KNOWN_USER_PASSWORDS) is None
+        with _pytest.raises(RuntimeError):
+            extract_real_pdf(bad.decode("latin-1"))
+
+    # R6 AES-256 under a book password (Algorithm 2.B is slow by design —
+    # one roundtrip + one wrong-password bail)
+    pw = spec.KNOWN_USER_PASSWORDS[0]
+    data = write_encrypted_pdf(pages, owner_pwd=b"own6", user_pwd=pw, revision=6)
+    assert tokenize_pdf_text(data, passwords=spec.KNOWN_USER_PASSWORDS) == pages
+    text, _ = extract_real_pdf(data.decode("latin-1"))
+    assert pages[0] in text
+    bad = write_encrypted_pdf(pages, user_pwd=b"wrong-r6-pass", revision=6)
+    assert tokenize_pdf_text(bad, passwords=spec.KNOWN_USER_PASSWORDS) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(bad.decode("latin-1"))
