@@ -172,3 +172,43 @@ def q60_password_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT8_QUERIES["q60_password_pdf_roundtrip"] = q60_password_pdf_roundtrip
 _EXT8_ORACLES["q60_password_pdf_roundtrip"] = _Q49_SQL
 PINNED_PAYLOAD_BUILDERS["q60_password_pdf_roundtrip"] = _payload_q60
+
+
+# ---------------------------------------------------------------------------
+# q61 — CLASSIC STREAM FILTERS round trip under the ORACLE GATE: the
+# pre-PDF-1.5 corpus shapes VERDICT r5 item 7 named — /LZWDecode (9→12
+# bit TIFF-convention codes, EarlyChange=1), /ASCIIHexDecode,
+# /ASCII85Decode, and chains of them with /FlateDecode — rotated per doc.
+# Three independent implementations: writer encoders (minipdf), engine
+# decoders (pdftext: dict-table LZW + rolling accumulator), oracle
+# decoders (reference_extractor: list-table LZW + big-int bit cursor).
+# Reference parity: the reference reads these via pdfplumber/pypdf
+# (extract_text.py:39-66); old loss-run PDFs carry them routinely.
+# ---------------------------------------------------------------------------
+
+_Q61_FILTERS = (
+    ["LZWDecode"],
+    ["ASCIIHexDecode"],
+    ["ASCII85Decode"],
+    ["ASCII85Decode", "FlateDecode"],
+    ["ASCIIHexDecode", "LZWDecode"],
+)
+
+
+def _payload_q61(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_filtered_pdf
+
+    return write_filtered_pdf(
+        [_positioned_items(doc_id, text)], _Q61_FILTERS[doc_id % 5]
+    )
+
+
+def q61_filtered_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q61), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q61_filtered_pdf_roundtrip"] = q61_filtered_pdf_roundtrip
+_EXT8_ORACLES["q61_filtered_pdf_roundtrip"] = _Q49_SQL
+PINNED_PAYLOAD_BUILDERS["q61_filtered_pdf_roundtrip"] = _payload_q61

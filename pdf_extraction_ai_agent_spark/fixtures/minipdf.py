@@ -1031,3 +1031,131 @@ def write_subset_font_pdf(
 
     _page_objects(objs, pages, encode_line, compress)
     return _assemble_classic(objs)
+
+
+# --- classic stream filters (round-6): LZW / ASCIIHex / ASCII85 ------------
+# Encoders only — the fixture writer is the third, independent side of the
+# twin protocol (engine and oracle each carry their OWN decoders).
+
+
+def asciihex_encode(data: bytes) -> bytes:
+    """/ASCIIHexDecode payload: hex pairs, 64-col lines, '>' EOD."""
+    h = data.hex().upper().encode("ascii")
+    lines = [h[i : i + 64] for i in range(0, len(h), 64)]
+    return b"\n".join(lines) + b">"
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    """/ASCII85Decode payload: 4-byte groups → 5 base-85 chars ('!'..'u'),
+    all-zero groups abbreviated 'z', partial n-byte tail → n+1 chars,
+    '~>' EOD."""
+    out = bytearray()
+    for i in range(0, len(data) - len(data) % 4, 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        if acc == 0:
+            out += b"z"
+            continue
+        grp = bytearray(5)
+        for j in range(4, -1, -1):
+            grp[j] = 0x21 + acc % 85
+            acc //= 85
+        out += grp
+    tail = data[len(data) - len(data) % 4 :]
+    if tail:
+        acc = int.from_bytes(tail + b"\x00" * (4 - len(tail)), "big")
+        grp = bytearray(5)
+        for j in range(4, -1, -1):
+            grp[j] = 0x21 + acc % 85
+            acc //= 85
+        out += grp[: len(tail) + 1]
+    return bytes(out) + b"~>"
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """/LZWDecode payload (TIFF-convention): 9→12-bit variable codes,
+    clear (256) first and whenever the table fills, EOD (257) last;
+    /EarlyChange=1 widens one entry early (the PDF default)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    size, width = 258, 9
+    emit(256, width)
+    seq = b""
+    for i in range(len(data)):
+        nxt = seq + data[i : i + 1]
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq], width)
+        table[nxt] = size
+        size += 1
+        # encoder-side widening happens one entry AFTER the decoder's
+        # (the decoder's table lags by one): 2^w - early + 1, and at
+        # width 12 a clear resets both sides
+        if size + early - 1 >= (1 << width):
+            if width == 12:
+                emit(256, width)
+                table = {bytes([j]): j for j in range(256)}
+                size, width = 258, 9
+            else:
+                width += 1
+        seq = data[i : i + 1]
+    if seq:
+        emit(table[seq], width)
+        # the decoder ADDS an entry on this final code (the encoder does
+        # not), so the lag closes: the EOD width check is the decoder's
+        if size + early >= (1 << width) and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_FILTER_ENCODERS = {
+    "ASCIIHexDecode": asciihex_encode,
+    "ASCII85Decode": ascii85_encode,
+    "LZWDecode": lzw_encode,
+    "FlateDecode": lambda b: zlib.compress(b),
+}
+
+
+def write_filtered_pdf(pages: list, filters: list) -> bytes:
+    """``write_minimal_pdf`` variant whose content streams pass through a
+    classic FILTER CHAIN — /LZWDecode, /ASCIIHexDecode, /ASCII85Decode
+    (the pre-PDF-1.5 corpus shapes) or any chain of them with
+    /FlateDecode. ``filters`` lists decode-order names as in the /Filter
+    array; the writer applies the matching encoders in reverse."""
+    import re as _re
+
+    plain = write_minimal_pdf(pages)
+    fnames = " ".join(f"/{f}" for f in filters)
+    fval = (f"/Filter [ {fnames} ]" if len(filters) > 1
+            else f"/Filter /{filters[0]}").encode("ascii")
+    objs: dict[int, bytes] = {}
+    # same re-emit walk as write_encrypted_pdf: this writer's object bodies
+    # are newline-delimited with explicit /Length, so the match is exact
+    for m in _re.finditer(rb"(\d+) 0 obj\n(.*?)\nendobj\n", plain, _re.S):
+        num, body = int(m.group(1)), m.group(2)
+        s_at = body.find(b"\nstream\n")
+        if s_at >= 0:
+            data = body[s_at + len(b"\nstream\n"):]
+            assert data.endswith(b"\nendstream")
+            data = data[: -len(b"\nendstream")]
+            for f in reversed(filters):
+                data = _FILTER_ENCODERS[f](data)
+            body = (
+                b"<< " + fval + b" /Length %d >>" % len(data)
+                + b"\nstream\n" + data + b"\nendstream"
+            )
+        objs[num] = body
+    return _assemble_classic(objs)

@@ -900,6 +900,174 @@ def kdf_seed_for_salts(salt16: bytes) -> dict[tuple[bytes, bytes, bytes], bytes]
     }
 
 
+def _asciihex_decode(raw: bytes) -> bytes | None:
+    """/ASCIIHexDecode: hex pairs up to the '>' EOD, whitespace ignored,
+    odd trailing digit padded with 0. None on a non-hex byte (wrong bytes
+    must never beat no bytes)."""
+    at = raw.find(b">")
+    if at >= 0:
+        raw = raw[:at]
+    h = re.sub(rb"\s", b"", raw)
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", h):
+        return None
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _ascii85_decode(raw: bytes) -> bytes | None:
+    """/ASCII85Decode: base-85 groups of 5 chars ('!'..'u') → 4 bytes,
+    'z' = four zero bytes at a group boundary, '~>' EOD; a trailing
+    partial group of n chars yields n-1 bytes. None on invalid chars,
+    'z' inside a group, a 1-char final group, or group overflow."""
+    at = raw.find(b"~>")
+    if at >= 0:
+        raw = raw[:at]
+    out = bytearray()
+    group: list[int] = []
+    for b in raw:
+        if b in b" \t\r\n\f\v":
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                return None
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= b <= 0x75):
+            return None
+        group.append(b - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                return None
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None
+        k = len(group)
+        acc = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            acc = acc * 85 + d
+        if acc > 0xFFFFFFFF:
+            return None
+        out += acc.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes | None:
+    """/LZWDecode (TIFF-convention LZW): 9→12-bit codes, clear 256,
+    EOD 257, /EarlyChange (default 1) widens the code one entry early.
+    None on an out-of-range code or width overflow — the pre-1.5-era
+    filter the tokenizer bailed on through round 5."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    size = 258
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                size, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code < size:
+                entry = table[code] if code in table else None
+                if entry is None:
+                    return None
+                table[size] = prev + entry[:1]
+                size += 1
+            elif code == size:
+                entry = prev + prev[:1]
+                table[size] = entry
+                size += 1
+            else:
+                return None
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by one entry, so it
+            # widens at 2^w - early (511/1023/2047 for the default
+            # EarlyChange=1) while the encoder widens at 2^w - early + 1;
+            # at width 12 the encoder must send a clear instead
+            if size + early >= (1 << width) and width < 12:
+                width += 1
+    return None  # EOD never seen → truncated stream
+
+
+_FILTER_VAL_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_PARMS_VAL_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(?=(\[|<<|null))")
+
+
+def _filter_chain(d: bytes) -> list[bytes] | None:
+    """Ordered /Filter names (empty when absent); None = unparseable."""
+    if b"/Filter" not in d:
+        return []
+    m = _FILTER_VAL_RE.search(d)
+    if not m:
+        return None
+    v = m.group(1)
+    names = re.findall(rb"/([A-Za-z0-9]+)", v)
+    return names if names else None
+
+
+def _parms_chain(d: bytes, count: int) -> list[bytes] | None:
+    """Per-filter /DecodeParms dict bytes aligned to the filter chain
+    (b'' = null/absent); None = a shape this rung does not model."""
+    m = _PARMS_VAL_RE.search(d)
+    if not m:
+        return [b""] * count
+    at = m.start(1)
+    if d[at : at + 4] == b"null":
+        return [b""] * count
+    if d[at : at + 2] == b"<<":
+        if count != 1:
+            return None
+        return [_dict_of(d[at:])]
+    # array: top-level null / << >> entries in order
+    out: list[bytes] = []
+    i = at + 1
+    end = d.find(b"]", at)
+    while i < len(d) and (end < 0 or i < end):
+        if d[i : i + 4] == b"null":
+            out.append(b"")
+            i += 4
+        elif d[i : i + 2] == b"<<":
+            depth = 0
+            j = i
+            while j < len(d):
+                if d[j : j + 2] == b"<<":
+                    depth += 1
+                    j += 2
+                elif d[j : j + 2] == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            out.append(d[i:j])
+            end = d.find(b"]", j)
+            i = j
+        elif d[i : i + 1] == b"]":
+            break
+        else:
+            i += 1
+    return out if len(out) == count else None
+
+
 def _stream_data(body: bytes, num: int | None = None,
                  enc_key: tuple[bytes, str] | None = None) -> bytes | None:
     """Decoded stream content of an object body; None when absent or the
@@ -934,30 +1102,54 @@ def _stream_data(body: bytes, num: int | None = None,
             raw = dec
         else:
             raw = _rc4(_object_rc4_key(base_key, num), raw)
-    if b"/Filter" in d:
-        if b"/FlateDecode" not in d:
+    filters = _filter_chain(d)
+    if filters is None:
+        return None
+    parms = _parms_chain(d, len(filters))
+    if parms is None:
+        return None
+    for name, parm in zip(filters, parms):
+        if name == b"ASCIIHexDecode" or name == b"AHx":
+            raw = _asciihex_decode(raw)
+        elif name == b"ASCII85Decode" or name == b"A85":
+            raw = _ascii85_decode(raw)
+        elif name == b"FlateDecode" or name == b"Fl":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+            raw = _apply_predictor(raw, parm)
+        elif name == b"LZWDecode" or name == b"LZW":
+            em = re.search(rb"/EarlyChange\s+(\d+)", parm)
+            raw = _lzw_decode(raw, int(em.group(1)) if em else 1)
+            if raw is not None:
+                raw = _apply_predictor(raw, parm)
+        else:
             return None  # unsupported filter → let the libraries try
-        try:
-            raw = zlib.decompress(raw)
-        except zlib.error:
+        if raw is None:
             return None
-        pm = re.search(rb"/Predictor\s+(\d+)", d)
-        if pm:
-            pred = int(pm.group(1))
-            if pred >= 10:  # PNG predictors (xref/objstm streams use Up=12)
-                cm = re.search(rb"/Columns\s+(\d+)", d)
-                co = re.search(rb"/Colors\s+(\d+)", d)
-                bm = re.search(rb"/BitsPerComponent\s+(\d+)", d)
-                raw = _png_unpredict(
-                    raw,
-                    int(cm.group(1)) if cm else 1,
-                    int(co.group(1)) if co else 1,
-                    int(bm.group(1)) if bm else 8,
-                )
-                if raw is None:
-                    return None
-            elif pred != 1:
-                return None  # TIFF predictor 2 — out of this rung's scope
+    return raw
+
+
+def _apply_predictor(raw: bytes, parm: bytes) -> bytes | None:
+    """Reverse the /Predictor declared in a Flate/LZW parms dict (PNG
+    tags ≥ 10 — xref/objstm streams use Up=12); identity when absent."""
+    pm = re.search(rb"/Predictor\s+(\d+)", parm)
+    if not pm:
+        return raw
+    pred = int(pm.group(1))
+    if pred >= 10:
+        cm = re.search(rb"/Columns\s+(\d+)", parm)
+        co = re.search(rb"/Colors\s+(\d+)", parm)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", parm)
+        return _png_unpredict(
+            raw,
+            int(cm.group(1)) if cm else 1,
+            int(co.group(1)) if co else 1,
+            int(bm.group(1)) if bm else 8,
+        )
+    if pred != 1:
+        return None  # TIFF predictor 2 — out of this rung's scope
     return raw
 
 

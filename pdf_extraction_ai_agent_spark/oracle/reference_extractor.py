@@ -969,6 +969,138 @@ def _oracle_cid_decode(bs: bytes, cmap: dict[int, str]) -> str:
     return "".join(out)
 
 
+def _oracle_defilter(head: bytes, raw: bytes) -> bytes | None:
+    """Decode a stream's /Filter chain with the oracle's OWN decoders
+    (LZW / ASCIIHex / ASCII85 / Flate — structurally independent of the
+    engine's). None = skip this stream (no filter text, or a Flate error,
+    today's behavior); RuntimeError on a MALFORMED payload under a
+    modeled classic filter (wrong text must never beat no text). A
+    filter name outside the modeled set leaves the bytes as-is — image
+    streams (DCTDecode etc.) legitimately carry them and never show
+    text."""
+    import zlib
+
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    if not fm:
+        return raw
+    for name in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)):
+        if name in (b"FlateDecode", b"Fl"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            raw = _oracle_asciihex(raw)
+        elif name in (b"ASCII85Decode", b"A85"):
+            raw = _oracle_ascii85(raw)
+        elif name in (b"LZWDecode", b"LZW"):
+            em = re.search(rb"/EarlyChange\s+(\d+)", head)
+            raw = _oracle_lzw(raw, int(em.group(1)) if em else 1)
+        else:
+            return raw
+    return raw
+
+
+def _oracle_asciihex(raw: bytes) -> bytes:
+    """ASCIIHex, nibble-cursor style: walk chars, build bytes two nibbles
+    at a time, '>' ends, trailing nibble padded with zero."""
+    out = bytearray()
+    hi = -1
+    for c in raw:
+        if c == 0x3E:  # '>'
+            break
+        ch = chr(c)
+        if ch.isspace():
+            continue
+        if ch not in "0123456789abcdefABCDEF":
+            raise RuntimeError("non-hex byte in ASCIIHex stream")
+        v = int(ch, 16)
+        if hi < 0:
+            hi = v
+        else:
+            out.append(hi * 16 + v)
+            hi = -1
+    if hi >= 0:
+        out.append(hi * 16)
+    return bytes(out)
+
+
+def _oracle_ascii85(raw: bytes) -> bytes:
+    """ASCII85 via whitespace-strip + index walk with struct packing —
+    'z' zero-group shorthand, '~>' EOD, partial tail n chars → n-1
+    bytes."""
+    import struct as _struct
+
+    eod = raw.find(b"~>")
+    body = re.sub(rb"\s", b"", raw[: eod if eod >= 0 else len(raw)])
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        if body[i] == 0x7A:  # 'z'
+            out += bytes(4)
+            i += 1
+            continue
+        grp = body[i : i + 5]
+        if b"z" in grp:
+            raise RuntimeError("'z' inside an ASCII85 group")
+        pad = 5 - len(grp)
+        if pad == 4:
+            raise RuntimeError("1-char final ASCII85 group")
+        val = 0
+        for c in grp + b"u" * pad:
+            if not (0x21 <= c <= 0x75):
+                raise RuntimeError("byte outside the ASCII85 alphabet")
+            val = val * 85 + (c - 0x21)
+        if val >> 32:
+            raise RuntimeError("ASCII85 group overflow")
+        quad = _struct.pack(">I", val)
+        out += quad[: 4 - pad] if pad else quad
+        i += 5
+    return bytes(out)
+
+
+def _oracle_lzw(raw: bytes, early: int = 1) -> bytes:
+    """LZW with a LIST-backed table and a big-int bit cursor (the engine
+    keeps a dict table and a rolling accumulator — independent walks).
+    Raises on truncation or out-of-range codes."""
+    bits = int.from_bytes(raw, "big")
+    total = len(raw) * 8
+    at = 0
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev = b""
+    out = bytearray()
+    while at + width <= total:
+        code = (bits >> (total - at - width)) & ((1 << width) - 1)
+        at += width
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            del table[258:]
+            width, prev = 9, b""
+            continue
+        if prev == b"":
+            if code > 255:
+                raise RuntimeError("LZW first code after clear is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if entry == b"":
+                raise RuntimeError("LZW code references a reserved slot")
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise RuntimeError("LZW code beyond the table")
+        out += entry
+        prev = entry
+        if len(table) + early >= (1 << width) and width < 12:
+            width += 1
+    raise RuntimeError("LZW stream truncated before EOD")
+
+
+
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
     """Independent row-at-a-time real-PDF layout parse (the oracle twin of
     operators/pdftext.py — different algorithm on purpose: a sequential
@@ -1039,12 +1171,10 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 )
             else:
                 raw = _oracle_rc4(_oracle_object_key(base_key, cur_onum), raw)
-        if b"/FlateDecode" in head:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                pos += 1
-                continue
+        raw = _oracle_defilter(head, raw)
+        if raw is None:
+            pos += 1
+            continue
         if b"BT" not in raw:
             continue
         # char-level token walk with text-line-origin tracking: numbers are

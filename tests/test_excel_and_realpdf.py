@@ -1236,3 +1236,123 @@ def test_user_password_book_opens_and_bails():
     assert tokenize_pdf_text(bad, passwords=spec.KNOWN_USER_PASSWORDS) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(bad.decode("latin-1"))
+
+
+def test_filtered_pdf_parity_matrix():
+    """Round-6 classic stream filters (reference reads these via
+    pdfplumber/pypdf, src/claim_extractor/extract_text.py:39-66; old
+    loss-run PDFs carry LZW/ASCIIHex/ASCII85 routinely): every q61 filter
+    chain decodes identically on BOTH twins — writer encoders, engine
+    dict-table/rolling-accumulator decoders, oracle list-table/big-int
+    decoders are three independent implementations."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_filtered_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_text
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    chains = (
+        ["LZWDecode"],
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "LZWDecode"],
+        ["LZWDecode", "FlateDecode"],
+        ["ASCII85Decode", "ASCIIHexDecode", "FlateDecode"],
+    )
+    pages_sets = (
+        ["Claim C1\nBody with a repetitive run " + "ab" * 40 + "\nTotal 7.00"],
+        ["zero-ish run\n" + "line two with spaces   kept", "page two text here"],
+    )
+    for chain in chains:
+        for pages in pages_sets:
+            data = write_filtered_pdf(pages, chain)
+            assert tokenize_pdf_text(data) == pages, chain
+            etext, eocr = extract_real_pdf_text(data)
+            otext, oocr = extract_real_pdf(data.decode("latin-1"))
+            assert (etext, eocr) == (otext, oocr), chain
+            assert pages[0].splitlines()[0] in etext
+
+
+def test_filter_codec_roundtrip_properties():
+    """Writer-encode → engine-decode == oracle-decode == original, for
+    each classic codec over adversarial blobs: empty, odd length, all-zero
+    groups (ASCII85 'z'), high repetition (LZW table growth through the
+    9→10→11→12-bit widenings and a mid-stream clear)."""
+    import random
+
+    from pdf_extraction_ai_agent_spark.fixtures import minipdf
+    from pdf_extraction_ai_agent_spark.operators import pdftext
+    from pdf_extraction_ai_agent_spark.oracle import reference_extractor as ref
+
+    rng = random.Random(61)
+    blobs = [
+        b"",
+        b"\x00",
+        b"abc",
+        bytes(16),                      # ASCII85 'z' groups
+        bytes(10) + b"x" + bytes(9),    # zeros straddling group bounds
+        bytes(rng.randrange(256) for _ in range(257)),   # odd length
+        bytes(rng.choice(b"abcd\x00\xff") for _ in range(30000)),  # LZW clear
+        bytes(rng.randrange(256) for _ in range(4096)),
+    ]
+    for blob in blobs:
+        hx = minipdf.asciihex_encode(blob)
+        assert pdftext._asciihex_decode(hx) == blob
+        assert ref._oracle_asciihex(hx) == blob
+        a85 = minipdf.ascii85_encode(blob)
+        assert pdftext._ascii85_decode(a85) == blob
+        assert ref._oracle_ascii85(a85) == blob
+        lzw = minipdf.lzw_encode(blob)
+        assert pdftext._lzw_decode(lzw) == blob
+        assert ref._oracle_lzw(lzw) == blob
+
+
+def test_filtered_pdf_corruption_falls_through():
+    """Wrong bytes must never beat no bytes: malformed classic-filter
+    payloads make the engine decoder return None (rung bails to the
+    library chain) and the oracle raise — never emit garbled text."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures import minipdf
+    from pdf_extraction_ai_agent_spark.operators import pdftext
+    from pdf_extraction_ai_agent_spark.oracle import reference_extractor as ref
+
+    # codec-level malformed payloads
+    bad_hex = b"48656C6Cq6F>"                  # non-hex byte
+    assert pdftext._asciihex_decode(bad_hex) is None
+    with _pytest.raises(RuntimeError):
+        ref._oracle_asciihex(bad_hex)
+    for bad85 in (b"ab z cd~>",                # 'z' inside a group
+                  b"uuuuu~>",                  # group overflow (> 2^32-1)
+                  b"!!!!!a~>"):                # 1-char final group
+        assert pdftext._ascii85_decode(bad85) is None
+        with _pytest.raises(RuntimeError):
+            ref._oracle_ascii85(bad85)
+    good_lzw = minipdf.lzw_encode(b"claim body text 125.00")
+    truncated = good_lzw[:-3]                  # EOD never seen
+    assert pdftext._lzw_decode(truncated) is None
+    with _pytest.raises(RuntimeError):
+        ref._oracle_lzw(truncated)
+    # code beyond the table: after the initial Clear (256) the very next
+    # code may only be a literal — craft 9-bit [256, 300, 257]
+    bits = (256 << 18) | (300 << 9) | 257
+    beyond = bits.to_bytes(4, "big")  # 27 bits → pad to 32
+    beyond = ((bits << 5).to_bytes(4, "big"))
+    assert pdftext._lzw_decode(beyond) is None
+    with _pytest.raises(RuntimeError):
+        ref._oracle_lzw(beyond)
+
+    # full-PDF truncation: zero the tail of the LZW stream (valid literal
+    # codes, but EOD never arrives) — engine rung bails, oracle raises
+    pages = ["Claim body long enough to clear the OCR threshold 125.00"]
+    data = minipdf.write_filtered_pdf(pages, ["LZWDecode"])
+    s_at = data.find(b"stream\n", data.find(b"/LZWDecode")) + len(b"stream\n")
+    e_at = data.find(b"\nendstream", s_at)
+    corrupted = data[:s_at] + data[s_at : e_at - 8] + bytes(8) + data[e_at:]
+    assert pdftext.tokenize_pdf_runs(corrupted) is None
+    with _pytest.raises(RuntimeError):
+        ref.extract_real_pdf(corrupted.decode("latin-1"))
