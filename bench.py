@@ -67,6 +67,11 @@ HEADLINE = [
     "q56_aes_pdf_roundtrip",
     "q57_differences_pdf_roundtrip",
     "q58_aes256_pdf_roundtrip",
+    # round-6 carriers: base-encoding matrix, password book, classic
+    # stream filters (the A/B base arm predates them and reports null)
+    "q59_font_encodings_pdf_roundtrip",
+    "q60_password_pdf_roundtrip",
+    "q61_filtered_pdf_roundtrip",
 ]
 
 
@@ -416,6 +421,12 @@ def _scaling(transcripts_path: str) -> dict:
     }
 
 
+def _arrow_batch_default() -> int:
+    from pdf_extraction_ai_agent_spark.session import ARROW_MAX_RECORDS_PER_BATCH
+
+    return ARROW_MAX_RECORDS_PER_BATCH
+
+
 def _arrow_batch_sweep(transcripts_path: str, cores: int) -> list[dict]:
     """Spill/OOM evidence for the extract stage (round-2 verdict item 10):
     the SAME extraction job at maxRecordsPerBatch ∈ {512, 2048, 8192},
@@ -490,7 +501,8 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
             "/core/sec) — ≥4 orders of magnitude over the reference's "
             "0.2–0.5 pages/sec, with bit-exact text parity enforced by the "
             "golden suite.\n\n"
-            "Spark conf: AQE on, shuffle.partitions = 2×cores, Arrow batch 2048,\n"
+            "Spark conf: AQE on, shuffle.partitions = 2×cores, Arrow batch "
+            f"{_arrow_batch_default()} (sweep-sized),\n"
             "salted repartition (8 salt buckets) before the UDF stage.\n\n"
             "## Headline query timings (sf0.1, local[%d])\n\n"
             "Single warm-session pass (one number per query, shared JVM) — "

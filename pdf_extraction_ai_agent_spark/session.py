@@ -18,9 +18,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch cap: payload strings can be ~10-100 KB each; 2048 rows keeps a
-# batch under ~200 MB worst-case and amortizes Arrow transfer overhead.
-ARROW_MAX_RECORDS_PER_BATCH = 2048
+# Arrow batch cap: bench.py's arrow_batch_sweep (512/2048/8192 on the real
+# transcript corpus, wall + peak JVM/py-worker RSS) shows 8192 ~9% faster
+# end-to-end than 2048 at ~220 MB resident per python worker — per-batch
+# overhead (Arrow IPC framing, pandas block assembly, UDF dispatch)
+# amortizes with batch size. Spark 4.1 has no bytes-based cap, so this IS
+# the memory knob: at ~10 KB median payloads 8192 rows ≈ 80 MB in flight;
+# a corpus of consistently ~100 KB payloads should lower it (the sweep's
+# RSS columns are the sizing evidence).
+ARROW_MAX_RECORDS_PER_BATCH = 8192
 
 
 def get_spark(

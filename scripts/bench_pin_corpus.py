@@ -27,8 +27,9 @@ def main() -> None:
 
     import pandas as pd
 
+    from pdf_extraction_ai_agent_spark import entry_queries_ext8  # noqa: F401
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import (
-        PINNED_PAYLOAD_BUILDERS,
+        PINNED_PAYLOAD_BUILDERS,  # ext8 import above registers its builders
     )
     from pdf_extraction_ai_agent_spark.session import get_spark
 
@@ -46,6 +47,14 @@ def main() -> None:
         docs = (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text")
+            # many output FILES, not one: the sf documents parquet is a
+            # single ~MB file → one split → the pinned corpus would also be
+            # one file, and BOTH A/B arms would then extract 5000 docs on a
+            # single core (q56/q58 measured ~6s serial where the parallel
+            # path is <1s — a serial artifact, not extraction code). With
+            # 4×cpus files the arms' readers parallelize naturally and no
+            # arm needs its own repartition (old trees stay comparable).
+            .repartition(4 * cpus)
         )
         for name in todo:
             builder = PINNED_PAYLOAD_BUILDERS[name]
