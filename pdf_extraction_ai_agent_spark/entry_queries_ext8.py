@@ -212,3 +212,42 @@ def q61_filtered_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT8_QUERIES["q61_filtered_pdf_roundtrip"] = q61_filtered_pdf_roundtrip
 _EXT8_ORACLES["q61_filtered_pdf_roundtrip"] = _Q49_SQL
 PINNED_PAYLOAD_BUILDERS["q61_filtered_pdf_roundtrip"] = _payload_q61
+
+
+# ---------------------------------------------------------------------------
+# q62 — INLINE IMAGES (BI/ID/EI) round trip under the ORACLE GATE: the
+# q49 contract over pages that interleave text with inline-image binary
+# whose bytes are ADVERSARIAL — phantom '(decoy) Tj' shows, 'BT' blocks,
+# 'm … l S' ruling decoys, raw high bytes. The image extents must be
+# invisible to every walk (flat text, positioned runs, rulings): engine
+# blanks them at the _page_contents choke point
+# (pdftext._strip_inline_images), the oracle with its own char-cursor
+# walk (_oracle_strip_inline). Reference parity: the reference's library
+# chain (extract_text.py:39-66) skips inline images inside pdfplumber;
+# scanned-overlay loss runs carry them routinely.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q62(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    decoy = (
+        b"\x89IMG(fake %d) Tj BT 1 2 Td (evil) Tj ET " % (doc_id % 7)
+        + b"0 0 m 99 99 l S \xff\xfe\x00"
+        + bytes((doc_id * 31 + k) % 256 for k in range(16)).replace(b" ", b"x")
+    )
+    items = _positioned_items(doc_id, text)
+    # image placement rotates: before / between / after the text items
+    items.insert(doc_id % (len(items) + 1), ("image", decoy))
+    return write_minimal_pdf([items], compress=bool(doc_id % 2))
+
+
+def q62_inline_image_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q62), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q62_inline_image_pdf_roundtrip"] = q62_inline_image_pdf_roundtrip
+_EXT8_ORACLES["q62_inline_image_pdf_roundtrip"] = _Q49_SQL
+PINNED_PAYLOAD_BUILDERS["q62_inline_image_pdf_roundtrip"] = _payload_q62

@@ -16,6 +16,7 @@ latin-1 before parsing — operators/extract.py real-pdf branch).
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -42,9 +43,15 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
 
       ("text", x, y, s)          → BT /F1 12 Tf x y Td (s) Tj ET
       ("line", x1, y1, x2, y2)   → x1 y1 m x2 y2 l S   (stroked ruling)
+      ("image", data: bytes)     → BI … ID <data> EI   (inline image; raw
+                                   binary — may contain adversarial bytes
+                                   like '(', 'BT' or 'm … l S' decoys, but
+                                   no whitespace+EI+delimiter run, which
+                                   would terminate it early by the classic
+                                   reader heuristic both twins share)
     """
     if not isinstance(page, str):
-        ops = []
+        ops: list[object] = []
         for item in page:
             if item[0] == "text":
                 _, x, y, s = item
@@ -52,9 +59,21 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
             elif item[0] == "line":
                 _, x1, y1, x2, y2 = item
                 ops.append(f"{x1:g} {y1:g} m {x2:g} {y2:g} l S")
+            elif item[0] == "image":
+                data = item[1]
+                assert not re.search(
+                    rb"[\x00\t\n\x0c\r ]EI([\x00\t\n\x0c\r /<>\[\]()]|$)",
+                    data + b"\n",
+                ), "inline-image fixture data would self-terminate"
+                ops.append(
+                    b"q BI /W %d /H 1 /CS /DeviceGray /BPC 8 ID\n" % len(data)
+                    + data + b"\nEI Q"
+                )
             else:
                 raise ValueError(f"unknown content op {item[0]!r}")
-        return "\n".join(ops).encode("latin-1")
+        return b"\n".join(
+            o if isinstance(o, bytes) else o.encode("latin-1") for o in ops
+        )
     if leading:
         ops = ["BT", "/F1 12 Tf", "16 TL", "72 720 Td"]
         for i, line in enumerate(page.split("\n")):

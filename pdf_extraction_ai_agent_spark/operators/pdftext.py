@@ -1411,6 +1411,63 @@ _MOVE_RE = re.compile(
 )
 
 
+_BI_BOUND = b"\x00\t\n\x0c\r >)]"  # byte classes that may precede BI
+_BI_NEXT = b"\x00\t\n\x0c\r /<>[]()"  # delimiter classes that may follow it
+_ID_TOKEN_RE = re.compile(rb"[\x00\t\n\x0c\r >\]]ID[\x00\t\n\x0c\r ]")
+_EI_END_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /<>\[\]()]|$)")
+
+
+def _strip_inline_images(content: bytes) -> bytes | None:
+    """Blank every BI…ID…EI inline-image extent to spaces (length and
+    therefore operand offsets preserved) so the text/ruling walks never
+    scan image binary — a stray 0x28 in pixel data would otherwise open a
+    phantom literal string and emit wrong text. String-aware: 'BI' inside
+    (…) or <…> is shown text, not the operator. Image data runs from the
+    single byte after the ID token to the first whitespace+EI+delimiter
+    run — the classic-reader heuristic (pre-2.0 PDF has no /L length
+    entry), shared with the oracle so the twins truncate pathological
+    embedded-EI payloads identically. Returns None when BI has no
+    ID/EI terminator (truncated image → rung bails, never wrong text)."""
+    if b"BI" not in content:  # C prefilter: almost every stream skips here
+        return content
+    buf = None
+    i = 0
+    n = len(content)
+    while True:
+        p_lit = content.find(b"(", i)
+        p_hex = content.find(b"<", i)
+        p_bi = content.find(b"BI", i)
+        cand = min((p for p in (p_lit, p_hex, p_bi) if p != -1), default=-1)
+        if cand == -1:
+            return content if buf is None else bytes(buf)
+        if cand == p_bi and cand not in (p_lit, p_hex):
+            prev_ok = cand == 0 or content[cand - 1] in _BI_BOUND
+            nxt = content[cand + 2 : cand + 3]
+            nxt_ok = nxt == b"" or nxt in _BI_NEXT
+            if not (prev_ok and nxt_ok):
+                i = cand + 2
+                continue
+            id_m = _ID_TOKEN_RE.search(content, cand + 2)
+            if not id_m:
+                return None
+            ei_m = _EI_END_RE.search(content, id_m.end())
+            if not ei_m:
+                return None
+            if buf is None:
+                buf = bytearray(content)
+            buf[cand : ei_m.end()] = b" " * (ei_m.end() - cand)
+            i = ei_m.end()
+            continue
+        if content[cand] == 0x3C:
+            if content[cand : cand + 2] == b"<<":
+                i = cand + 2
+                continue
+            gt = content.find(b">", cand)
+            i = n if gt < 0 else gt + 1
+            continue
+        i = _string_end(content, cand)
+
+
 def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
     """Shared page walk: a list of (content_bytes, fonts) per page plus the
     file-wide has_type0 flag — `(pages, has_type0)` — or None overall when
@@ -1460,6 +1517,11 @@ def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
             if part is None:
                 return None
             content += part + b"\n"
+        # one choke point for every walk (flat text, positioned runs,
+        # rulings): inline-image extents are blanked before any scan
+        content = _strip_inline_images(content)
+        if content is None:
+            return None
         out.append((content, fonts))
     return out, strict_fonts
 

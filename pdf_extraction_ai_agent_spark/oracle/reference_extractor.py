@@ -1101,6 +1101,80 @@ def _oracle_lzw(raw: bytes, early: int = 1) -> bytes:
 
 
 
+_ORACLE_WS = frozenset(b"\x00\t\n\x0c\r ")
+_ORACLE_DELIM = frozenset(b"\x00\t\n\x0c\r /<>[]()")
+
+
+def _oracle_strip_inline(raw: bytes) -> bytes:
+    """Blank BI…ID…EI inline-image extents to spaces, char-cursor style
+    (the engine's _strip_inline_images jumps between C-level find()s —
+    independent walks, same semantics): a literal/hex string is copied
+    through with escape/nesting tracking, a top-level BI token starts an
+    image whose data ends at the first whitespace+EI+delimiter run.
+    Raises on a BI with no ID/EI terminator (truncated image — wrong
+    text must never beat no text)."""
+    if b"BI" not in raw:
+        return raw
+    out = bytearray(raw)
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x28:  # ( literal — skip with escape/nesting tracking
+            depth, i = 1, i + 1
+            while i < n and depth:
+                if raw[i] == 0x5C:
+                    i += 2
+                    continue
+                if raw[i] == 0x28:
+                    depth += 1
+                elif raw[i] == 0x29:
+                    depth -= 1
+                i += 1
+            continue
+        if c == 0x3C:  # <hex> or << dict
+            if raw[i : i + 2] == b"<<":
+                i += 2
+                continue
+            gt = raw.find(b">", i)
+            i = n if gt < 0 else gt + 1
+            continue
+        if (
+            c == 0x42  # 'B'
+            and raw[i : i + 2] == b"BI"
+            and (i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]")
+            and (i + 2 >= n or raw[i + 2] in _ORACLE_DELIM)
+        ):
+            j = i + 2
+            while j < n:  # the ID token: delimited before, whitespace after
+                if (
+                    raw[j : j + 2] == b"ID"
+                    and raw[j - 1] in _ORACLE_WS | frozenset(b">]")
+                    and j + 2 < n
+                    and raw[j + 2] in _ORACLE_WS
+                ):
+                    break
+                j += 1
+            else:
+                raise RuntimeError("inline image with no ID token")
+            j += 3  # past ID and the single data-start whitespace byte
+            while j < n:
+                if (
+                    raw[j] in _ORACLE_WS
+                    and raw[j + 1 : j + 3] == b"EI"
+                    and (j + 3 >= n or raw[j + 3] in _ORACLE_DELIM)
+                ):
+                    break
+                j += 1
+            else:
+                raise RuntimeError("inline image data with no EI terminator")
+            end = j + 3
+            out[i:end] = b" " * (end - i)
+            i = end
+            continue
+        i += 1
+    return bytes(out)
+
+
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
     """Independent row-at-a-time real-PDF layout parse (the oracle twin of
     operators/pdftext.py — different algorithm on purpose: a sequential
@@ -1177,6 +1251,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             continue
         if b"BT" not in raw:
             continue
+        raw = _oracle_strip_inline(raw)  # raises on a truncated image
         # char-level token walk with text-line-origin tracking: numbers are
         # buffered so Td/TD (relative) and Tm (absolute e, f) can consume
         # their operands; consecutive shows with no position op in between

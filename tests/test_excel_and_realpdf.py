@@ -1356,3 +1356,82 @@ def test_filtered_pdf_corruption_falls_through():
     assert pdftext.tokenize_pdf_runs(corrupted) is None
     with _pytest.raises(RuntimeError):
         ref.extract_real_pdf(corrupted.decode("latin-1"))
+
+
+def test_inline_image_pdf_invisible_to_all_walks():
+    """Inline images (BI…ID…EI): adversarial binary — phantom '(…) Tj'
+    shows, BT blocks, 'm … l S' ruling decoys — must be invisible to the
+    flat walk, the positioned walk AND the rulings walk, on both twins,
+    compressed or not; and a 'BI ID EI' SHOWN INSIDE a literal string is
+    text, not an image."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_rulings,
+        tokenize_pdf_runs,
+        tokenize_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    decoy = (b"\x89IMG(fake) Tj BT 1 2 Td (evil) Tj ET "
+             b"0 0 m 99 99 l S \xff\xfe\x00tail")
+    for compress in (False, True):
+        items = [
+            ("image", decoy),
+            ("text", 72, 720, "Real claim line one goes here"),
+            ("image", b"(second) Tj 7 7 m 8 8 l S decoy"),
+            ("text", 72, 704, "the BI ID EI letters inside text"),
+            ("line", 50, 50, 550, 50),
+            ("image", decoy),
+        ]
+        pdf = write_minimal_pdf([items], compress=compress)
+        assert tokenize_pdf_text(pdf) == [
+            "Real claim line one goes here\nthe BI ID EI letters inside text"
+        ]
+        runs = tokenize_pdf_runs(pdf)
+        assert [r[2] for r in runs[0]] == [
+            "Real claim line one goes here",
+            "the BI ID EI letters inside text",
+        ]
+        assert tokenize_pdf_rulings(pdf) == [[(50.0, 50.0, 550.0, 50.0)]]
+        etext, eocr = extract_real_pdf_text(pdf)
+        otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+        assert (etext, eocr) == (otext, oocr)
+        assert "fake" not in etext and "evil" not in etext
+
+
+def test_inline_image_truncation_falls_through():
+    """A BI with no EI terminator (or no ID) must bail the engine rung
+    (None → library chain) and raise in the oracle — never show the
+    partial page's other text as if complete."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs,
+        tokenize_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    items = [
+        ("text", 72, 720, "Visible claim text long enough to pass OCR gate"),
+        ("image", b"\x89payload(decoy) Tj data"),
+    ]
+    pdf = write_minimal_pdf([items])
+    for cut in (b"\nEI", b" ID\n"):
+        # corrupt the framing token in place (same-length overwrite keeps
+        # /Length valid so only the image framing is broken)
+        at = pdf.rfind(cut)
+        assert at > 0
+        broken = pdf[:at] + cut.replace(b"EI", b"XX").replace(b"ID", b"XX") \
+            + pdf[at + len(cut):]
+        assert tokenize_pdf_text(broken) is None, cut
+        assert tokenize_pdf_runs(broken) is None, cut
+        with _pytest.raises(RuntimeError):
+            extract_real_pdf(broken.decode("latin-1"))
