@@ -704,7 +704,15 @@ def pinned_queries() -> dict:
 
     def make(name):
         def run(spark: SparkSession, path: str) -> DataFrame:
-            df = spark.read.parquet(path).select("doc_id", "pdf")
+            # the materialized corpus is one small parquet file = ONE input
+            # split; without the explicit spread every per-doc AES/parse
+            # kernel serializes onto a single core (measured: q58 pinned ran
+            # 5000 docs in 1 task, ~8s where ~1s is the 8-core number)
+            df = (
+                spark.read.parquet(path)
+                .select("doc_id", "pdf")
+                .repartition(spark.sparkContext.defaultParallelism)
+            )
             base = _pinned_extract_kernel()
             if name == "q58_aes256_pdf_roundtrip":
                 from .operators import pdftext

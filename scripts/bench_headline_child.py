@@ -52,6 +52,9 @@ def _generic_pinned_fn(name: str):
         return (
             spark.read.parquet(path)
             .select("doc_id", "pdf")
+            # one small file = one input split — spread it or the per-doc
+            # kernels run on a single core (same fix as pinned_queries())
+            .repartition(spark.sparkContext.defaultParallelism)
             .mapInPandas(
                 kernel,
                 schema="doc_id long, extracted_text string, needs_ocr boolean",
