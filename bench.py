@@ -72,6 +72,8 @@ HEADLINE = [
     "q59_font_encodings_pdf_roundtrip",
     "q60_password_pdf_roundtrip",
     "q61_filtered_pdf_roundtrip",
+    "q62_inline_image_pdf_roundtrip",
+    "q63_incremental_pdf_roundtrip",
 ]
 
 

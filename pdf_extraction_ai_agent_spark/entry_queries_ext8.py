@@ -251,3 +251,70 @@ def q62_inline_image_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 EXT8_QUERIES["q62_inline_image_pdf_roundtrip"] = q62_inline_image_pdf_roundtrip
 _EXT8_ORACLES["q62_inline_image_pdf_roundtrip"] = _Q49_SQL
 PINNED_PAYLOAD_BUILDERS["q62_inline_image_pdf_roundtrip"] = _payload_q62
+
+
+# ---------------------------------------------------------------------------
+# q63 — INCREMENTAL UPDATE (append-save) round trip under the ORACLE GATE:
+# the q49 contract over files carrying an ISO 32000 §7.5.6 update section —
+# the Acrobat "Save" shape: the original document's bytes stay untouched,
+# new versions of changed objects are APPENDED after %%EOF with their own
+# classic xref + /Prev-chained trailer. Rotated per doc: replace page 1's
+# content stream / append a second page (new page+content objects, the
+# /Pages tree re-emitted with extended /Kids) / both. The superseded v1
+# bytes remain IN the file — extraction must surface exactly the v2 text:
+# the engine via its last-wins object map + page-tree walk (pdftext
+# _objects / _page_objects), the oracle via owner-keyed stream
+# supersession in its map-free file walk (newest body, first-seen
+# position). Reference parity: the reference reads append-saved PDFs
+# through pdfplumber/fitz xref chains (extract_text.py:39-66); insurer
+# loss runs are routinely annotated-and-saved this way.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q63(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_incremental_pdf
+
+    k = doc_id % 3
+    v2_p1 = _positioned_items(doc_id, text)
+    stale = [
+        ("text", 72, 720, f"VOID draft {doc_id}"),
+        ("text", 72, 704, "superseded body text"),
+    ]
+    amended = f"Amended total {doc_id % 89}.50"
+    compress = bool(doc_id % 2)
+    if k == 0:  # replace page 1's content only
+        return write_incremental_pdf([stale], [v2_p1], compress=compress)
+    if k == 1:  # append a page only
+        return write_incremental_pdf([v2_p1], [v2_p1, amended], compress=compress)
+    return write_incremental_pdf([stale], [v2_p1, amended], compress=compress)
+
+
+def q63_incremental_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q63), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q63_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3,
+         'Amended total ' || CAST(doc_id % 89 AS VARCHAR) || '.50' AS l4,
+         doc_id % 3 AS k
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || chr(10) || l3
+       || CASE WHEN k > 0 THEN chr(10) || '--- PAGE 2 ---' || chr(10) || l4
+          ELSE '' END AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))
+        + CASE WHEN k > 0 THEN len(trim(l4)) ELSE 0 END) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT8_QUERIES["q63_incremental_pdf_roundtrip"] = q63_incremental_pdf_roundtrip
+_EXT8_ORACLES["q63_incremental_pdf_roundtrip"] = _Q63_SQL
+PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63

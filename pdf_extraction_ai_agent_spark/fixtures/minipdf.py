@@ -1178,3 +1178,96 @@ def write_filtered_pdf(pages: list, filters: list) -> bytes:
             )
         objs[num] = body
     return _assemble_classic(objs)
+
+
+def _content_object(page, compress: bool, tj_arrays: bool = False) -> bytes:
+    """One content-stream object body (dict + stream…endstream) for
+    ``page`` — the unit an incremental update replaces."""
+    data = _content_stream(page, tj_arrays)
+    filt = b""
+    if compress:
+        data = zlib.compress(data)
+        filt = b"/Filter /FlateDecode "
+    return (
+        b"<< " + filt + b"/Length %d >>" % len(data)
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+
+
+def append_update(base: bytes, objs: dict[int, bytes]) -> bytes:
+    """ONE incremental-update section (ISO 32000 §7.5.6 — the Acrobat
+    append-save shape; reference PDFs arrive in it constantly): the given
+    object bodies are APPENDED after the base file's %%EOF, then a classic
+    xref section covering exactly those objects (contiguous subsections)
+    and a trailer whose /Prev points at the base's xref. An object number
+    already in the base is thereby REPLACED (newest version wins); numbers
+    past the base's /Size extend it. ``base`` must be a classic-xref file
+    (the update carries /Root forward from its last trailer)."""
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)\s+%%EOF", base):
+        pass
+    assert m is not None, "base has no startxref"
+    prev_at = int(m.group(1))
+    t_at = base.rfind(b"trailer")
+    assert t_at >= 0, "append_update needs a classic-trailer base"
+    tail = base[t_at:]
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", tail)
+    sm = re.search(rb"/Size\s+(\d+)", tail)
+    assert rm and sm, "base trailer lacks /Root or /Size"
+
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n"
+    run: list[int] = []
+    for num in sorted(objs) + [None]:  # sentinel flushes the last run
+        if run and (num is None or num != run[-1] + 1):
+            out += b"%d %d\n" % (run[0], len(run))
+            for r in run:
+                out += b"%010d 00000 n \n" % offsets[r]
+            run = []
+        if num is not None:
+            run.append(num)
+    size = max(int(sm.group(1)), max(objs) + 1)
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (size, int(rm.group(1)), prev_at, xref_at)
+    )
+    return bytes(out)
+
+
+def write_incremental_pdf(
+    pages_v1: list, pages_v2: list, compress: bool = False
+) -> bytes:
+    """Append-save fixture: ``pages_v1`` as a classic base file plus ONE
+    incremental update that rewrites every changed page's content stream
+    and appends any extra ``pages_v2`` pages (new page+content objects and
+    a replaced /Pages tree with the extended /Kids). The superseded v1
+    bytes stay in the file — extraction must surface EXACTLY pages_v2."""
+    assert len(pages_v2) >= len(pages_v1)
+    base = write_minimal_pdf(pages_v1, compress=compress)
+    upd: dict[int, bytes] = {}
+    for i, (p1, p2) in enumerate(zip(pages_v1, pages_v2)):
+        if p1 != p2:  # write_minimal_pdf numbering: content of page i
+            upd[5 + 2 * i] = _content_object(p2, compress)
+    n1, n2 = len(pages_v1), len(pages_v2)
+    if n2 > n1:
+        kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n2))
+        upd[2] = (
+            f"<< /Type /Pages /Kids [{kids}] /Count {n2} >>".encode("latin-1")
+        )
+        for i in range(n1, n2):
+            upd[4 + 2 * i] = (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {5 + 2 * i} 0 R >>"
+            ).encode("latin-1")
+            upd[5 + 2 * i] = _content_object(pages_v2[i], compress)
+    assert upd, "pages_v2 must differ from pages_v1"
+    return append_update(base, upd)

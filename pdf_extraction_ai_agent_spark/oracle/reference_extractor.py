@@ -1192,16 +1192,24 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     data = payload.encode("latin-1", errors="ignore")
     enc_key = _oracle_encryption_key(data)  # None = plaintext; raises on
     # any encryption the twins don't model (mirrors the engine rung's bail)
-    # Owning-object tracking for per-object RC4 keys: headers are only
-    # valid OUTSIDE stream…endstream extents — a digit+' 0 obj' byte run
-    # occurring inside an earlier stream's ciphertext must not re-key the
+    # Owning-object tracking: headers are only valid OUTSIDE
+    # stream…endstream extents — a digit+' 0 obj' byte run occurring
+    # inside an earlier stream's ciphertext must not re-key or re-own the
     # next stream (the engine parses real object boundaries). The scan
-    # advances gap-by-gap as the stream loop walks the file.
+    # advances gap-by-gap as the inventory loop walks the file. The owner
+    # serves twice: per-object RC4/AES keys, and INCREMENTAL-UPDATE
+    # supersession — an append-save (ISO 32000 §7.5.6) re-emits a replaced
+    # object at the file tail, and only its NEWEST version may show, at
+    # the FIRST-SEEN position (the engine gets both from its last-wins
+    # object map + page-tree walk; this walk stays map-free on purpose).
     obj_head_re = re.compile(rb"(\d+)\s+0\s+obj\b")
     cur_onum: int | None = None
     gap_from = 0
     font_maps, strict_fonts = _oracle_font_maps(data, enc_key)
     pages: list[list[tuple[float, float, str]]] = []
+    # pass 1 — stream inventory in file order, last version per owner wins
+    inventory: dict[object, list] = {}  # owner -> [first_seen, onum, head, raw]
+    seq = 0
     pos = 0
     while True:
         s = data.find(b"stream", pos)
@@ -1227,27 +1235,35 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 break
             raw = data[body_at:end].rstrip(b"\r\n")
             pos = end
+        for m in obj_head_re.finditer(data, gap_from, s):
+            cur_onum = int(m.group(1))
+        gap_from = pos
+        key: object = cur_onum if cur_onum is not None else ("anon", seq)
+        slot = inventory.get(key)
+        if slot is not None:
+            slot[2:] = [head, raw]  # replaced object: newest body wins
+        else:
+            inventory[key] = [seq, cur_onum, head, raw]
+        seq += 1
+
+    # pass 2 — decrypt/defilter/walk each surviving stream, first-seen order
+    for _first_seen, onum, head, raw in sorted(inventory.values()):
         if enc_key is not None:
-            # per-object RC4: the owning object is the last `N 0 obj`
-            # before this stream that lies outside every stream body
-            # (decryption wraps compression)
-            for m in obj_head_re.finditer(data, gap_from, s):
-                cur_onum = int(m.group(1))
-            gap_from = pos
-            if cur_onum is None:
+            # per-object RC4/AES keys need the owner (decryption wraps
+            # compression); an ownerless stream can't be keyed — skip it
+            if onum is None:
                 continue
             base_key, enc_method = enc_key
             if enc_method == "aesv3":
                 raw = _oracle_aes_decrypt(base_key, raw)  # FILE key (V5)
             elif enc_method == "aes":
                 raw = _oracle_aes_decrypt(
-                    _oracle_object_aes_key(base_key, cur_onum), raw
+                    _oracle_object_aes_key(base_key, onum), raw
                 )
             else:
-                raw = _oracle_rc4(_oracle_object_key(base_key, cur_onum), raw)
+                raw = _oracle_rc4(_oracle_object_key(base_key, onum), raw)
         raw = _oracle_defilter(head, raw)
         if raw is None:
-            pos += 1
             continue
         if b"BT" not in raw:
             continue

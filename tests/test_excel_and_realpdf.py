@@ -1435,3 +1435,110 @@ def test_inline_image_truncation_falls_through():
         assert tokenize_pdf_runs(broken) is None, cut
         with _pytest.raises(RuntimeError):
             extract_real_pdf(broken.decode("latin-1"))
+
+
+def test_incremental_update_supersedes_v1():
+    """Append-save (ISO 32000 §7.5.6): the superseded v1 bytes stay in the
+    file but only v2 may show — on BOTH twins, across the three update
+    shapes (replace content / append page / both), compressed or not."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_incremental_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    stale = [("text", 72, 720, "VOID draft"), ("text", 72, 704, "superseded body")]
+    fresh = [("text", 72, 720, "Replacement claim line body 125.00")]
+    extra = "Amended total 88.50"
+    shapes = [
+        ([stale], [fresh], ["Replacement claim line body 125.00"]),
+        ([fresh], [fresh, extra],
+         ["Replacement claim line body 125.00", extra]),
+        ([stale], [fresh, extra],
+         ["Replacement claim line body 125.00", extra]),
+    ]
+    for compress in (False, True):
+        for v1, v2, want_pages in shapes:
+            pdf = write_incremental_pdf(v1, v2, compress=compress)
+            assert b"%%EOF" in pdf[: pdf.rfind(b"%%EOF")], "no update section"
+            etext, eocr = extract_real_pdf_text(pdf)
+            otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+            assert (etext, eocr) == (otext, oocr)
+            assert "VOID" not in etext and "superseded" not in etext
+            want = "\n".join(
+                f"--- PAGE {i + 1} ---\n{p}" for i, p in enumerate(want_pages)
+            )
+            assert etext == want
+    # the stale bytes really are still in the file (supersession, not
+    # rewrite): prove the test isn't vacuous
+    pdf = write_incremental_pdf([stale], [fresh])
+    assert b"VOID draft" in pdf and b"Replacement claim" in pdf
+
+
+def test_incremental_update_chained_twice():
+    """Two stacked update sections (save, then save again): the NEWEST
+    version wins over both earlier ones, same on both twins."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        _content_object,
+        append_update,
+        write_minimal_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    base = write_minimal_pdf([[("text", 72, 720, "version one body text")]])
+    u1 = append_update(
+        base, {5: _content_object([("text", 72, 720, "version two body text")], False)}
+    )
+    u2 = append_update(
+        u1, {5: _content_object([("text", 72, 720, "version three body text")], True)}
+    )
+    etext, eocr = extract_real_pdf_text(u2)
+    otext, oocr = extract_real_pdf(u2.decode("latin-1"))
+    assert (etext, eocr) == (otext, oocr)
+    assert etext == "--- PAGE 1 ---\nversion three body text"
+    assert b"version one" in u2 and b"version two" in u2  # non-vacuous
+
+
+def test_incremental_update_truncated_tail():
+    """A file cut mid-way through the update's replacement stream: the
+    twins must agree — compressed replacement bails (engine None → library
+    chain; oracle raises), uncompressed shows the same partial page."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_incremental_pdf,
+    )
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    stale = [("text", 72, 720, "VOID old")]
+    fresh = [("text", 72, 720, "Replacement claim line body 125.00")]
+    for compress in (False, True):
+        pdf = write_incremental_pdf([stale], [fresh], compress=compress)
+        s_at = pdf.find(b"stream", pdf.rfind(b"5 0 obj"))
+        cut = pdf[: s_at + 20]
+        if compress:
+            assert tokenize_pdf_runs(cut) is None
+            with _pytest.raises(RuntimeError):
+                extract_real_pdf(cut.decode("latin-1"))
+        else:
+            etext, eocr = extract_real_pdf_text(cut)
+            otext, oocr = extract_real_pdf(cut.decode("latin-1"))
+            assert (etext, eocr) == (otext, oocr)
+            assert "VOID" not in etext  # the truncated v2 still supersedes
