@@ -74,6 +74,7 @@ HEADLINE = [
     "q61_filtered_pdf_roundtrip",
     "q62_inline_image_pdf_roundtrip",
     "q63_incremental_pdf_roundtrip",
+    "q64_form_xobject_pdf_roundtrip",
 ]
 
 

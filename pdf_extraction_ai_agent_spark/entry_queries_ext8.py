@@ -318,3 +318,71 @@ FROM parts
 EXT8_QUERIES["q63_incremental_pdf_roundtrip"] = q63_incremental_pdf_roundtrip
 _EXT8_ORACLES["q63_incremental_pdf_roundtrip"] = _Q63_SQL
 PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63
+
+
+# ---------------------------------------------------------------------------
+# q64 — FORM XOBJECTS (/Do) round trip under the ORACLE GATE: pages whose
+# text partly lives in shared /Subtype /Form XObject streams — the
+# letterhead/stamp shape real generators emit constantly. Rotated per
+# doc: plain header form / nested form (header invokes a resource-less
+# sub-form, ISO 32000 §8.10.1 inherit rule) / nested + a /Subtype /Image
+# Do (pixels must be dropped, not shown) + explicit identity /Matrix.
+# The engine splices form streams at the Do site through its chunked
+# regex walk (pdftext._expand_forms: identity-matrix forms only, no cm,
+# no Do inside BT — anything else bails to the library chain); the
+# oracle twin does the same with its own char-cursor scan
+# (_oracle_splice_forms) over GLOBALLY-resolved XObject names.
+# Reference parity: the reference renders forms via pdfplumber/fitz
+# (extract_text.py:27-66), which flatten Do transparently.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q64(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_form_pdf
+
+    k = doc_id % 3
+    header = [("text", 72, 760, f"ACME FORM {doc_id % 11}")]
+    sub = [("text", 72, 744, "STAMP approved")] if k > 0 else None
+    return write_form_pdf(
+        [_positioned_items(doc_id, text)],
+        header,
+        sub=sub,
+        with_image=k == 2,
+        explicit_matrix=k == 2,
+        compress=bool(doc_id % 2),
+    )
+
+
+def q64_form_xobject_pdf_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q64), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q64_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'ACME FORM ' || CAST(doc_id % 11 AS VARCHAR) AS h1,
+         'STAMP approved' AS h2,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3,
+         doc_id % 3 AS k
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || h1
+       || CASE WHEN k > 0 THEN chr(10) || h2 ELSE chr(10) END
+       || chr(10) || l1 || chr(10) || l2 || chr(10) || chr(10) || l3
+         AS extracted_text,
+       (len(trim(h1)) + CASE WHEN k > 0 THEN len(trim(h2)) ELSE 0 END
+        + len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT8_QUERIES["q64_form_xobject_pdf_roundtrip"] = q64_form_xobject_pdf_roundtrip
+_EXT8_ORACLES["q64_form_xobject_pdf_roundtrip"] = _Q64_SQL
+PINNED_PAYLOAD_BUILDERS["q64_form_xobject_pdf_roundtrip"] = _payload_q64

@@ -1271,3 +1271,84 @@ def write_incremental_pdf(
             upd[5 + 2 * i] = _content_object(pages_v2[i], compress)
     assert upd, "pages_v2 must differ from pages_v1"
     return append_update(base, upd)
+
+
+def write_form_pdf(
+    pages: list,
+    header: list | str,
+    sub: list | str | None = None,
+    with_image: bool = False,
+    compress: bool = False,
+    explicit_matrix: bool = False,
+) -> bytes:
+    """Pages whose content invokes a shared /Subtype /Form XObject header
+    (`/FmHead Do`) before their own text — the letterhead/stamp shape
+    real generators emit constantly. ``sub`` adds a NESTED form: the
+    header invokes `/FmSub Do`, and the sub-form carries no /Resources of
+    its own (the ISO 32000 §8.10.1 legacy inherit rule). ``with_image``
+    also invokes a /Subtype /Image XObject from each page (pixels — must
+    be dropped, not shown). ``explicit_matrix`` writes the identity
+    /Matrix out explicitly. pages/header/sub are _content_stream inputs
+    (item lists or '\\n'-joined strings)."""
+
+    def _wrap(data: bytes, extra: bytes = b"") -> bytes:
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        return (
+            b"<< " + extra + filt + b"/Length %d >>" % len(data)
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    fm_head = 4 + 2 * n
+    fm_sub = fm_head + 1 if sub is not None else None
+    im = fm_head + (2 if sub is not None else 1) if with_image else None
+    xo_page = f"/FmHead {fm_head} 0 R"
+    if im is not None:
+        xo_page += f" /Im0 {im} 0 R"
+    for i, page in enumerate(pages):
+        page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> "
+            f"/XObject << {xo_page} >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        content = b"/FmHead Do\n" + _content_stream(page, False)
+        if im is not None:
+            content += b"\n/Im0 Do"
+        objs[cont_num] = _wrap(content)
+    matrix = b"/Matrix [1 0 0 1 0 0] " if explicit_matrix else b""
+    head_res = b"/Font << /F1 3 0 R >>"
+    head_content = _content_stream(header, False)
+    if fm_sub is not None:
+        head_res += b" /XObject << /FmSub %d 0 R >>" % fm_sub
+        head_content += b"\n/FmSub Do"
+    objs[fm_head] = _wrap(
+        head_content,
+        b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] " + matrix
+        + b"/Resources << " + head_res + b" >> ",
+    )
+    if fm_sub is not None:
+        # deliberately NO /Resources — the sub-form inherits the invoking
+        # context's XObject/font namespace (legacy rule; engine threads
+        # inherited_xo, the oracle's resource names are global anyway)
+        objs[fm_sub] = _wrap(
+            _content_stream(sub, False),
+            b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] " + matrix,
+        )
+    if im is not None:
+        pixels = bytes((7 * k + 13) % 256 for k in range(16))
+        objs[im] = (
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Length %d >>\nstream\n" % len(pixels) + pixels + b"\nendstream"
+        )
+    return _assemble_classic(objs)

@@ -1468,6 +1468,116 @@ def _strip_inline_images(content: bytes) -> bytes | None:
         i = _string_end(content, cand)
 
 
+class _UnsupportedForm(Exception):
+    """An XObject /Do configuration outside the modeled subset — the rung
+    bails to the library chain rather than risk wrong/missing text."""
+
+
+_DO_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+Do(?![A-Za-z0-9])")
+_CM_RE = re.compile(rb"(?<![A-Za-z0-9.+\-])cm(?![A-Za-z0-9])")
+_BT_ET_DO_RE = re.compile(rb"(?<![A-Za-z0-9])(BT|ET|Do)(?![A-Za-z0-9])")
+
+
+def _expand_forms(
+    objs: dict[int, bytes],
+    holder_d: bytes,
+    content: bytes,
+    enc_key,
+    form_dicts: list[bytes],
+    inherited_xo: dict[bytes, int] | None = None,
+    depth: int = 0,
+) -> bytes:
+    """Splice every `/Name Do` form-XObject invocation's stream bytes into
+    ``content`` at the call site (recursively — forms invoke forms), so
+    the downstream walks see one flat token sequence per page. Modeled
+    subset (anything else raises _UnsupportedForm → rung bail):
+
+    - /Subtype /Form with an absent or IDENTITY /Matrix — form space ==
+      page space, so spliced Td/Tm coordinates are already correct;
+    - no top-level `cm` in any content that carries a Do (a CTM change
+      would reposition the spliced text — positions would be wrong);
+    - Do at nesting depth ≤ 8, outside BT…ET blocks, with the name
+      resolvable through the holder's /Resources /XObject map (a form
+      without its own /Resources inherits the invoking context's map —
+      the ISO 32000 §8.10.1 legacy rule);
+    - /Subtype /Image Do is dropped (pixels carry no text).
+
+    Text STATE (Tf/TL) set inside a form is NOT restored at its end —
+    both twins share this simplification; real generators re-issue Tf
+    inside every BT block. ``form_dicts`` collects each spliced form's
+    dict so the caller can merge its /Font resources."""
+    if depth > 8:
+        raise _UnsupportedForm("form nesting too deep")
+    stripped = _strip_inline_images(content)
+    if stripped is None:
+        raise _UnsupportedForm("truncated inline image inside form content")
+    content = stripped
+    chunks = _content_chunks(content)
+    if not any(_DO_RE.search(c) for is_str, c in chunks if not is_str):
+        return content
+    bt_depth = 0
+    for is_str, c in chunks:
+        if is_str:
+            continue
+        if _CM_RE.search(c):
+            raise _UnsupportedForm("cm transform alongside a Do splice")
+        for m in _BT_ET_DO_RE.finditer(c):
+            t = m.group(1)
+            if t == b"BT":
+                bt_depth += 1
+            elif t == b"ET":
+                bt_depth = max(0, bt_depth - 1)
+            elif bt_depth:
+                raise _UnsupportedForm("Do inside a BT…ET block")
+    res_d = _nested_dict_of(holder_d, b"/Resources", objs)
+    xo_d = _nested_dict_of(res_d, b"/XObject", objs) if res_d else b""
+    if xo_d:
+        xo = {m.group(1): int(m.group(2)) for m in _FONT_PAIR_RE.finditer(xo_d)}
+    elif not res_d and inherited_xo is not None:
+        xo = inherited_xo
+    else:
+        xo = {}
+    out = bytearray()
+    for is_str, c in chunks:
+        if is_str or b"Do" not in c:
+            out += c
+            continue
+        last = 0
+        for m in _DO_RE.finditer(c):
+            out += c[last : m.start()]
+            last = m.end()
+            num = xo.get(m.group(1))
+            body = objs.get(num) if num is not None else None
+            if body is None:
+                raise _UnsupportedForm("unresolvable XObject name in Do")
+            bd = _dict_of(body)
+            if re.search(rb"/Subtype\s*/Image(?![A-Za-z0-9])", bd):
+                continue  # image XObject: no text, drop the op
+            if not re.search(rb"/Subtype\s*/Form(?![A-Za-z0-9])", bd):
+                raise _UnsupportedForm("Do of unmodeled XObject subtype")
+            mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", bd)
+            if mm:
+                try:
+                    vals = [
+                        float(v) for v in
+                        mm.group(1).decode("latin-1").split()
+                    ]
+                except ValueError:
+                    raise _UnsupportedForm("unparsable form /Matrix")
+                if vals != [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]:
+                    raise _UnsupportedForm("non-identity form /Matrix")
+            fraw = _stream_data(body, num=num, enc_key=enc_key)
+            if fraw is None:
+                raise _UnsupportedForm("undecodable form stream")
+            form_dicts.append(bd)
+            out += b"\n" + _expand_forms(
+                objs, bd, fraw, enc_key, form_dicts,
+                inherited_xo=xo, depth=depth + 1,
+            ) + b"\n"
+        out += c[last:]
+    return bytes(out)
+
+
 def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
     """Shared page walk: a list of (content_bytes, fonts) per page plus the
     file-wide has_type0 flag — `(pages, has_type0)` — or None overall when
@@ -1522,6 +1632,26 @@ def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
         content = _strip_inline_images(content)
         if content is None:
             return None
+        if b"Do" in content:  # C prefilter — almost every page skips here
+            form_dicts: list[bytes] = []
+            try:
+                content = _expand_forms(
+                    objs, page_d, content, enc_key, form_dicts
+                )
+            except _UnsupportedForm:
+                return None
+            # a spliced form's own /Font resources join the page map; a
+            # name bound to a DIFFERENT handle than the page's would make
+            # the flat splice ambiguous — bail
+            if strict_fonts:
+                for fd in form_dicts:
+                    try:
+                        ffonts = _page_fonts(objs, fd, enc_key)
+                    except _UnsupportedFont:
+                        return None
+                    for fname, handle in ffonts.items():
+                        if fonts.setdefault(fname, handle) != handle:
+                            return None
         out.append((content, fonts))
     return out, strict_fonts
 

@@ -1175,6 +1175,137 @@ def _oracle_strip_inline(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _oracle_xobject_names(data: bytes) -> dict[bytes, int]:
+    """Resource-name → object number for every `/XObject <<…>>` dict in
+    the file — GLOBAL, like _oracle_font_maps (the oracle has no page
+    model); a name bound to two different objects raises (out of twin
+    scope — the engine resolves /XObject per page/form)."""
+    names: dict[bytes, int] = {}
+    for xm in re.finditer(rb"/XObject\s*<<", data):
+        end = data.find(b">>", xm.end())
+        if end < 0:
+            continue
+        for pm in re.finditer(
+            rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+0\s+R", data[xm.end(): end]
+        ):
+            name, num = pm.group(1), int(pm.group(2))
+            if names.setdefault(name, num) != num:
+                raise RuntimeError(
+                    "ambiguous XObject resource name — out of twin scope"
+                )
+    return names
+
+
+def _oracle_matrix_identity(head: bytes) -> bool:
+    """True when the stream dict has no /Matrix or an identity one (the
+    only form space the flat splice models)."""
+    mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", head)
+    if not mm:
+        return True
+    try:
+        vals = [float(v) for v in mm.group(1).decode("latin-1").split()]
+    except ValueError:
+        return False
+    return vals == [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+
+
+_ORACLE_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
+_ORACLE_OP2_RE = re.compile(rb"(?:BT|ET|cm|Do)(?![A-Za-z0-9])")
+
+
+def _oracle_splice_forms(
+    raw: bytes,
+    names: dict[bytes, int],
+    forms: dict[int, bytes],
+    images: set[int],
+    form_heads: dict[int, bytes],
+    depth: int = 0,
+) -> bytes:
+    """Splice `/Name Do` form invocations into ``raw`` at the call site —
+    the oracle's own char-cursor scan (the engine expands via its chunked
+    regex walk; independent algorithms, same modeled subset). Raises on:
+    nesting > 8, a top-level `cm` in Do-carrying content, Do inside a
+    BT…ET block, an unresolvable name, a non-form/-image target, or a
+    non-identity form /Matrix. Image Do ops are dropped (no text)."""
+    if depth > 8:
+        raise RuntimeError("form nesting too deep — out of twin scope")
+    if b"Do" not in raw:
+        return raw
+    splices: list[tuple[int, int, bytes]] = []  # (start, end, name)
+    has_cm = False
+    i, n = 0, len(raw)
+    bt = 0
+    while i < n:
+        c = raw[i]
+        if c == 0x28:  # ( literal — skip with escape/nesting tracking
+            depth_s, i = 1, i + 1
+            while i < n and depth_s:
+                if raw[i] == 0x5C:
+                    i += 2
+                    continue
+                if raw[i] == 0x28:
+                    depth_s += 1
+                elif raw[i] == 0x29:
+                    depth_s -= 1
+                i += 1
+            continue
+        if c == 0x3C:  # <hex> or << dict
+            if raw[i : i + 2] == b"<<":
+                i += 2
+                continue
+            gt = raw.find(b">", i)
+            i = n if gt < 0 else gt + 1
+            continue
+        if c == 0x2F:  # /Name — a Do immediately after it is a splice site
+            nm = _ORACLE_NAME_RE.match(raw, i)
+            dm = re.match(rb"\s+Do(?![A-Za-z0-9])", raw[nm.end():])
+            if dm:
+                if bt:
+                    raise RuntimeError(
+                        "Do inside a BT block — out of twin scope"
+                    )
+                splices.append((i, nm.end() + dm.end(), nm.group(1)))
+                i = nm.end() + dm.end()
+            else:
+                i = nm.end()
+            continue
+        if (i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]"):
+            m2 = _ORACLE_OP2_RE.match(raw, i)
+            if m2:
+                op = raw[i : i + 2]
+                if op == b"BT":
+                    bt += 1
+                elif op == b"ET":
+                    bt = max(0, bt - 1)
+                elif op == b"cm":
+                    has_cm = True
+                # a bare Do with no adjacent /Name is ignored (both twins)
+                i = m2.end()
+                continue
+        i += 1
+    if not splices:
+        return raw
+    if has_cm:
+        raise RuntimeError("cm transform alongside Do — out of twin scope")
+    out = bytearray()
+    last = 0
+    for start, end, name in splices:
+        out += raw[last:start]
+        last = end
+        num = names.get(name)
+        if num in images:
+            continue  # image XObject: pixels carry no text
+        if num is None or num not in forms:
+            raise RuntimeError("unresolvable Do target — out of twin scope")
+        if not _oracle_matrix_identity(form_heads[num]):
+            raise RuntimeError("non-identity form /Matrix — out of twin scope")
+        out += b"\n" + _oracle_splice_forms(
+            forms[num], names, forms, images, form_heads, depth + 1
+        ) + b"\n"
+    out += raw[last:]
+    return bytes(out)
+
+
 def extract_real_pdf(payload: str) -> tuple[str, bool]:
     """Independent row-at-a-time real-PDF layout parse (the oracle twin of
     operators/pdftext.py — different algorithm on purpose: a sequential
@@ -1204,6 +1335,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     # object map + page-tree walk; this walk stays map-free on purpose).
     obj_head_re = re.compile(rb"(\d+)\s+0\s+obj\b")
     cur_onum: int | None = None
+    cur_head_at = 0  # end offset of the last owner header seen
     gap_from = 0
     font_maps, strict_fonts = _oracle_font_maps(data, enc_key)
     pages: list[list[tuple[float, float, str]]] = []
@@ -1218,8 +1350,18 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         if data[max(0, s - 3):s] == b"end":  # the 'stream' inside 'endstream'
             pos = s + 6
             continue
-        dict_start = data.rfind(b"<<", pos, s)
-        head = data[dict_start:s] if dict_start >= 0 else b""
+        # owner scan FIRST so the head can start at the owner header —
+        # rfind('<<') alone stops at a NESTED dict opener (e.g. the
+        # /Resources << /Font … >> inside a form XObject's stream dict)
+        # and would hide /Subtype /Form from the head
+        for m in obj_head_re.finditer(data, gap_from, s):
+            cur_onum = int(m.group(1))
+            cur_head_at = m.end()
+        if cur_head_at > pos:
+            head = data[cur_head_at:s]
+        else:
+            dict_start = data.rfind(b"<<", pos, s)
+            head = data[dict_start:s] if dict_start >= 0 else b""
         body_at = s + 6
         if data[body_at : body_at + 2] == b"\r\n":
             body_at += 2
@@ -1235,8 +1377,6 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 break
             raw = data[body_at:end].rstrip(b"\r\n")
             pos = end
-        for m in obj_head_re.finditer(data, gap_from, s):
-            cur_onum = int(m.group(1))
         gap_from = pos
         key: object = cur_onum if cur_onum is not None else ("anon", seq)
         slot = inventory.get(key)
@@ -1246,28 +1386,63 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             inventory[key] = [seq, cur_onum, head, raw]
         seq += 1
 
-    # pass 2 — decrypt/defilter/walk each surviving stream, first-seen order
-    for _first_seen, onum, head, raw in sorted(inventory.values()):
-        if enc_key is not None:
-            # per-object RC4/AES keys need the owner (decryption wraps
-            # compression); an ownerless stream can't be keyed — skip it
-            if onum is None:
+    def _decrypt(onum: int | None, raw: bytes) -> bytes | None:
+        if enc_key is None:
+            return raw
+        # per-object RC4/AES keys need the owner (decryption wraps
+        # compression); an ownerless stream can't be keyed — skip it
+        if onum is None:
+            return None
+        base_key, enc_method = enc_key
+        if enc_method == "aesv3":
+            return _oracle_aes_decrypt(base_key, raw)  # FILE key (V5)
+        if enc_method == "aes":
+            return _oracle_aes_decrypt(
+                _oracle_object_aes_key(base_key, onum), raw
+            )
+        return _oracle_rc4(_oracle_object_key(base_key, onum), raw)
+
+    # pass 2a — XObject streams leave the page walk: a /Subtype /Form
+    # stream is decoded (+ inline-blanked) into the splice map — a Do may
+    # invoke a form defined LATER in the file — and a /Subtype /Image
+    # stream's pixels are droppable at its Do site
+    xobj_names = _oracle_xobject_names(data)
+    forms: dict[int, bytes] = {}
+    images: set[int] = set()
+    form_heads: dict[int, bytes] = {}
+    page_streams: list[tuple[int, int | None, bytes, bytes]] = []
+    for first_seen, onum, head, raw in sorted(inventory.values()):
+        sm = re.search(rb"/Subtype\s*/(Form|Image)(?![A-Za-z0-9])", head)
+        if sm and onum is not None:
+            if sm.group(1) == b"Image":
+                images.add(onum)
                 continue
-            base_key, enc_method = enc_key
-            if enc_method == "aesv3":
-                raw = _oracle_aes_decrypt(base_key, raw)  # FILE key (V5)
-            elif enc_method == "aes":
-                raw = _oracle_aes_decrypt(
-                    _oracle_object_aes_key(base_key, onum), raw
+            fraw = _decrypt(onum, raw)
+            fraw = _oracle_defilter(head, fraw) if fraw is not None else None
+            if fraw is None:
+                raise RuntimeError(
+                    "undecodable form XObject — out of twin scope"
                 )
-            else:
-                raw = _oracle_rc4(_oracle_object_key(base_key, onum), raw)
+            forms[onum] = _oracle_strip_inline(fraw)
+            form_heads[onum] = head
+            continue
+        page_streams.append((first_seen, onum, head, raw))
+
+    # pass 2b — decrypt/defilter/splice/walk each page stream, first-seen
+    # order
+    for _first_seen, onum, head, raw in page_streams:
+        raw = _decrypt(onum, raw)
+        if raw is None:
+            continue
         raw = _oracle_defilter(head, raw)
         if raw is None:
             continue
-        if b"BT" not in raw:
+        if b"BT" not in raw and b"Do" not in raw:
             continue
         raw = _oracle_strip_inline(raw)  # raises on a truncated image
+        raw = _oracle_splice_forms(raw, xobj_names, forms, images, form_heads)
+        if b"BT" not in raw:  # e.g. only image Do ops — no text stream
+            continue
         # char-level token walk with text-line-origin tracking: numbers are
         # buffered so Td/TD (relative) and Tm (absolute e, f) can consume
         # their operands; consecutive shows with no position op in between

@@ -1542,3 +1542,80 @@ def test_incremental_update_truncated_tail():
             otext, oocr = extract_real_pdf(cut.decode("latin-1"))
             assert (etext, eocr) == (otext, oocr)
             assert "VOID" not in etext  # the truncated v2 still supersedes
+
+
+def test_form_xobject_twins_and_scope():
+    """Form XObjects (/Name Do): header/nested/image shapes agree on both
+    twins, compressed or not; out-of-scope shapes (non-identity /Matrix,
+    top-level cm alongside Do, Do inside BT, unresolvable name) bail the
+    engine (None → library chain) and raise in the oracle."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    header = [("text", 72, 760, "ACME FORM 7")]
+    sub = [("text", 72, 744, "STAMP approved")]
+    page = [
+        ("text", 72, 720, "Claim C1"),
+        ("text", 72, 704, "Body sample body"),
+        ("text", 72, 664, "Total 1.00"),
+    ]
+    for compress in (False, True):
+        for kw, want_head in (
+            (dict(), "ACME FORM 7\n"),
+            (dict(sub=sub), "ACME FORM 7\nSTAMP approved"),
+            (
+                dict(sub=sub, with_image=True, explicit_matrix=True),
+                "ACME FORM 7\nSTAMP approved",
+            ),
+        ):
+            pdf = write_form_pdf([page], header, compress=compress, **kw)
+            etext, eocr = extract_real_pdf_text(pdf)
+            otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+            assert (etext, eocr) == (otext, oocr)
+            assert etext == (
+                "--- PAGE 1 ---\n" + want_head
+                + "\nClaim C1\nBody sample body\n\nTotal 1.00"
+            )
+
+    # out-of-scope shapes: every mutation keeps /Length valid (same-length
+    # overwrite), so only the form framing is broken
+    pdf_m = write_form_pdf([page], header, explicit_matrix=True)
+    broken_matrix = pdf_m.replace(
+        b"/Matrix [1 0 0 1 0 0]", b"/Matrix [2 0 0 2 0 0]"
+    )
+    pdf = write_form_pdf(
+        [page + [("line", 50, 50, 60, 60)]], header
+    )
+    assert b"50 50 m 60 60 l S" in pdf
+    broken_cm = pdf.replace(b"50 50 m 60 60 l S", b"1 0 0 1 5 4 cm   ")
+    pdf = write_form_pdf([page], header)
+    broken_name = pdf.replace(b"/FmHead Do\n", b"/Nopead Do\n")
+    old = b"BT /F1 12 Tf 72 720 Td (Claim C1) Tj ET"
+    assert old in pdf
+    new = b"BT /F1 12 Tf /FmHead Do 72 720 (C1)  ET"
+    assert len(new) == len(old)
+    broken_bt = pdf.replace(old, new)
+    for broken in (broken_matrix, broken_cm, broken_name, broken_bt):
+        assert tokenize_pdf_runs(broken) is None
+        with _pytest.raises(RuntimeError):
+            extract_real_pdf(broken.decode("latin-1"))
+
+    # deep nesting is bounded: a form invoking ITSELF must bail, not spin
+    pdf = write_form_pdf([page], header, sub=sub)
+    cyc = pdf.replace(b"/FmSub 7 0 R", b"/FmSub 6 0 R").replace(
+        b"/FmSub Do", b"/FmSub Do"
+    )
+    # (object 6 is FmHead for a 1-page file: 4/5 page+content, 6 head, 7 sub)
+    assert tokenize_pdf_runs(cyc) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(cyc.decode("latin-1"))
