@@ -636,6 +636,13 @@ def _xt(b: int) -> int:
     return ((b << 1) ^ 0x1B) & 0xFF if b & 0x80 else b << 1
 
 
+# GF(2^8) ×2 / ×3 lookup tables: MixColumns via indexing instead of the
+# per-byte _xt calls (the writer encrypts every stream of every fixture —
+# profiled at ~half the q58 kernel before table-izing)
+_MUL2 = bytes(_xt(b) for b in range(256))
+_MUL3 = bytes(_xt(b) ^ b for b in range(256))
+
+
 def _aes_round_keys(key: bytes) -> list[bytes]:
     nk = len(key) // 4
     nr = nk + 6
@@ -662,12 +669,12 @@ def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
         if rnd < nr:
             t = []
             for c in range(4):
-                a = s[4 * c : 4 * c + 4]
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
                 t += [
-                    _xt(a[0]) ^ _xt(a[1]) ^ a[1] ^ a[2] ^ a[3],
-                    a[0] ^ _xt(a[1]) ^ _xt(a[2]) ^ a[2] ^ a[3],
-                    a[0] ^ a[1] ^ _xt(a[2]) ^ _xt(a[3]) ^ a[3],
-                    _xt(a[0]) ^ a[0] ^ a[1] ^ a[2] ^ _xt(a[3]),
+                    _MUL2[a0] ^ _MUL3[a1] ^ a2 ^ a3,
+                    a0 ^ _MUL2[a1] ^ _MUL3[a2] ^ a3,
+                    a0 ^ a1 ^ _MUL2[a2] ^ _MUL3[a3],
+                    _MUL3[a0] ^ a1 ^ a2 ^ _MUL2[a3],
                 ]
             s = t
         s = [b ^ k for b, k in zip(s, rks[rnd])]

@@ -547,9 +547,11 @@ _AES_INV_SBOX = bytes(_AES_INV_SBOX)
 _AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
 
 
-def _aes_expand_key(key: bytes) -> list[list[int]]:
+def _aes_expand_key(key: bytes) -> list[bytes]:
     """Key schedule for AES-128 (Nk=4, 44 words) or AES-256 (Nk=8, 60
-    words — the extra SubWord at i % 8 == 4 per FIPS-197)."""
+    words — the extra SubWord at i % 8 == 4 per FIPS-197), returned as
+    FLAT 16-byte round keys so AddRoundKey is a plain zip (the per-byte
+    `w[i // 4][i % 4]` indexing showed up in the q56/q58 profiles)."""
     nk = len(key) // 4
     nr = nk + 6
     w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
@@ -562,7 +564,10 @@ def _aes_expand_key(key: bytes) -> list[list[int]]:
         elif nk > 6 and i % nk == 4:
             t = [_AES_SBOX[b] for b in t]
         w.append([a ^ b for a, b in zip(w[i - nk], t)])
-    return w
+    return [
+        bytes(w[4 * r] + w[4 * r + 1] + w[4 * r + 2] + w[4 * r + 3])
+        for r in range(nr + 1)
+    ]
 
 
 def _gmul_tab(c: int) -> bytes:
@@ -583,12 +588,12 @@ _M9, _M11, _M13, _M14 = _gmul_tab(9), _gmul_tab(11), _gmul_tab(13), _gmul_tab(14
 _INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
 
 
-def _aes_decrypt_block(w: list[list[int]], block: bytes) -> bytes:
-    nr = len(w) // 4 - 1
-    s = [b ^ w[4 * nr + i // 4][i % 4] for i, b in enumerate(block)]
+def _aes_decrypt_block(w: list[bytes], block: bytes) -> bytes:
+    nr = len(w) - 1
+    s = [b ^ k for b, k in zip(block, w[nr])]
     for rnd in range(nr - 1, 0, -1):
         s = [_AES_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
-        s = [b ^ w[4 * rnd + i // 4][i % 4] for i, b in enumerate(s)]
+        s = [b ^ k for b, k in zip(s, w[rnd])]
         t = [0] * 16
         for c in range(4):
             a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
@@ -598,19 +603,18 @@ def _aes_decrypt_block(w: list[list[int]], block: bytes) -> bytes:
             t[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
         s = t
     s = [_AES_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
-    s = [b ^ w[i // 4][i % 4] for i, b in enumerate(s)]
-    return bytes(s)
+    return bytes(b ^ k for b, k in zip(s, w[0]))
 
 
 _AES_SHIFT = [(r + 4 * ((c + r) % 4)) for c in range(4) for r in range(4)]
 _M2, _M3 = _gmul_tab(2), _gmul_tab(3)
 
 
-def _aes_encrypt_block(w: list[list[int]], block: bytes) -> bytes:
+def _aes_encrypt_block(w: list[bytes], block: bytes) -> bytes:
     """Forward cipher — needed by the R6 Algorithm 2.B password hash
     (which AES-ENCRYPTS its rolling state), not for writing files."""
-    nr = len(w) // 4 - 1
-    s = [b ^ w[i // 4][i % 4] for i, b in enumerate(block)]
+    nr = len(w) - 1
+    s = [b ^ k for b, k in zip(block, w[0])]
     for rnd in range(1, nr + 1):
         s = [_AES_SBOX[b] for b in s]
         s = [s[_AES_SHIFT[i]] for i in range(16)]
@@ -623,7 +627,7 @@ def _aes_encrypt_block(w: list[list[int]], block: bytes) -> bytes:
                 t[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
                 t[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
             s = t
-        s = [b ^ w[4 * rnd + i // 4][i % 4] for i, b in enumerate(s)]
+        s = [b ^ k for b, k in zip(s, w[rnd])]
     return bytes(s)
 
 
