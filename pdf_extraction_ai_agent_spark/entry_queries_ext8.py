@@ -326,7 +326,10 @@ PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63
 # letterhead/stamp shape real generators emit constantly. Rotated per
 # doc: plain header form / nested form (header invokes a resource-less
 # sub-form, ISO 32000 §8.10.1 inherit rule) / nested + a /Subtype /Image
-# Do (pixels must be dropped, not shown) + explicit identity /Matrix.
+# Do (pixels must be dropped, not shown) + explicit identity /Matrix /
+# TRANSLATE-ONLY /Matrix placement (form authored at its local origin;
+# the splice re-anchors BT line origins with a synthetic Td and shifts
+# Tm + ruling operands — each twin with its own scanner).
 # The engine splices form streams at the Do site through its chunked
 # regex walk (pdftext._expand_forms: identity-matrix forms only, no cm,
 # no Do inside BT — anything else bails to the library chain); the
@@ -340,7 +343,19 @@ PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63
 def _payload_q64(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_form_pdf
 
-    k = doc_id % 3
+    k = doc_id % 4
+    if k == 3:
+        # TRANSLATED placement: header/stamp authored at the form-local
+        # origin, positioned by a translate-only /Matrix (the per-page
+        # stamp shape) — the splice re-anchors BT line origins and
+        # shifts Tm/ruling operands on both twins
+        return write_form_pdf(
+            [_positioned_items(doc_id, text)],
+            [("text", 0, 0, f"ACME FORM {doc_id % 11}")],
+            sub=[("text", 0, -16, "STAMP approved")],
+            translate=(72, 760),
+            compress=bool(doc_id % 2),
+        )
     header = [("text", 72, 760, f"ACME FORM {doc_id % 11}")]
     sub = [("text", 72, 744, "STAMP approved")] if k > 0 else None
     return write_form_pdf(
@@ -369,7 +384,7 @@ WITH parts AS (
          'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
          'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
          'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3,
-         doc_id % 3 AS k
+         doc_id % 4 AS k
   FROM documents
 )
 SELECT doc_id,

@@ -1287,6 +1287,8 @@ def write_form_pdf(
     with_image: bool = False,
     compress: bool = False,
     explicit_matrix: bool = False,
+    translate: tuple[float, float] | None = None,
+    sub_translate: tuple[float, float] | None = None,
 ) -> bytes:
     """Pages whose content invokes a shared /Subtype /Form XObject header
     (`/FmHead Do`) before their own text — the letterhead/stamp shape
@@ -1332,7 +1334,11 @@ def write_form_pdf(
         if im is not None:
             content += b"\n/Im0 Do"
         objs[cont_num] = _wrap(content)
-    matrix = b"/Matrix [1 0 0 1 0 0] " if explicit_matrix else b""
+    def _matrix(tr: tuple[float, float] | None) -> bytes:
+        if tr is not None:
+            return b"/Matrix [1 0 0 1 %g %g] " % tr
+        return b"/Matrix [1 0 0 1 0 0] " if explicit_matrix else b""
+
     head_res = b"/Font << /F1 3 0 R >>"
     head_content = _content_stream(header, False)
     if fm_sub is not None:
@@ -1340,7 +1346,8 @@ def write_form_pdf(
         head_content += b"\n/FmSub Do"
     objs[fm_head] = _wrap(
         head_content,
-        b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] " + matrix
+        b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        + _matrix(translate)
         + b"/Resources << " + head_res + b" >> ",
     )
     if fm_sub is not None:
@@ -1349,7 +1356,8 @@ def write_form_pdf(
         # inherited_xo, the oracle's resource names are global anyway)
         objs[fm_sub] = _wrap(
             _content_stream(sub, False),
-            b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] " + matrix,
+            b"/Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            + _matrix(sub_translate),
         )
     if im is not None:
         pixels = bytes((7 * k + 13) % 256 for k in range(16))

@@ -1480,6 +1480,43 @@ class _UnsupportedForm(Exception):
 _DO_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+Do(?![A-Za-z0-9])")
 _CM_RE = re.compile(rb"(?<![A-Za-z0-9.+\-])cm(?![A-Za-z0-9])")
 _BT_ET_DO_RE = re.compile(rb"(?<![A-Za-z0-9])(BT|ET|Do)(?![A-Za-z0-9])")
+_NUM2_TM_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+Tm(?![A-Za-z0-9]))")
+_NUM2_ML_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+[ml](?![A-Za-z0-9]))")
+_BT_TOKEN_RE = re.compile(rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])")
+
+
+def _fmt_coord(v: float) -> bytes:
+    """Plain-decimal coordinate (PDF numbers take no exponent syntax)."""
+    s = f"{v:.4f}".rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+def _translate_text_ops(content: bytes, tx: float, ty: float) -> bytes:
+    """Apply a translate-only form /Matrix to spliced form bytes: insert
+    `tx ty Td` right after every BT (BT resets the line origin to the
+    form origin, so the synthetic relative move re-anchors it — later
+    Td/TD stay relative, and a TD's leading side-effect is untouched),
+    shift every Tm's absolute e/f operands, and shift ruling `x y m` /
+    `x y l` endpoints for the lattice walk. String bytes are never
+    rewritten (chunked like every other walk)."""
+    td = b"BT " + _fmt_coord(tx) + b" " + _fmt_coord(ty) + b" Td"
+
+    def _shift(m: re.Match) -> bytes:
+        return (
+            _fmt_coord(float(m.group(1)) + tx) + b" "
+            + _fmt_coord(float(m.group(2)) + ty) + m.group(3)
+        )
+
+    out = bytearray()
+    for is_str, c in _content_chunks(content):
+        if not is_str:
+            if _CM_RE.search(c):
+                raise _UnsupportedForm("cm inside a translated form")
+            c = _NUM2_TM_RE.sub(_shift, c)
+            c = _NUM2_ML_RE.sub(_shift, c)
+            c = _BT_TOKEN_RE.sub(td, c)
+        out += c
+    return bytes(out)
 
 
 def _expand_forms(
@@ -1560,6 +1597,7 @@ def _expand_forms(
             if not re.search(rb"/Subtype\s*/Form(?![A-Za-z0-9])", bd):
                 raise _UnsupportedForm("Do of unmodeled XObject subtype")
             mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", bd)
+            tx = ty = 0.0
             if mm:
                 try:
                     vals = [
@@ -1568,16 +1606,22 @@ def _expand_forms(
                     ]
                 except ValueError:
                     raise _UnsupportedForm("unparsable form /Matrix")
-                if vals != [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]:
-                    raise _UnsupportedForm("non-identity form /Matrix")
+                # translate-only form space (stamps placed per page);
+                # any rotation/scale/skew is out of the splice's model
+                if len(vals) != 6 or vals[:4] != [1.0, 0.0, 0.0, 1.0]:
+                    raise _UnsupportedForm("non-translate form /Matrix")
+                tx, ty = vals[4], vals[5]
             fraw = _stream_data(body, num=num, enc_key=enc_key)
             if fraw is None:
                 raise _UnsupportedForm("undecodable form stream")
             form_dicts.append(bd)
-            out += b"\n" + _expand_forms(
+            sub = _expand_forms(
                 objs, bd, fraw, enc_key, form_dicts,
                 inherited_xo=xo, depth=depth + 1,
-            ) + b"\n"
+            )
+            if tx or ty:
+                sub = _translate_text_ops(sub, tx, ty)
+            out += b"\n" + sub + b"\n"
         out += c[last:]
     return bytes(out)
 

@@ -1196,17 +1196,127 @@ def _oracle_xobject_names(data: bytes) -> dict[bytes, int]:
     return names
 
 
-def _oracle_matrix_identity(head: bytes) -> bool:
-    """True when the stream dict has no /Matrix or an identity one (the
-    only form space the flat splice models)."""
+def _oracle_form_translation(head: bytes) -> tuple[float, float]:
+    """(tx, ty) of an absent/identity/translate-only form /Matrix; any
+    rotation/scale/skew raises (out of the splice's model)."""
     mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", head)
     if not mm:
-        return True
+        return 0.0, 0.0
     try:
         vals = [float(v) for v in mm.group(1).decode("latin-1").split()]
     except ValueError:
-        return False
-    return vals == [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        raise RuntimeError("unparsable form /Matrix — out of twin scope")
+    if len(vals) != 6 or vals[:4] != [1.0, 0.0, 0.0, 1.0]:
+        raise RuntimeError("non-translate form /Matrix — out of twin scope")
+    return vals[4], vals[5]
+
+
+def _oracle_fmt_coord(v: float) -> bytes:
+    s = f"{v:.4f}".rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+_ORACLE_NUM_RE = re.compile(rb"[-+]?[0-9][0-9.]*|[-+]?\.[0-9]+")
+
+
+def _oracle_translate_text(raw: bytes, tx: float, ty: float) -> bytes:
+    """Apply a translate-only form /Matrix to spliced bytes — the
+    oracle's own cursor scan (the engine rewrites via chunked regexes):
+    a synthetic `tx ty Td` re-anchors the line origin after every BT,
+    every Tm's trailing e/f operands shift, and `x y m` / `x y l`
+    ruling endpoints shift. Number-token SPANS are tracked in the
+    output buffer so the last two can be rewritten in place when their
+    consuming operator arrives."""
+    out = bytearray()
+    spans: list[tuple[int, int]] = []  # output spans of recent number tokens
+    i, n = 0, len(raw)
+
+    def rewrite_last_two() -> None:
+        if len(spans) < 2:
+            # malformed operand run (e.g. a string between the numbers
+            # and their operator): leave it untranslated, exactly like
+            # the engine's adjacency regex not matching — both walks
+            # then consume the same raw operands
+            return
+        (s1, e1), (s2, e2) = spans[-2], spans[-1]
+        # replace the LAST span first so the earlier span's offsets hold
+        out[s2:e2] = _oracle_fmt_coord(float(bytes(out[s2:e2])) + ty)
+        out[s1:e1] = _oracle_fmt_coord(float(bytes(out[s1:e1])) + tx)
+
+    while i < n:
+        c = raw[i]
+        if c == 0x28:  # literal string — copy with escape/nesting tracking
+            spans.clear()
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if raw[j] == 0x5C:
+                    j += 2
+                    continue
+                if raw[j] == 0x28:
+                    depth += 1
+                elif raw[j] == 0x29:
+                    depth -= 1
+                j += 1
+            out += raw[i:j]
+            i = j
+            continue
+        if c == 0x3C:  # <hex> or << dict — copy verbatim
+            spans.clear()
+            if raw[i : i + 2] == b"<<":
+                out += b"<<"
+                i += 2
+                continue
+            gt = raw.find(b">", i)
+            j = n if gt < 0 else gt + 1
+            out += raw[i:j]
+            i = j
+            continue
+        if c in b"+-.0123456789":
+            m = _ORACLE_NUM_RE.match(raw, i)
+            if m:
+                start = len(out)
+                out += m.group(0)
+                spans.append((start, len(out)))
+                if len(spans) > 8:
+                    del spans[0]
+                i = m.end()
+                continue
+        boundary = i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]"
+        if boundary and raw[i : i + 2] == b"BT" and (
+            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
+        ):
+            out += b"BT " + _oracle_fmt_coord(tx) + b" " \
+                + _oracle_fmt_coord(ty) + b" Td"
+            spans.clear()
+            i += 2
+            continue
+        if boundary and raw[i : i + 2] == b"cm" and (
+            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
+        ):
+            raise RuntimeError(
+                "cm inside a translated form — out of twin scope"
+            )
+        if boundary and raw[i : i + 2] == b"Tm" and (
+            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
+        ):
+            rewrite_last_two()
+            out += b"Tm"
+            spans.clear()
+            i += 2
+            continue
+        if boundary and c in b"ml" and (
+            i + 1 >= n or raw[i + 1] in _ORACLE_DELIM
+        ):
+            rewrite_last_two()
+            out.append(c)
+            spans.clear()
+            i += 1
+            continue
+        if c not in _ORACLE_WS:
+            spans.clear()  # any other token breaks the operand run
+        out.append(c)
+        i += 1
+    return bytes(out)
 
 
 _ORACLE_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
@@ -1297,11 +1407,13 @@ def _oracle_splice_forms(
             continue  # image XObject: pixels carry no text
         if num is None or num not in forms:
             raise RuntimeError("unresolvable Do target — out of twin scope")
-        if not _oracle_matrix_identity(form_heads[num]):
-            raise RuntimeError("non-identity form /Matrix — out of twin scope")
-        out += b"\n" + _oracle_splice_forms(
+        tx, ty = _oracle_form_translation(form_heads[num])
+        sub = _oracle_splice_forms(
             forms[num], names, forms, images, form_heads, depth + 1
-        ) + b"\n"
+        )
+        if tx or ty:
+            sub = _oracle_translate_text(sub, tx, ty)
+        out += b"\n" + sub + b"\n"
     out += raw[last:]
     return bytes(out)
 

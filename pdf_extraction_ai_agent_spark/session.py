@@ -19,14 +19,14 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batch cap: bench.py's arrow_batch_sweep (512/2048/8192 on the real
-# transcript corpus, wall + peak JVM/py-worker RSS) shows 8192 ~9% faster
-# end-to-end than 2048 at ~220 MB resident per python worker — per-batch
-# overhead (Arrow IPC framing, pandas block assembly, UDF dispatch)
-# amortizes with batch size. Spark 4.1 has no bytes-based cap, so this IS
-# the memory knob: at ~10 KB median payloads 8192 rows ≈ 80 MB in flight;
-# a corpus of consistently ~100 KB payloads should lower it (the sweep's
-# RSS columns are the sizing evidence).
-ARROW_MAX_RECORDS_PER_BATCH = 8192
+# transcript corpus, wall + peak JVM/py-worker RSS) is unequivocal that
+# 512 is too small, but 2048 vs 8192 flip-flops between sessions (r5:
+# within noise; one r6 run 8192 -5%, the next 2048 -12%) while py-worker
+# peak RSS grows 1.4-2x at 8192. Spark 4.1 has no bytes-based cap, so
+# this IS the memory knob: 2048 rows x ~10 KB median payloads ≈ 20 MB in
+# flight per worker — the memory-prudent choice at equal-within-noise
+# wall time (both 66k and 74k turns/sec flagship runs measured here).
+ARROW_MAX_RECORDS_PER_BATCH = 2048
 
 
 def get_spark(

@@ -1619,3 +1619,88 @@ def test_form_xobject_twins_and_scope():
     assert tokenize_pdf_runs(cyc) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(cyc.decode("latin-1"))
+
+
+def test_form_xobject_translate_matrix():
+    """Translate-only form /Matrix: content authored at the form-local
+    origin lands at the placed coordinates on BOTH twins (BT re-anchor +
+    Tm/ruling shifts, independent scanners); nested translations compose;
+    rotation/scale matrices and cm inside a translated form bail."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        _translate_text_ops,
+        tokenize_pdf_rulings,
+        tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        _oracle_translate_text,
+        extract_real_pdf,
+    )
+
+    page = [
+        ("text", 72, 720, "Claim C1"),
+        ("text", 72, 704, "Body sample body"),
+        ("text", 72, 664, "Total 1.00"),
+    ]
+    hdr_local = [("text", 0, 0, "ACME FORM 7")]
+    sub_local = [("text", 0, -16, "STAMP approved")]
+    for compress in (False, True):
+        pdf = write_form_pdf(
+            [page], hdr_local, translate=(72, 760), compress=compress
+        )
+        etext, eocr = extract_real_pdf_text(pdf)
+        otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+        assert (etext, eocr) == (otext, oocr)
+        assert etext == (
+            "--- PAGE 1 ---\nACME FORM 7\n\n"
+            "Claim C1\nBody sample body\n\nTotal 1.00"
+        )
+    # nested translations compose: outer (72, 744) + sub /Matrix (0, 16)
+    # puts the stamp's local (0, -16) line at y 744 and the header at 744
+    # … use distinct offsets so the composition is observable
+    pdf = write_form_pdf(
+        [page], hdr_local, sub=[("text", 0, 0, "STAMP approved")],
+        translate=(72, 760), sub_translate=(0, -16),
+    )
+    etext, eocr = extract_real_pdf_text(pdf)
+    otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+    assert (etext, eocr) == (otext, oocr)
+    assert etext == (
+        "--- PAGE 1 ---\nACME FORM 7\nSTAMP approved\n"
+        "Claim C1\nBody sample body\n\nTotal 1.00"
+    )
+    # the two independent rewriters agree byte-for-byte on Tm/rulings
+    c = b"BT /F1 12 Tf 1 0 0 1 10 20 Tm (x(T)m 5 6 Tm) Tj ET\n5 6 m 7 8 l S"
+    assert _translate_text_ops(c, 72, 760) == _oracle_translate_text(c, 72, 760)
+    assert b"82 780 Tm" in _translate_text_ops(c, 72, 760)
+    assert b"(x(T)m 5 6 Tm)" in _translate_text_ops(c, 72, 760)  # strings kept
+    # rulings inside a translated form shift for the lattice walk
+    pdf = write_form_pdf(
+        [[("text", 72, 720, "Claim body line here ok")]],
+        [("text", 0, 0, "HDR"), ("line", 0, -10, 100, -10)],
+        translate=(50, 500),
+    )
+    assert tokenize_pdf_rulings(pdf) == [[(50.0, 490.0, 150.0, 490.0)]]
+    # a rotation matrix bails both twins
+    pdf = write_form_pdf([page], hdr_local, translate=(72, 760))
+    rot = pdf.replace(b"/Matrix [1 0 0 1 72 760]", b"/Matrix [0 1 -1 0 72 760]")
+    assert rot != pdf
+    assert tokenize_pdf_runs(rot) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(rot.decode("latin-1"))
+    # cm inside a TRANSLATED form bails both twins (same-length overwrite)
+    pdf = write_form_pdf(
+        [[("text", 72, 720, "Claim body line here ok")]],
+        [("text", 0, 0, "HDR"), ("line", 0, -10, 100, -10)],
+        translate=(50, 500),
+    )
+    assert b"0 -10 m 100 -10 l S" in pdf
+    cm = pdf.replace(b"0 -10 m 100 -10 l S", b"1 0 0 1 5 4 cm      ")
+    assert tokenize_pdf_runs(cm) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(cm.decode("latin-1"))
