@@ -75,6 +75,7 @@ HEADLINE = [
     "q62_inline_image_pdf_roundtrip",
     "q63_incremental_pdf_roundtrip",
     "q64_form_xobject_pdf_roundtrip",
+    "q65_encrypted_objstm_pdf_roundtrip",
 ]
 
 

@@ -401,3 +401,66 @@ FROM parts
 EXT8_QUERIES["q64_form_xobject_pdf_roundtrip"] = q64_form_xobject_pdf_roundtrip
 _EXT8_ORACLES["q64_form_xobject_pdf_roundtrip"] = _Q64_SQL
 PINNED_PAYLOAD_BUILDERS["q64_form_xobject_pdf_roundtrip"] = _payload_q64
+
+
+# ---------------------------------------------------------------------------
+# q65 — ENCRYPTED OBJECT-STREAM PDF round trip under the ORACLE GATE: the
+# modern encrypted shape (PDF 1.6+, today's Acrobat default) that combines
+# everything q51 and q54/q56/q58 cover separately — object streams + a
+# binary xref STREAM whose dict carries /Encrypt + /ID (no classic
+# trailer; the xref stream itself is never encrypted, ISO 32000
+# §7.5.8.2), with the standard handler rotated per doc across V1/R2 RC4,
+# V2/R3 RC4, V4/R4 AESV2 and V5/R6 AESV3. The /ObjStm container decrypts
+# AS A WHOLE under its own object key (members inherit); the engine
+# re-expands containers after key derivation (pdftext._page_contents),
+# the oracle resolves the trailer fields from the xref-stream object
+# body. R6's Algorithm 2.B hashes ride the q58 seed machinery. Reuses
+# q49's SQL twin. Reference parity: the reference opens these through
+# pdfplumber/pypdf's xref-chain + crypt filters (extract_text.py:39-66).
+# ---------------------------------------------------------------------------
+
+_Q65_REVS = (2, 3, 4, 6)
+
+
+def _payload_q65(doc_id: int, text: str) -> bytes:
+    from .fixtures import minipdf
+
+    rev = _Q65_REVS[doc_id % 4]
+    if rev == 6:
+        # self-sufficient for un-seeded callers (the pinned-corpus
+        # materializer); lru-answered after the first call per process
+        minipdf.seed_kdf(minipdf.kdf_warm_entries(1, b"r6-owner"))
+    return minipdf.write_encrypted_objstm_pdf(
+        [_positioned_items(doc_id, text)],
+        owner_pwd=b"r6-owner",
+        revision=rev,
+        predictor=bool(doc_id % 2),
+    )
+
+
+def q65_encrypted_objstm_pdf_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .fixtures import minipdf
+    from .operators import pdftext
+
+    # the R6 quarter pays Algorithm 2.B exactly once per distinct encrypt
+    # dict: derived in the q58 2-wave parallel stage, seeded into workers
+    writer_seed, engine_seed = _q58_kdf_seeds(spark, b"r6-owner")
+    inner = _roundtrip_kernel(_payload_q65)
+
+    def kernel(batches):
+        minipdf.seed_kdf(writer_seed)
+        pdftext.seed_kdf(engine_seed)
+        yield from inner(batches)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        kernel, schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q65_encrypted_objstm_pdf_roundtrip"] = (
+    q65_encrypted_objstm_pdf_roundtrip
+)
+_EXT8_ORACLES["q65_encrypted_objstm_pdf_roundtrip"] = _Q49_SQL
+PINNED_PAYLOAD_BUILDERS["q65_encrypted_objstm_pdf_roundtrip"] = _payload_q65

@@ -326,32 +326,20 @@ def object_rc4_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
     return h.digest()[: min(len(base_key) + 5, 16)]
 
 
-def write_encrypted_pdf(
-    pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
-    permissions: int = -44, revision: int = 2,
-) -> bytes:
-    """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
-    security handler (``user_pwd`` defaults to empty — the ubiquitous
-    owner-locked shape; non-empty makes a genuinely password-protected
-    file that only opens with that user password) — V1/R2 40-bit RC4 by
-    default, V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+ shape
-    that dominates real encrypted PDFs), or V4/R4 AESV2 (AES-128-CBC via
-    the /StdCF crypt filter — the Acrobat 7+ default) with
-    ``revision=4``, or V5/R6 AES-256 (AESV3, Algorithm 2.B hashes, file
-    key wrapped in /UE) with ``revision=6`` — the ubiquitous
-    "owner-locked" shape (viewers open it
-    without prompting). Every stream is encrypted under its per-object
-    key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
-    dict and /ID land in the trailer. pdftext.py's rung decrypts these
-    dependency-free; a user password outside its candidate book makes
-    the rung bail to the library chain."""
+def _std_security_values(
+    owner_pwd: bytes, user_pwd: bytes, permissions: int, revision: int,
+    file_id: bytes, n_pages: int,
+) -> tuple[bytes, bytes]:
+    """(file key, /Encrypt dict body) for the STANDARD security handler at
+    the given revision — the shared core of the classic and objstm
+    encrypted writers (V1/R2 40-bit RC4, V2/R3 128-bit RC4, V4/R4 AESV2,
+    V5/R6 AESV3 with Algorithm 2.B hashes and the key wrapped in /UE)."""
     import hashlib
 
-    plain = write_minimal_pdf(pages)
-    file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
+    oe_value = ue_value = perms_value = None
     if revision == 6:
-        # AES-256 (ISO 32000-2): deterministic salts; empty user password.
-        vsalt, ksalt, ovs, oks = r6_salts(len(pages))
+        # AES-256 (ISO 32000-2): deterministic salts; Algorithm 2.B hashes
+        vsalt, ksalt, ovs, oks = r6_salts(n_pages)
         key = (hashlib.md5(b"r6-filekey-a" + owner_pwd).digest()
                + hashlib.md5(b"r6-filekey-b").digest())  # 32-byte file key
         u_value = hash_2b(user_pwd, vsalt) + vsalt + ksalt
@@ -392,6 +380,64 @@ def write_encrypted_pdf(
         key = derive_rc4_key(o_value, permissions, file_id, user_pwd)
         u_value = rc4(key, PDF_PAD)
 
+    v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128), 6: (5, 256)}[revision]
+    if revision == 4:
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    elif revision == 6:
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    else:
+        cf = b""
+    extra = b""
+    if revision == 6:
+        extra = (
+            b"/OE <" + oe_value.hex().encode() + b"> "
+            + b"/UE <" + ue_value.hex().encode() + b"> "
+            + b"/Perms <" + perms_value.hex().encode() + b"> "
+        )
+    enc_dict = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, revision, length)
+        + cf
+        + b"/O <" + o_value.hex().encode() + b"> "
+        + b"/U <" + u_value.hex().encode() + b"> "
+        + extra
+        + (b"/P %d >>" % permissions)
+    )
+    return key, enc_dict
+
+
+def write_encrypted_pdf(
+    pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
+    permissions: int = -44, revision: int = 2,
+) -> bytes:
+    """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
+    security handler (``user_pwd`` defaults to empty — the ubiquitous
+    owner-locked shape; non-empty makes a genuinely password-protected
+    file that only opens with that user password) — V1/R2 40-bit RC4 by
+    default, V2/R3 128-bit RC4 with ``revision=3`` (the Acrobat 5+ shape
+    that dominates real encrypted PDFs), or V4/R4 AESV2 (AES-128-CBC via
+    the /StdCF crypt filter — the Acrobat 7+ default) with
+    ``revision=4``, or V5/R6 AES-256 (AESV3, Algorithm 2.B hashes, file
+    key wrapped in /UE) with ``revision=6`` — the ubiquitous
+    "owner-locked" shape (viewers open it
+    without prompting). Every stream is encrypted under its per-object
+    key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
+    dict and /ID land in the trailer. pdftext.py's rung decrypts these
+    dependency-free; a user password outside its candidate book makes
+    the rung bail to the library chain."""
+    import hashlib
+
+    plain = write_minimal_pdf(pages)
+    file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
+    key, enc_dict = _std_security_values(
+        owner_pwd, user_pwd, permissions, revision, file_id, len(pages)
+    )
+
     # re-emit every object, encrypting stream bodies under per-object keys
     objs: dict[int, bytes] = {}
     pos = 0
@@ -420,34 +466,7 @@ def write_encrypted_pdf(
             body = head + b"\nstream\n" + data + b"\nendstream"
         objs[num] = body
     enc_num = max(objs) + 1
-    v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128), 6: (5, 256)}[revision]
-    if revision == 4:
-        cf = (
-            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-            b"/StmF /StdCF /StrF /StdCF "
-        )
-    elif revision == 6:
-        cf = (
-            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
-            b"/StmF /StdCF /StrF /StdCF "
-        )
-    else:
-        cf = b""
-    extra = b""
-    if revision == 6:
-        extra = (
-            b"/OE <" + oe_value.hex().encode() + b"> "
-            + b"/UE <" + ue_value.hex().encode() + b"> "
-            + b"/Perms <" + perms_value.hex().encode() + b"> "
-        )
-    objs[enc_num] = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, revision, length)
-        + cf
-        + b"/O <" + o_value.hex().encode() + b"> "
-        + b"/U <" + u_value.hex().encode() + b"> "
-        + extra
-        + (b"/P %d >>" % permissions)
-    )
+    objs[enc_num] = enc_dict
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -1367,3 +1386,122 @@ def write_form_pdf(
             b"/Length %d >>\nstream\n" % len(pixels) + pixels + b"\nendstream"
         )
     return _assemble_classic(objs)
+
+
+def write_encrypted_objstm_pdf(
+    pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
+    permissions: int = -44, revision: int = 4, predictor: bool = True,
+) -> bytes:
+    """The MODERN encrypted shape (PDF 1.6+, today's Acrobat default):
+    object streams + a binary XREF STREAM + standard-handler encryption.
+    The xref stream is NEVER encrypted (ISO 32000 §7.5.8.2) and carries
+    /Encrypt + /ID in its dict instead of a classic trailer; the /ObjStm
+    container encrypts AS A WHOLE under its own object key (members
+    inherit — they are never individually encrypted); content streams
+    encrypt under their per-object keys (file key for V5)."""
+    import hashlib
+
+    file_id = hashlib.md5(
+        b"spark-extract-objstm" + bytes(len(pages)) + bytes([revision])
+    ).digest()
+    key, enc_dict = _std_security_values(
+        owner_pwd, user_pwd, permissions, revision, file_id, len(pages)
+    )
+
+    def encrypt_stream(num: int, data: bytes) -> bytes:
+        if revision == 6:
+            iv = hashlib.md5(b"fixture-objstm-iv6-%d" % num).digest()
+            return aes_cbc_encrypt(key, iv, data)  # FILE key, no salt
+        if revision == 4:
+            iv = hashlib.md5(b"fixture-objstm-iv-%d" % num).digest()
+            return aes_cbc_encrypt(object_aes_key(key, num), iv, data)
+        return rc4(object_rc4_key(key, num), data)
+
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1"),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    top: dict[int, bytes] = {}
+    for i, page in enumerate(pages):
+        page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        packed[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        data = encrypt_stream(
+            cont_num,
+            zlib.compress(_content_stream(page, tj_arrays=False)),
+        )
+        top[cont_num] = (
+            b"<< /Filter /FlateDecode /Length %d >>" % len(data)
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    objstm_num = max(list(packed) + list(top)) + 1
+    enc_num = objstm_num + 1
+    xref_num = objstm_num + 2
+
+    member_nums = sorted(packed)
+    bodies = [packed[m] for m in member_nums]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1  # bodies joined by single '\n'
+    header = (
+        " ".join(f"{m} {o}" for m, o in zip(member_nums, offs)).encode("latin-1")
+        + b"\n"
+    )
+    zstm = encrypt_stream(
+        objstm_num, zlib.compress(header + b"\n".join(bodies) + b"\n")
+    )
+    top[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(member_nums)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(zstm)} >>".encode("latin-1")
+        + b"\nstream\n" + zstm + b"\nendstream"
+    )
+    top[enc_num] = enc_dict  # the /Encrypt dict itself is NEVER encrypted
+
+    out = bytearray(b"%PDF-1.6\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + top[num] + b"\nendobj\n"
+
+    xref_at = len(out)
+    assert xref_at < (1 << 24), "3-byte offset field overflow"
+    size = xref_num + 1
+    raw_rows: list[bytes] = []
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 255
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_at, 0
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        elif num in packed:
+            t, f2, f3 = 2, objstm_num, member_nums.index(num)
+        else:
+            t, f2, f3 = 0, 0, 255
+        raw_rows.append(bytes([t]) + struct.pack(">I", f2)[1:] + bytes([f3]))
+    if predictor:
+        xdata = _png_up_encode(raw_rows)
+        parms = b"/DecodeParms << /Predictor 12 /Columns 5 >> "
+    else:
+        xdata = b"".join(raw_rows)
+        parms = b""
+    zx = zlib.compress(xdata)  # the xref stream itself is NEVER encrypted
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 3 1] /Index [0 %d] " % (size, size)
+        + b"/Root 1 0 R /Encrypt %d 0 R " % enc_num
+        + b"/ID [<" + file_id.hex().encode() + b"> <"
+        + file_id.hex().encode() + b">] /Filter /FlateDecode "
+        + parms
+        + b"/Length %d >>" % len(zx)
+        + b"\nstream\n" + zx + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)

@@ -100,7 +100,7 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _expand_object_streams(objs: dict[int, bytes]) -> None:
+def _expand_object_streams(objs: dict[int, bytes], enc_key=None) -> None:
     """Unpack every `/Type /ObjStm` container (PDF 1.5 object streams — the
     dominant modern-PDF shape) into the object map: the decoded stream
     opens with N `objnum offset` integer pairs, offsets relative to /First;
@@ -120,7 +120,7 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
         d = _dict_of(body)
         if b"/ObjStm" not in d or b"/Type" not in d:
             continue
-        raw = _stream_data(body)
+        raw = _stream_data(body, num=num, enc_key=enc_key)
         if raw is None:
             continue
         n_m = re.search(rb"/N\s+(\d+)", d)
@@ -754,29 +754,33 @@ def _encryption_key(
     batch jobs carry a department password list); the empty password is
     always tried first, then each candidate in order — Algorithm 4/5
     (R≤4) / 2.B /U validation (R6) picks the first that opens the file.
-    Raises _UnsupportedEncryption for every other configuration
-    (non-StdCF crypt filters, /EncryptMetadata false on V4, a user
-    password outside the book, owner-password-only knowledge,
-    encrypted files using xref streams/ObjStm, malformed /Encrypt).
+    The trailer fields (/Encrypt, /ID) come from the last classic
+    trailer or, when absent there, the last xref STREAM dict (the
+    modern trailer-less layout; the caller re-expands ObjStm containers
+    once the key exists). Raises _UnsupportedEncryption for every other
+    configuration (non-StdCF crypt filters, /EncryptMetadata false on
+    V4, a user password outside the book, owner-password-only
+    knowledge, malformed /Encrypt).
     Document-level strings (/Info etc.) are /StrF-encrypted too but
     never feed extraction, so only stream decryption is wired."""
     import hashlib
     import struct as _struct
 
     t_at = data.rfind(b"trailer")
-    if t_at < 0:
-        # no classic trailer: if an xref-stream trailer mentions /Encrypt,
-        # the file is encrypted in a layout this rung does not model
+    td = _dict_of(data[t_at:]) if t_at >= 0 else b""
+    if b"/Encrypt" not in td:
+        # modern layout (PDF 1.6+, today's Acrobat default): the xref
+        # STREAM dict carries the trailer fields — take the LAST /XRef
+        # in file order (newest incremental revision); the xref stream
+        # itself is never encrypted (ISO 32000 §7.5.8.2)
         for body in objs.values():
-            if b"/XRef" in body and b"/Encrypt" in body:
-                raise _UnsupportedEncryption("encrypted xref-stream layout")
-        return None
-    td = _dict_of(data[t_at:])
+            if b"/XRef" not in body or b"/Encrypt" not in body:
+                continue
+            d = _dict_of(body)
+            if b"/XRef" in d and b"/Type" in d and b"/Encrypt" in d:
+                td = d
     if b"/Encrypt" not in td:
         return None
-    for body in objs.values():
-        if b"/ObjStm" in body:
-            raise _UnsupportedEncryption("encrypted + object streams")
     m = _REF_RE.search(_value_of(td, b"/Encrypt"))
     if not m or int(m.group(1)) not in objs:
         raise _UnsupportedEncryption("unresolvable /Encrypt ref")
@@ -1638,6 +1642,12 @@ def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
         enc_key = _encryption_key(data, objs, passwords)
     except _UnsupportedEncryption:
         return None
+    if enc_key is not None:
+        # encrypted object streams: _objects' plaintext expansion pass
+        # skipped every container (ciphertext fails the zlib checksum);
+        # re-expand now that streams can decrypt — the container
+        # encrypts AS A WHOLE under its own object key, members inherit
+        _expand_object_streams(objs, enc_key)
     page_nums = _page_objects(objs)
     if not page_nums:
         return None

@@ -595,18 +595,18 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     import struct as _struct
 
     t = data.rfind(b"trailer")
-    if t < 0:
-        # mirror the engine (_encryption_key): an encrypted xref-stream
-        # layout announces /XRef and /Encrypt within a SINGLE object body;
-        # the two tokens merely co-occurring somewhere in document text
-        # must not trigger the bail
+    trailer = data[t:] if t >= 0 and b"/Encrypt" in data[t:] else b""
+    if not trailer:
+        # modern layout: the trailer fields live in an xref STREAM's dict
+        # (never itself encrypted). The /XRef and /Encrypt tokens must
+        # co-occur within a SINGLE object body — the two merely appearing
+        # somewhere in document text must not trigger the branch; the
+        # LAST such object in file order is the newest revision.
         for om in re.finditer(rb"\d+\s+0\s+obj(.*?)endobj", data, re.S):
             if b"/XRef" in om.group(1) and b"/Encrypt" in om.group(1):
-                raise RuntimeError("encrypted xref-stream PDF — out of twin scope")
+                trailer = om.group(1)
+    if not trailer:
         return None
-    if b"/Encrypt" not in data[t:]:
-        return None
-    trailer = data[t:]
     em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", trailer)
     im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]+)>", trailer)
     if not em or not im:
@@ -1543,6 +1543,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     # pass 2b — decrypt/defilter/splice/walk each page stream, first-seen
     # order
     for _first_seen, onum, head, raw in page_streams:
+        if re.search(rb"/Type\s*/XRef(?![A-Za-z0-9])", head):
+            # xref streams are NEVER encrypted (ISO 32000 §7.5.8.2) and
+            # carry no content — decrypting one under AES would raise on
+            # its (plaintext) padding instead of skipping
+            continue
         raw = _decrypt(onum, raw)
         if raw is None:
             continue

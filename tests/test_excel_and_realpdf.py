@@ -1704,3 +1704,69 @@ def test_form_xobject_translate_matrix():
     assert tokenize_pdf_runs(cm) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(cm.decode("latin-1"))
+
+
+def test_encrypted_objstm_pdf_matrix():
+    """The modern encrypted shape (object streams + xref STREAM carrying
+    /Encrypt, no classic trailer): both twins agree across the handler
+    matrix (R2/R3 RC4, R4 AESV2, R6 AESV3) × predictor parities; the
+    container decrypts as a whole under its own key; a user password
+    outside the book bails; a wrong-key file (corrupted /U) bails."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark import spec
+    from pdf_extraction_ai_agent_spark.fixtures import minipdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        extract_real_pdf,
+    )
+
+    page = [("text", 72, 720, "Enc objstm claim body 125.00")]
+    page2 = [("text", 72, 720, "Second page text body")]
+    minipdf.seed_kdf(minipdf.kdf_warm_entries(1, b"opw"))
+    for rev in (2, 3, 4, 6):
+        for pred in (True, False):
+            pdf = minipdf.write_encrypted_objstm_pdf(
+                [page], owner_pwd=b"opw", revision=rev, predictor=pred
+            )
+            assert b"trailer" not in pdf  # genuinely trailer-less
+            etext, eocr = extract_real_pdf_text(pdf)
+            otext, oocr = extract_real_pdf(pdf.decode("latin-1"))
+            assert (etext, eocr) == (otext, oocr), (rev, pred)
+            assert etext == "--- PAGE 1 ---\nEnc objstm claim body 125.00"
+    # multi-page + book-password variants
+    pdf = minipdf.write_encrypted_objstm_pdf(
+        [page, page2], owner_pwd=b"opw", revision=4
+    )
+    etext, eocr = extract_real_pdf_text(pdf)
+    assert (etext, eocr) == extract_real_pdf(pdf.decode("latin-1"))
+    assert "--- PAGE 2 ---\nSecond page text body" in etext
+    pdf = minipdf.write_encrypted_objstm_pdf(
+        [page], owner_pwd=b"opw",
+        user_pwd=spec.KNOWN_USER_PASSWORDS[0], revision=3,
+    )
+    assert extract_real_pdf_text(pdf) == extract_real_pdf(
+        pdf.decode("latin-1")
+    )
+    # a user password outside the book bails the engine, raises the oracle
+    pdf = minipdf.write_encrypted_objstm_pdf(
+        [page], owner_pwd=b"opw", user_pwd=b"not-in-book", revision=3
+    )
+    assert tokenize_pdf_runs(pdf) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(pdf.decode("latin-1"))
+    # corrupted /U (wrong validation bytes): never garbled text
+    pdf = minipdf.write_encrypted_objstm_pdf([page], owner_pwd=b"opw", revision=3)
+    at = pdf.find(b"/U <") + 4
+    broken = pdf[:at] + bytes.fromhex(pdf[at:at + 8].decode()).hex().encode().translate(
+        bytes.maketrans(b"0123456789abcdef", b"fedcba9876543210")
+    ) + pdf[at + 8:]
+    assert broken != pdf
+    assert tokenize_pdf_runs(broken) is None
+    with _pytest.raises(RuntimeError):
+        extract_real_pdf(broken.decode("latin-1"))
