@@ -76,6 +76,7 @@ HEADLINE = [
     "q63_incremental_pdf_roundtrip",
     "q64_form_xobject_pdf_roundtrip",
     "q65_encrypted_objstm_pdf_roundtrip",
+    "q66_tagged_pdf_roundtrip",
 ]
 
 

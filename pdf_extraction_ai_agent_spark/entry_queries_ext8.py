@@ -464,3 +464,96 @@ EXT8_QUERIES["q65_encrypted_objstm_pdf_roundtrip"] = (
 )
 _EXT8_ORACLES["q65_encrypted_objstm_pdf_roundtrip"] = _Q49_SQL
 PINNED_PAYLOAD_BUILDERS["q65_encrypted_objstm_pdf_roundtrip"] = _payload_q65
+
+
+# ---------------------------------------------------------------------------
+# q66 — TAGGED-PDF LOGICAL READING ORDER under the ORACLE GATE: a
+# two-column page whose content stream is emitted in GEOMETRIC order
+# (y desc — the columns interleave), with every paragraph wrapped in
+# `/P <</MCID n>> BDC … EMC` and the structure tree carrying the LOGICAL
+# order (ISO 32000 §14.7–14.8: left column top-to-bottom, then right).
+# The extraction uses the tagged rung (structure-tree depth-first MCID
+# order, /Artifact footer dropped per §14.8.2.2) — the order an LLM
+# training pipeline needs for two-column reports, and one the reference's
+# pdfplumber/fitz chain (extract_text.py:39-66) cannot produce: it reads
+# geometry. Per-doc parities rotate flat /Pg-per-element kids, one /Sect
+# wrapper per page exercising /Pg inheritance, and /MCR reference-dict
+# kids; even docs Flate-compress the content stream. The SQL twin computes
+# the logical order DIRECTLY from the table — equality proves the
+# write→BDC-scan→tree-walk→reassemble loop is the identity.
+# ---------------------------------------------------------------------------
+
+
+def _tagged_items(doc_id: int, text: str) -> list:
+    """Two-column layout in LOGICAL order: the right column's first
+    paragraph sits HIGHER than the left column's (y 730 > 720), so the
+    geometric y-desc walk interleaves columns (p2, p0, p3, p1) while the
+    structure tree restores p0, p1, p2, p3."""
+    norm30 = " ".join(str(text)[:30].split())
+    return [
+        (72, 720, f"Claim C{doc_id}"),
+        (72, 704, f"Body {norm30}"),
+        (320, 730, "Part two"),
+        (320, 714, f"Total {doc_id % 97}.00"),
+    ]
+
+
+def _payload_q66(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_tagged_pdf
+
+    return write_tagged_pdf(
+        [_tagged_items(doc_id, text)],
+        compress=bool(doc_id % 2),
+        artifact=f"Page 1 of 1 - doc {doc_id}",
+        nest_sections=doc_id % 3 == 0,
+        mcr_kids=doc_id % 3 == 1,
+    )
+
+
+def _tagged_roundtrip_kernel(builder):
+    """(doc_id, text) batches → (doc_id, extracted_text, needs_ocr) via
+    builder + the engine's TAGGED rung (logical reading order)."""
+    import pandas as pd
+
+    from .operators.extract import extract_tagged_pdf_text
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                t, ocr = extract_tagged_pdf_text(builder(doc_id, str(text)))
+                rows.append((doc_id, t, ocr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "extracted_text", "needs_ocr"]
+            )
+
+    return kernel
+
+
+def q66_tagged_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _tagged_roundtrip_kernel(_payload_q66), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q66_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Part two' AS l3,
+         'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l4
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         || chr(10) || l4 AS extracted_text,
+       (len(l1) + len(l2) + len(l3) + len(l4) + 3) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT8_QUERIES["q66_tagged_pdf_roundtrip"] = q66_tagged_pdf_roundtrip
+_EXT8_ORACLES["q66_tagged_pdf_roundtrip"] = _Q66_SQL
+PINNED_PAYLOAD_BUILDERS["q66_tagged_pdf_roundtrip"] = _payload_q66

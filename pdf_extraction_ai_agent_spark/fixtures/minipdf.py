@@ -1505,3 +1505,103 @@ def write_encrypted_objstm_pdf(
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
+
+
+def write_tagged_pdf(
+    pages: list[list[tuple[float, float, str]]],
+    compress: bool = False,
+    artifact: str | None = None,
+    nest_sections: bool = False,
+    mcr_kids: bool = False,
+) -> bytes:
+    """TAGGED PDF (ISO 32000 §14.7–14.8): ``pages[p]`` lists that page's
+    paragraphs (x, y, text) in LOGICAL reading order; the content stream
+    emits them in GEOMETRIC order (y desc, then x asc — for a two-column
+    page this interleaves the columns), each wrapped in
+    `/P <</MCID i>> BDC … EMC`, so only the structure tree recovers the
+    logical order. The catalog carries /MarkInfo <</Marked true>> +
+    /StructTreeRoot; each paragraph gets a /StructElem kid in logical
+    order (bare-integer MCID inheriting the element's /Pg, or an /MCR
+    reference dict with ``mcr_kids``); ``nest_sections`` wraps each
+    page's elements in one /Sect parent that carries the /Pg its children
+    inherit. ``artifact`` adds a footer line wrapped in /Artifact BDC …
+    EMC (odd pages: the propertyless /Artifact BMC form) that tagged
+    readers must DROP per §14.8.2.2 while geometric readers keep it."""
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    struct_root = 4 + 2 * n
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objs[1] = (
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/MarkInfo << /Marked true >> "
+        b"/StructTreeRoot %d 0 R >>" % struct_root
+    )
+    next_obj = struct_root + 1
+    root_kids: list[int] = []
+    for p, items in enumerate(pages):
+        page_num, cont_num = 4 + 2 * p, 5 + 2 * p
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        # content stream: GEOMETRIC order, MCID = logical index
+        ops: list[str] = []
+        order = sorted(range(len(items)), key=lambda k: (-items[k][1], items[k][0]))
+        for k in order:
+            x, y, s = items[k]
+            ops.append(
+                f"/P << /MCID {k} >> BDC\n"
+                f"BT /F1 12 Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET\nEMC"
+            )
+        if artifact is not None:
+            open_op = (
+                "/Artifact BMC" if p % 2
+                else "/Artifact << /Type /Pagination >> BDC"
+            )
+            ops.append(
+                f"{open_op}\n"
+                f"BT /F1 9 Tf 72 30 Td ({_esc(artifact)}) Tj ET\nEMC"
+            )
+        data = "\n".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + b"/Length %d >>" % len(data)
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+        # structure elements, one per paragraph, LOGICAL order
+        elem_nums: list[int] = []
+        for k in range(len(items)):
+            if mcr_kids:
+                kid = (
+                    b"<< /Type /MCR /Pg %d 0 R /MCID %d >>" % (page_num, k)
+                )
+                pg = b""
+            else:
+                kid = b"%d" % k
+                # bare-int kids name the page on the ELEMENT unless a
+                # /Sect parent carries it for inheritance
+                pg = b"" if nest_sections else b"/Pg %d 0 R " % page_num
+            objs[next_obj] = (
+                b"<< /Type /StructElem /S /P " + pg + b"/K " + kid + b" >>"
+            )
+            elem_nums.append(next_obj)
+            next_obj += 1
+        if nest_sections:
+            refs = b" ".join(b"%d 0 R" % e for e in elem_nums)
+            objs[next_obj] = (
+                b"<< /Type /StructElem /S /Sect /Pg %d 0 R /K [" % page_num
+                + refs + b"] >>"
+            )
+            root_kids.append(next_obj)
+            next_obj += 1
+        else:
+            root_kids.extend(elem_nums)
+    refs = b" ".join(b"%d 0 R" % e for e in root_kids)
+    objs[struct_root] = b"<< /Type /StructTreeRoot /K [" + refs + b"] >>"
+    return _assemble_classic(objs)

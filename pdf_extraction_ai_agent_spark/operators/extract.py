@@ -286,6 +286,34 @@ def extract_real_pdf_text(payload) -> tuple[str, bool]:
     return text, needs_ocr
 
 
+def extract_tagged_pdf_text(payload) -> tuple[str, bool]:
+    """Real PDF bytes → (page-marked LOGICAL-ORDER text, needs_ocr) via
+    the tagged-PDF rung (pdftext.tokenize_pdf_tagged): marked-content
+    text ordered by the structure tree's depth-first MCID sequence
+    (ISO 32000 §14.8) with /Artifact content dropped — the reading order
+    a two-column report needs, where the geometric y-cluster walk would
+    interleave the columns. Falls back to extract_real_pdf_text (the
+    geometric contract) when the document isn't usably tagged, so the
+    operator is total over the same input domain. Separate operator by
+    design: the reference's library chain (extract_text.py:39-66) reads
+    geometrically, so the default extraction contract stays geometric and
+    logical order is opt-in per query."""
+    data = payload if isinstance(payload, (bytes, bytearray)) else str(
+        payload
+    ).encode("latin-1", errors="ignore")
+    from .pdftext import tokenize_pdf_tagged
+
+    bodies = tokenize_pdf_tagged(data, passwords=spec.KNOWN_USER_PASSWORDS)
+    if bodies is None:
+        return extract_real_pdf_text(data)
+    text = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + body.strip()
+        for i, body in enumerate(bodies)
+    ).strip()
+    needs_ocr = len("".join(bodies).strip()) < spec.OCR_MIN_CHARS
+    return text, needs_ocr
+
+
 # ---------------------------------------------------------------------------
 # span extraction (compiled regex; per-chunk loop, C-dominated)
 # ---------------------------------------------------------------------------

@@ -1631,12 +1631,25 @@ def _expand_forms(
 
 
 def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
+    """Shared page walk: `(pages, strict_fonts)` — see _page_contents_full
+    (which additionally exposes the object map and page object numbers for
+    the structure-tree walk)."""
+    res = _page_contents_full(data, passwords)
+    if res is None:
+        return None
+    pages, strict_fonts, _objs, _page_nums = res
+    return pages, strict_fonts
+
+
+def _page_contents_full(data: bytes, passwords: tuple[bytes, ...] = ()):
     """Shared page walk: a list of (content_bytes, fonts) per page plus the
-    file-wide has_type0 flag — `(pages, has_type0)` — or None overall when
-    the file is out of scope. Handles standard-handler encryption in-line
-    (_encryption_key, with ``passwords`` as the candidate user-password
-    book) and resolves each page's font resources (ToUnicode maps for
-    Type0 fonts); any other encrypted or font configuration bails."""
+    file-wide strict-fonts flag, the object map and the page object
+    numbers — `(pages, strict_fonts, objs, page_nums)` — or None overall
+    when the file is out of scope. Handles standard-handler encryption
+    in-line (_encryption_key, with ``passwords`` as the candidate
+    user-password book) and resolves each page's font resources (ToUnicode
+    maps for Type0 fonts); any other encrypted or font configuration
+    bails."""
     objs = _objects(data)
     try:
         enc_key = _encryption_key(data, objs, passwords)
@@ -1711,7 +1724,7 @@ def _page_contents(data: bytes, passwords: tuple[bytes, ...] = ()):
                         if fonts.setdefault(fname, handle) != handle:
                             return None
         out.append((content, fonts))
-    return out, strict_fonts
+    return out, strict_fonts, objs, page_nums
 
 
 def tokenize_pdf_rulings(
@@ -1880,7 +1893,17 @@ def tokenize_pdf_runs(
                 record(txt)
                 i = end
                 continue
-            if ch == 0x3C and body[i : i + 2] != b"<<":  # <hex> show
+            if ch == 0x3C and body[i : i + 2] == b"<<":
+                # dict operand (a BDC property list like `<</MCID 0>>`):
+                # skip it balanced — its SECOND `<` must never misparse as
+                # a hex-string opener (marked-content ops are transparent
+                # to the geometric walk)
+                d = _dict_of(body[i:])
+                if not d:
+                    return None  # unbalanced << — can't scan past it
+                i += len(d)
+                continue
+            if ch == 0x3C:  # <hex> show
                 end = body.find(b">", i)
                 if end < 0:
                     return None
@@ -1994,4 +2017,321 @@ def tokenize_pdf_text(
         if txt is None:
             return None
         out.append(txt)
+    return out
+
+
+# --- Tagged-PDF logical reading order (ISO 32000 §14.7–14.8) ---------------
+#
+# Multi-column documents carry marked-content sequences (`/P <</MCID n>>
+# BDC … EMC`) and a structure tree whose depth-first order is the LOGICAL
+# reading order — the accessibility order, and the order an LLM training
+# pipeline wants for two-column reports/papers where the geometric
+# y-cluster walk would interleave columns. The reference reads these files
+# through pdfplumber/fitz in geometric order (extract_text.py:39-66); this
+# rung is a separate operator ON TOP of that contract — the default
+# extraction stays geometric, logical order is opt-in per query.
+
+_MCID_RE = re.compile(rb"/MCID\s+(\d+)(?![0-9])")
+_MC_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s*")
+_MC_OP_RE = re.compile(rb"\s*(BDC|BMC)(?![A-Za-z0-9])")
+_EMC_RE = re.compile(rb"EMC(?![A-Za-z0-9])")
+
+
+def _catalog_dict(objs: dict[int, bytes]) -> bytes:
+    """The document catalog dict: the xref-stream trailer's /Root when one
+    exists (authoritative under incremental updates), else the first
+    /Type /Catalog object."""
+    cat = _catalog_from_xref_stream(objs)
+    if cat is not None and cat in objs:
+        return _dict_of(objs[cat])
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            return _dict_of(body)
+    return b""
+
+
+def _struct_mcid_order(
+    objs: dict[int, bytes], page_nums: list[int]
+) -> list[list[int]] | None:
+    """Per-page MCID sequence in STRUCTURE-TREE order: a depth-first /K
+    walk of /StructTreeRoot. Content items handled: bare integer MCIDs
+    (inheriting the owning element's /Pg), /MCR marked-content-reference
+    dicts (own /Pg override), child StructElems (inline or by reference)
+    and arrays of any of those. None when the document carries no usable
+    tagged structure — /MarkInfo <</Marked true>> absent, root missing or
+    unresolvable, an /OBJR content item (out of scope), recursion past 32
+    levels, or an MCID whose page cannot be identified."""
+    cat_d = _catalog_dict(objs)
+    mark = _nested_dict_of(cat_d, b"/MarkInfo", objs)
+    if not re.search(rb"/Marked\s+true(?![A-Za-z0-9])", mark):
+        return None
+    rm = _REF_RE.search(_value_of(cat_d, b"/StructTreeRoot"))
+    if not rm or int(rm.group(1)) not in objs:
+        return None
+    page_index = {num: i for i, num in enumerate(page_nums)}
+    order: list[list[int]] = [[] for _ in page_nums]
+    ok = True
+
+    def add(pg: int | None, mcid: int) -> None:
+        nonlocal ok
+        if pg is None or pg not in page_index:
+            ok = False
+            return
+        order[page_index[pg]].append(mcid)
+
+    def walk_elem(d: bytes, pg: int | None, depth: int) -> None:
+        nonlocal ok
+        if depth > 32 or not d:
+            ok = False
+            return
+        pm = _REF_RE.search(_value_of(d, b"/Pg"))
+        if pm:
+            pg = int(pm.group(1))
+        m = re.search(rb"/K(?![A-Za-z0-9])\s*", d)
+        if not m:
+            return  # childless element — legal
+        walk_items(d[m.end():], pg, depth)
+
+    def walk_items(rest: bytes, pg: int | None, depth: int) -> None:
+        """Consume ONE content item — or, when ``rest`` opens an array,
+        every item up to the matching close."""
+        nonlocal ok
+        in_array = False
+        i = 0
+        while ok:
+            while i < len(rest) and rest[i] in b" \t\r\n":
+                i += 1
+            if i >= len(rest):
+                ok = ok and not in_array  # unclosed array
+                return
+            c = rest[i]
+            if c == 0x5B:  # [
+                if in_array:
+                    ok = False  # /K arrays don't nest
+                    return
+                in_array = True
+                i += 1
+                continue
+            if c == 0x5D:  # ]
+                return
+            if c == 0x3C and rest[i : i + 2] == b"<<":  # inline dict
+                d = _dict_of(rest[i:])
+                if not d:
+                    ok = False
+                    return
+                consume_dict(d, pg, depth)
+                i += len(d)
+            elif rm_ := _REF_RE.match(rest, i):  # indirect reference
+                body = objs.get(int(rm_.group(1)))
+                if body is None:
+                    ok = False
+                    return
+                consume_dict(_dict_of(body), pg, depth)
+                i = rm_.end()
+            elif nm := re.match(rb"(\d+)(?![0-9])", rest[i:]):  # bare MCID
+                add(pg, int(nm.group(1)))
+                i += nm.end()
+            else:
+                ok = False  # /OBJR by value, names, strings — out of scope
+                return
+            if not in_array:
+                return
+
+    def consume_dict(d: bytes, pg: int | None, depth: int) -> None:
+        nonlocal ok
+        if b"/OBJR" in d:
+            ok = False  # object references aren't text content items
+            return
+        if re.search(rb"/Type\s*/MCR(?![A-Za-z0-9])", d):
+            pm = _REF_RE.search(_value_of(d, b"/Pg"))
+            mm = _MCID_RE.search(d)
+            if not mm:
+                ok = False
+                return
+            add(int(pm.group(1)) if pm else pg, int(mm.group(1)))
+            return
+        walk_elem(d, pg, depth + 1)
+
+    walk_elem(_dict_of(objs[int(rm.group(1))]), None, 0)
+    return order if ok else None
+
+
+def _tagged_frags(
+    content: bytes,
+    fonts: dict[bytes, tuple[str, dict[int, str]] | None],
+    strict_fonts: bool,
+) -> list[tuple[object, str]] | None:
+    """(tag, text) fragments of one page's content stream in STREAM order:
+    tag is the active MCID (int) inside a marked-content sequence whose
+    properties carry /MCID, the string 'artifact' inside an /Artifact
+    span (§14.8.2.2: artifacts are NOT logical content), else None.
+    Line-advance ops contribute '\\n' fragments under the active tag with
+    the flat walk's semantics (only after that tag has shown text; a
+    quote-show's advance lands before its own string). None → out of twin
+    scope: indirect BDC property lists, BDC with no property dict,
+    unbalanced BDC/EMC, nested MCIDs, or an undecodable string."""
+    frags: list[tuple[object, str]] = []
+    stack: list[object] = []  # one entry per open BDC/BMC
+    pending_newline = False
+    shown: dict[object, bool] = {}
+    cur_map: tuple[str, dict[int, str]] | None = None
+    i, n = 0, len(content)
+
+    def cur_tag() -> object:
+        for e in reversed(stack):
+            if isinstance(e, int):
+                return e
+        if "artifact" in stack:
+            return "artifact"
+        return None
+
+    def emit(s: str) -> None:
+        nonlocal pending_newline
+        t = cur_tag()
+        if pending_newline and shown.get(t):
+            frags.append((t, "\n"))
+        pending_newline = False
+        shown[t] = True
+        frags.append((t, s))
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            raw_s, i = _literal_bytes(content, i)
+            txt = _decode_shown(raw_s, cur_map)
+            if txt is None:
+                return None
+            m = re.match(rb"\s*(Tj|'|\")", content[i:])
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    pending_newline = True
+                emit(txt)
+                i += m.end()
+            else:
+                emit(txt)
+            continue
+        if c == 0x3C and content[i : i + 2] != b"<<":  # <hex>
+            end = content.find(b">", i)
+            if end < 0:
+                break
+            hexs = re.sub(rb"\s", b"", content[i + 1 : end])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                raw_s = bytes.fromhex(hexs.decode("ascii"))
+            except ValueError:
+                i = end + 1
+                continue
+            txt = _decode_shown(raw_s, cur_map)
+            if txt is None:
+                return None
+            i = end + 1
+            m = re.match(rb"\s*(Tj|'|\")", content[i:])
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    pending_newline = True
+                emit(txt)
+                i += m.end()
+            else:
+                emit(txt)
+            continue
+        if c == 0x2F:  # /Name — font selection or marked-content open
+            tfm = _TF_RE.match(content, i)
+            if tfm:
+                name = tfm.group(1)
+                if fonts is not None and name in fonts:
+                    cur_map = fonts[name]
+                elif strict_fonts:
+                    return None
+                else:
+                    cur_map = None
+                i = tfm.end()
+                continue
+            nm = _MC_NAME_RE.match(content, i)
+            if nm:
+                j = nm.end()
+                props = None
+                if content[j : j + 2] == b"<<":
+                    props = _dict_of(content[j:])
+                    if not props:
+                        return None
+                    j += len(props)
+                op = _MC_OP_RE.match(content, j)
+                if op:
+                    if op.group(1) == b"BDC" and props is None:
+                        # `/Tag /PropsName BDC` (indirect property list —
+                        # /MCID invisible without the resource dict) or a
+                        # spec-invalid operand-less BDC: out of scope
+                        return None
+                    if nm.group(1) == b"Artifact":
+                        entry: object = "artifact"
+                    elif props is not None and (mm := _MCID_RE.search(props)):
+                        if any(isinstance(e, int) for e in stack):
+                            return None  # nested MCIDs (§14.7.5.3 forbids)
+                        entry = int(mm.group(1))
+                    else:
+                        entry = None
+                    stack.append(entry)
+                    i = op.end()  # matched at pos j of content — absolute
+                    continue
+        m = re.match(rb"(?:Td|TD|Tm)\b|T\*", content[i:])
+        if m:
+            pending_newline = True
+            i += m.end()
+            continue
+        if c == 0x45 and (em := _EMC_RE.match(content, i)):  # EMC
+            if not stack:
+                return None
+            stack.pop()
+            i = em.end()
+            continue
+        i += 1
+    if stack:
+        return None  # unbalanced BDC/BMC at end of page
+    return frags
+
+
+def tokenize_pdf_tagged(
+    data: bytes, passwords: tuple[bytes, ...] = ()
+) -> list[str] | None:
+    """Per-page LOGICAL-ORDER text for a TAGGED real PDF: marked-content
+    text grouped by MCID and ordered by the structure tree's depth-first
+    sequence (ISO 32000 §14.8) — /Artifact content (headers, footers,
+    rulings) excluded per §14.8.2.2. None when the document isn't usably
+    tagged or its tagging is outside this rung's scope (shown text with no
+    MCID, an MCID missing from the tree, indirect BDC properties…) — the
+    caller keeps the geometric reading order."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    res = _page_contents_full(data, passwords)
+    if res is None:
+        return None
+    pages, strict_fonts, objs, page_nums = res
+    order = _struct_mcid_order(objs, page_nums)
+    if order is None or len(order) != len(pages):
+        return None
+    out: list[str] = []
+    for pi, (content, fonts) in enumerate(pages):
+        frags = _tagged_frags(content, fonts, strict_fonts)
+        if frags is None:
+            return None
+        groups: dict[int, list[str]] = {}
+        for tag, txt in frags:
+            if tag == "artifact":
+                continue
+            if tag is None:
+                if txt.strip():
+                    return None  # untagged shown text — can't be ordered
+                continue
+            groups.setdefault(tag, []).append(txt)
+        if set(groups) - set(order[pi]):
+            return None  # shown MCID absent from the structure tree
+        seen: set[int] = set()
+        parts: list[str] = []
+        for mcid in order[pi]:
+            if mcid in seen or mcid not in groups:
+                continue  # duplicate tree entry / empty element
+            seen.add(mcid)
+            parts.append("".join(groups[mcid]))
+        out.append("\n".join(parts))
     return out

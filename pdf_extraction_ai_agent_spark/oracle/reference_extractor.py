@@ -1634,7 +1634,18 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 strings.append(txt)
                 last_name = None
                 continue
-            if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
+            if ch == 0x3C and raw[i : i + 2] == b"<<":
+                # dict operand (a BDC property list like `<</MCID 0>>`):
+                # hop it balanced so its second `<` never misreads as a
+                # hex opener — mirrors the engine walk's dict skip
+                d = _oracle_dict_at(raw, i)
+                if d is None:
+                    raise RuntimeError(
+                        "unbalanced << in content — out of twin scope"
+                    )
+                i += len(d)
+                continue
+            if ch == 0x3C:  # <hex>
                 end = raw.find(b">", i)
                 if end < 0:
                     break
@@ -1759,6 +1770,403 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     if not pages:
         raise RuntimeError("no parseable content streams in real-PDF payload")
     return _assemble_layout([(i + 1, runs) for i, runs in enumerate(pages)])
+
+
+def _oracle_dict_at(buf: bytes, start: int) -> bytes | None:
+    """Balanced `<< … >>` starting at ``start`` (oracle's own cursor scan;
+    the engine has its own brace walk). None when unterminated."""
+    if buf[start : start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    n = len(buf)
+    while i < n - 1:
+        two = buf[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _oracle_struct_order(data: bytes) -> dict[int, list[int]] | None:
+    """Page-object-number → MCID sequence in STRUCTURE-TREE order (the
+    oracle's own depth-first walk over /StructTreeRoot, element bodies
+    fetched by _oracle_obj_body). None when the document isn't usably
+    tagged: /MarkInfo <</Marked true>> absent, root missing, an /OBJR
+    content item, unknown /K item shapes, or recursion past 32 levels."""
+    cat = None
+    for m in re.finditer(rb"\d+\s+0\s+obj(.*?)endobj", data, re.S):
+        if re.search(rb"/Type\s*/Catalog(?![A-Za-z0-9])", m.group(1)):
+            cat = m.group(1)  # last wins (append-save newest revision)
+    if cat is None:
+        return None
+    mi = re.search(rb"/MarkInfo\s*(<<|(\d+)\s+0\s+R)", cat)
+    if not mi:
+        return None
+    if mi.group(2) is not None:
+        mark = _oracle_obj_body(data, int(mi.group(2))) or b""
+    else:
+        mark = _oracle_dict_at(cat, mi.start(1)) or b""
+    if not re.search(rb"/Marked\s+true(?![A-Za-z0-9])", mark):
+        return None
+    rootm = re.search(rb"/StructTreeRoot\s+(\d+)\s+0\s+R", cat)
+    if not rootm:
+        return None
+    root = _oracle_obj_body(data, int(rootm.group(1)))
+    if root is None:
+        return None
+    order: dict[int, list[int]] = {}
+
+    def add(pg: int | None, mcid: int) -> bool:
+        if pg is None:
+            return False
+        order.setdefault(pg, []).append(mcid)
+        return True
+
+    def elem(body: bytes, pg: int | None, depth: int) -> bool:
+        if depth > 32:
+            return False
+        pm = re.search(rb"/Pg\s+(\d+)\s+0\s+R", body)
+        if pm:
+            pg = int(pm.group(1))
+        km = re.search(rb"/K(?![A-Za-z0-9])\s*", body)
+        if not km:
+            return True  # childless element
+        rest = body[km.end():]
+        items: list[bytes] = []
+        if rest.lstrip().startswith(b"["):
+            arr = rest[rest.find(b"[") + 1:]
+            close = arr.find(b"]")
+            if close < 0:
+                return False
+            seg, cursor = arr[:close], 0
+            while cursor < len(seg):
+                chunk = seg[cursor:].lstrip()
+                off = len(seg) - cursor - len(chunk) + cursor
+                if not chunk:
+                    break
+                if chunk.startswith(b"<<"):
+                    d = _oracle_dict_at(seg, off)
+                    if d is None:
+                        return False
+                    items.append(d)
+                    cursor = off + len(d)
+                else:
+                    tm = re.match(rb"(\d+)(?:\s+0\s+R)?", chunk)
+                    if not tm:
+                        return False
+                    items.append(tm.group(0))
+                    cursor = off + tm.end()
+            # an array containing an inline dict would shift `]` — the
+            # fixtures reference elements indirectly; inline-dict arrays
+            # with a `]` inside a dict are out of the modeled corpus
+        else:
+            one = rest.lstrip()
+            if one.startswith(b"<<"):
+                d = _oracle_dict_at(rest, len(rest) - len(one))
+                if d is None:
+                    return False
+                items.append(d)
+            else:
+                tm = re.match(rb"(\d+)(?:\s+0\s+R)?", one)
+                if not tm:
+                    return False
+                items.append(tm.group(0))
+        for it in items:
+            if it.startswith(b"<<"):
+                if not handle_dict(it, pg, depth):
+                    return False
+            elif b"R" in it:
+                child = _oracle_obj_body(data, int(it.split()[0]))
+                if child is None or not handle_dict(child, pg, depth):
+                    return False
+            else:
+                if not add(pg, int(it)):
+                    return False
+        return True
+
+    def handle_dict(body: bytes, pg: int | None, depth: int) -> bool:
+        if re.search(rb"/OBJR(?![A-Za-z0-9])", body):
+            return False  # object reference — not a text content item
+        if re.search(rb"/Type\s*/MCR(?![A-Za-z0-9])", body):
+            pm = re.search(rb"/Pg\s+(\d+)\s+0\s+R", body)
+            mm = re.search(rb"/MCID\s+(\d+)", body)
+            if not mm:
+                return False
+            return add(int(pm.group(1)) if pm else pg, int(mm.group(1)))
+        return elem(body, pg, depth + 1)
+
+    return order if elem(root, None, 0) else None
+
+
+def extract_tagged_pdf(payload: str) -> tuple[str, bool]:
+    """Oracle twin of operators/extract.extract_tagged_pdf_text: LOGICAL
+    reading order for tagged PDFs (ISO 32000 §14.8) — marked-content text
+    grouped per MCID in stream order, groups emitted in structure-tree
+    order, /Artifact content dropped (§14.8.2.2), geometric fallback
+    (extract_real_pdf) when the document isn't usably tagged. Independent
+    implementation: pages found by a file-order /Type /Page scan, content
+    fetched per object via _oracle_obj_body, structure walked by
+    _oracle_struct_order, and a cursor-style content scan — never the
+    engine's object-map/page-tree walk."""
+    data = payload.encode("latin-1", errors="ignore")
+    order = _oracle_struct_order(data)
+    if order is None:
+        return extract_real_pdf(payload)
+    enc_key = _oracle_encryption_key(data)
+    font_maps, strict_fonts = _oracle_font_maps(data, enc_key)
+
+    page_nums = []
+    for m in re.finditer(rb"(\d+)\s+0\s+obj(.*?)endobj", data, re.S):
+        body = m.group(2)
+        if re.search(rb"/Type\s*/Page(?![A-Za-z0-9])", body):
+            page_nums.append(int(m.group(1)))
+    if not page_nums:
+        return extract_real_pdf(payload)
+
+    def one_stream(onum: int) -> bytes | None:
+        cbody = _oracle_obj_body(data, onum)
+        if cbody is None:
+            return None
+        s = cbody.find(b"stream")
+        if s < 0:
+            return None
+        head = cbody[:s]
+        at = s + 6
+        if cbody[at : at + 2] == b"\r\n":
+            at += 2
+        elif cbody[at : at + 1] == b"\n":
+            at += 1
+        lm = re.search(rb"/Length\s+(\d+)", head)
+        raw = (
+            cbody[at : at + int(lm.group(1))]
+            if lm
+            else cbody[at:].rstrip(b"\r\n")
+        )
+        if enc_key is not None:
+            base_key, enc_method = enc_key
+            if enc_method == "aesv3":
+                raw = _oracle_aes_decrypt(base_key, raw)
+            elif enc_method == "aes":
+                raw = _oracle_aes_decrypt(
+                    _oracle_object_aes_key(base_key, onum), raw
+                )
+            else:
+                raw = _oracle_rc4(_oracle_object_key(base_key, onum), raw)
+        return _oracle_defilter(head, raw)
+
+    def page_content(pnum: int) -> bytes | None:
+        body = _oracle_obj_body(data, pnum)
+        if body is None:
+            return None
+        cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", body)
+        if not cm:
+            return None
+        raw = b""
+        for rm2 in re.finditer(rb"(\d+)\s+0\s+R", cm.group(1)):
+            part = one_stream(int(rm2.group(1)))
+            if part is None:
+                return None
+            raw += part + b"\n"  # same joint the engine's page walk emits
+        return raw
+
+    bodies: list[str] = []
+    all_text: list[str] = []
+    for pnum in page_nums:
+        raw = page_content(pnum)
+        if raw is None:
+            return extract_real_pdf(payload)
+        raw = _oracle_strip_inline(raw)
+        # cursor scan: marked-content stack + per-MCID text accumulation
+        texts: dict[int, list[str]] = {}
+        stack: list[object] = []  # int MCID | 'artifact' | None per open BDC/BMC
+        pending_nl = False
+        cur_map = None
+        i, n = 0, len(raw)
+
+        def active() -> object:
+            for e in reversed(stack):
+                if isinstance(e, int):
+                    return e
+            return "artifact" if "artifact" in stack else None
+
+        def show(txt: str, quote: bool) -> bool:
+            nonlocal pending_nl
+            tag = active()
+            if quote:
+                pending_nl = True
+            if tag is None:
+                if txt.strip():
+                    return False  # untagged shown text — not orderable
+                pending_nl = False
+                return True
+            if isinstance(tag, int):
+                bucket = texts.setdefault(tag, [])
+                if pending_nl and bucket:
+                    bucket.append("\n")
+                bucket.append(txt)
+            pending_nl = False
+            return True
+
+        ok = True
+        while i < n and ok:
+            ch = raw[i]
+            if ch == 0x28:  # literal string
+                buf = []
+                depth = 0
+                j = i
+                while j < n:
+                    c = raw[j]
+                    if c == 0x5C and j + 1 < n:
+                        nxt = raw[j + 1]
+                        esc = {0x6E: "\n", 0x72: "\r", 0x74: "\t",
+                               0x62: "\b", 0x66: "\f", 0x28: "(",
+                               0x29: ")", 0x5C: "\\"}.get(nxt)
+                        if esc is not None:
+                            buf.append(esc)
+                            j += 2
+                            continue
+                        om = re.match(rb"[0-7]{1,3}", raw[j + 1 : j + 4])
+                        if om:
+                            buf.append(chr(int(om.group(0), 8) & 0xFF))
+                            j += 1 + om.end()
+                            continue
+                        j += 1
+                        continue
+                    if c == 0x28:
+                        depth += 1
+                        if depth > 1:
+                            buf.append("(")
+                        j += 1
+                        continue
+                    if c == 0x29:
+                        depth -= 1
+                        if depth == 0:
+                            j += 1
+                            break
+                        buf.append(")")
+                        j += 1
+                        continue
+                    buf.append(chr(c))
+                    j += 1
+                txt = "".join(buf)
+                if cur_map is not None:
+                    txt = _oracle_decode_shown(txt.encode("latin-1"), cur_map)
+                qm = re.match(rb"\s*(Tj|'|\")", raw[j:])
+                quote = bool(qm) and qm.group(1) in (b"'", b'"')
+                ok = show(txt, quote)
+                i = j + (qm.end() if qm else 0)
+                continue
+            if ch == 0x3C and raw[i : i + 2] != b"<<":  # <hex>
+                end = raw.find(b">", i)
+                if end < 0:
+                    break
+                hx = re.sub(rb"\s", b"", raw[i + 1 : end])
+                if len(hx) % 2:
+                    hx += b"0"
+                try:
+                    bs = bytes.fromhex(hx.decode("ascii"))
+                except ValueError:
+                    i = end + 1
+                    continue
+                txt = _oracle_decode_shown(bs, cur_map)
+                qm = re.match(rb"\s*(Tj|'|\")", raw[end + 1:])
+                quote = bool(qm) and qm.group(1) in (b"'", b'"')
+                ok = show(txt, quote)
+                i = end + 1 + (qm.end() if qm else 0)
+                continue
+            if ch == 0x2F:  # /Name: Tf selection or marked-content open
+                fm = re.match(
+                    rb"/([^\s/<>()\[\]{}%]+)\s+-?[0-9.]+\s+Tf(?![A-Za-z0-9])",
+                    raw[i:],
+                )
+                if fm:
+                    name = fm.group(1)
+                    if name in font_maps:
+                        cur_map = font_maps[name]
+                    elif strict_fonts:
+                        raise RuntimeError(
+                            "unresolvable Tf in a strict-font tagged file"
+                        )
+                    else:
+                        cur_map = None
+                    i += fm.end()
+                    continue
+                nmm = re.match(rb"/([^\s/<>()\[\]{}%]+)\s*", raw[i:])
+                if nmm:
+                    j = i + nmm.end()
+                    props = None
+                    if raw[j : j + 2] == b"<<":
+                        props = _oracle_dict_at(raw, j)
+                        if props is None:
+                            ok = False
+                            break
+                        j += len(props)
+                    om = re.match(rb"\s*(BDC|BMC)(?![A-Za-z0-9])", raw[j:])
+                    if om:
+                        if om.group(1) == b"BDC" and props is None:
+                            ok = False  # indirect property list
+                            break
+                        if nmm.group(1) == b"Artifact":
+                            entry: object = "artifact"
+                        else:
+                            mm = (
+                                re.search(rb"/MCID\s+(\d+)", props)
+                                if props
+                                else None
+                            )
+                            if mm:
+                                if any(isinstance(e, int) for e in stack):
+                                    ok = False  # nested MCIDs
+                                    break
+                                entry = int(mm.group(1))
+                            else:
+                                entry = None
+                        stack.append(entry)
+                        i = j + om.end()
+                        continue
+            mm2 = re.match(rb"(?:Td|TD|Tm)\b|T\*", raw[i:])
+            if mm2:
+                pending_nl = True
+                i += mm2.end()
+                continue
+            if raw[i : i + 3] == b"EMC" and not re.match(
+                rb"[A-Za-z0-9]", raw[i + 3 : i + 4]
+            ):
+                if not stack:
+                    ok = False
+                    break
+                stack.pop()
+                i += 3
+                continue
+            i += 1
+        if not ok or stack:
+            return extract_real_pdf(payload)
+        page_order = order.get(pnum, [])
+        if set(texts) - set(page_order):
+            return extract_real_pdf(payload)  # shown MCID not in the tree
+        seen: set[int] = set()
+        parts: list[str] = []
+        for mcid in page_order:
+            if mcid in seen or mcid not in texts:
+                continue
+            seen.add(mcid)
+            parts.append("".join(texts[mcid]))
+        bodies.append("\n".join(parts))
+        all_text.append(bodies[-1])
+    text = "\n".join(
+        spec.PAGE_MARKER_FMT.format(n=i + 1) + "\n" + body.strip()
+        for i, body in enumerate(bodies)
+    ).strip()
+    needs_ocr = len("".join(all_text).strip()) < spec.OCR_MIN_CHARS
+    return text, needs_ocr
 
 
 def sniff_payload_kind(text: str, tool: str | None = None) -> str:
