@@ -77,6 +77,7 @@ HEADLINE = [
     "q64_form_xobject_pdf_roundtrip",
     "q65_encrypted_objstm_pdf_roundtrip",
     "q66_tagged_pdf_roundtrip",
+    "q67_type3_pdf_roundtrip",
 ]
 
 

@@ -18,9 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .entry_queries_ext7 import (
     PINNED_PAYLOAD_BUILDERS,
     _docs,
+    _page_lines,
     _positioned_items,
     _q58_kdf_seeds,
     _Q49_SQL,
+    _Q55_SQL,
     _ROUNDTRIP_SCHEMA,
     _roundtrip_kernel,
 )
@@ -557,3 +559,41 @@ FROM parts
 EXT8_QUERIES["q66_tagged_pdf_roundtrip"] = q66_tagged_pdf_roundtrip
 _EXT8_ORACLES["q66_tagged_pdf_roundtrip"] = _Q66_SQL
 PINNED_PAYLOAD_BUILDERS["q66_tagged_pdf_roundtrip"] = _payload_q66
+
+
+# ---------------------------------------------------------------------------
+# q67 — TYPE3 (user-defined) FONT round trip under the ORACLE GATE: the
+# q55-family single-page contract over a genuine /Subtype /Type3 font —
+# glyphs are content streams (/CharProcs: wx 0 d0 + path fills, no text
+# ops) and /Encoding /Differences is the ONLY code→glyph map (ISO 32000
+# §9.6.5: Type3 has no built-in encoding) — the old-TeX / fax-overlay /
+# stamp-generator shape. AGL-named characters live at remapped HIGH codes,
+# so a tokenizer ignoring the Differences table would emit high-latin-1
+# garbage; the glyph-proc streams are BT-free, so the oracle's file-order
+# stream walk must skip them as textless while the engine's page-tree
+# walk never follows /CharProcs at all. Per-doc parities rotate Flate
+# compression and the indirect-vs-inline /CharProcs dict. Reuses the
+# q55 SQL twin. Reference parity: the reference renders Type3 through
+# fitz (extract_text.py:27-36); this rung decodes them dependency-free.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q67(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_type3_pdf
+
+    return write_type3_pdf(
+        [_page_lines(doc_id, text)],
+        compress=bool(doc_id % 2),
+        charprocs_ref=doc_id % 3 != 0,
+    )
+
+
+def q67_type3_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q67), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q67_type3_pdf_roundtrip"] = q67_type3_pdf_roundtrip
+_EXT8_ORACLES["q67_type3_pdf_roundtrip"] = _Q55_SQL
+PINNED_PAYLOAD_BUILDERS["q67_type3_pdf_roundtrip"] = _payload_q67

@@ -1507,6 +1507,113 @@ def write_encrypted_objstm_pdf(
     return bytes(out)
 
 
+def write_type3_pdf(
+    pages: list[str], compress: bool = False, charprocs_ref: bool = True,
+) -> bytes:
+    """``write_minimal_pdf`` variant whose font is a genuine /Subtype
+    /Type3 user-defined font (old TeX output, fax overlays, stamp
+    generators): glyphs are CONTENT STREAMS (/CharProcs — `wx 0 d0` plus
+    pure path fills, never text or Do ops) placed through /FontMatrix,
+    and /Encoding /Differences is the ONLY code→glyph map (ISO 32000
+    §9.6.5: Type3 fonts have no built-in encoding). Every AGL-named
+    character moves to a high code exactly like write_differences_pdf
+    (same decode contract on both twins); unnamed characters stay at
+    latin-1 bytes. Glyph procs are BT/Do-free BY CONSTRUCTION (asserted):
+    the oracle's file-order stream walk must skip them as textless, and
+    the engine's page walk never follows /CharProcs at all.
+    ``charprocs_ref`` switches the /CharProcs dict between an indirect
+    object (the common generator layout) and an inline dict."""
+    from .. import spec
+
+    rev: dict[str, str] = {}
+    for name, ch in spec.GLYPH_TO_UNICODE.items():
+        if len(ch) == 1:
+            rev.setdefault(ch, name)
+    charset = sorted({c for p in pages for c in p if c != "\n" and c in rev})
+    used = {ord(c) for p in pages for c in p if ord(c) < 256}
+    free = [b for b in range(0x80, 0x100) if b not in used]
+    remap = {c: b for c, b in zip(charset, free)}
+
+    items = sorted((b, rev[c]) for c, b in remap.items())
+    runs: list[list] = []
+    for b, name in items:
+        if runs and b == runs[-1][0] + len(runs[-1]) - 1:
+            runs[-1].append(name)
+        else:
+            runs.append([b, name])
+    diff_array = "[ " + " ".join(
+        " ".join([str(r[0])] + ["/" + n for n in r[1:]]) for r in runs
+    ) + " ]"
+
+    objs: dict[int, bytes] = {}
+    n = len(pages)
+    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(n))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    next_obj = 5 + 2 * n
+    # one glyph proc per remapped char: width, d0, then a path fill whose
+    # shape deterministically varies per glyph — never BT/Tj/Do
+    proc_refs: list[tuple[str, int]] = []
+    for b, name in items:
+        w = 400 + (b % 7) * 50
+        proc = (
+            f"{w} 0 d0\n"
+            f"{b % 9} 0 m {w} {100 + b % 9} l {w // 2:d} {700 + b} l f"
+        ).encode("latin-1")
+        assert b"BT" not in proc and b"Do" not in proc and b"Tj" not in proc
+        objs[next_obj] = (
+            b"<< /Length %d >>\nstream\n" % len(proc) + proc + b"\nendstream"
+        )
+        proc_refs.append((name, next_obj))
+        next_obj += 1
+    cp_body = (
+        "<< " + " ".join(f"/{nm} {num} 0 R" for nm, num in proc_refs) + " >>"
+    ).encode("latin-1")
+    if charprocs_ref:
+        objs[next_obj] = cp_body
+        cp_val = b"%d 0 R" % next_obj
+        next_obj += 1
+    else:
+        cp_val = cp_body
+    codes = sorted(b for b, _ in items)
+    first, last = (codes[0], codes[-1]) if codes else (0, 0)
+    widths = " ".join(
+        str(400 + (b % 7) * 50) if b in dict(items) else "0"
+        for b in range(first, last + 1)
+    )
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs " + cp_val + b" "
+        + f"/Encoding << /Type /Encoding /Differences {diff_array} >> "
+          f"/FirstChar {first} /LastChar {last} "
+          f"/Widths [{widths}] >>".encode("latin-1")
+    )
+    objs[4] = b"<< /Type /Encoding >>"  # keeps classic numbering stable
+
+    def encode_line(line: str) -> str:
+        return "".join(chr(remap[c]) if c in remap else c for c in line)
+
+    for i, text in enumerate(pages):
+        page_num, cont_num = 5 + 2 * i, 6 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode("latin-1")
+        remapped = "\n".join(encode_line(l) for l in text.split("\n"))
+        data = _content_stream(remapped, tj_arrays=False)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    return _assemble_classic(objs)
+
+
 def write_tagged_pdf(
     pages: list[list[tuple[float, float, str]]],
     compress: bool = False,

@@ -895,9 +895,19 @@ def _oracle_font_maps(data: bytes, enc_key: bytes | None):
                 continue
             enc_seg = body
             em = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", body)
+            dm = re.search(rb"(?<![A-Za-z])/Encoding\s*<<", body)
             if em:
                 enc_seg = _oracle_obj_body(data, int(em.group(1))) or b""
-            nm = re.search(rb"/Encoding\s*/([A-Za-z][A-Za-z0-9]*)", body)
+            elif dm:
+                # inline encoding DICT: limit the scan to it, so a
+                # spec-recommended `/Type /Encoding` inside the dict can't
+                # read as a named base encoding (`/Encoding /Differences`)
+                enc_seg = body[dm.start():]
+            nm = (
+                None
+                if (em or dm)
+                else re.search(rb"/Encoding\s*/([A-Za-z][A-Za-z0-9]*)", body)
+            )
             bm = re.search(rb"/BaseEncoding\s*/([A-Za-z][A-Za-z0-9]*)", enc_seg)
             # an indirect /Encoding object may be a BARE name
             nm2 = (
