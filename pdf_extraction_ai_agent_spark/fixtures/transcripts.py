@@ -260,18 +260,23 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
 
     The CARRIER mixes all the tokenizer's real-PDF shapes (round-5
     ROADMAP 6 — the golden per-turn-equality corpus soaks the whole
-    matrix end-to-end through the batch kernel): classic xref (50%),
-    PDF 1.5 ObjStm + xref streams (~15%), standard-handler encryption
-    (~15%, RC4 V1/R2 / V2/R3 and AESV2 V4/R4), and CID-keyed Type0
-    fonts with ToUnicode CMaps (~10%) / simple-font /Differences remaps
-    (~10%) — both text-block pages (remapped shows carry no
-    positioned-items mode)."""
+    matrix end-to-end through the batch kernel): classic xref (~35%),
+    TAGGED classic files (~15% — BDC/EMC marked content + structure
+    tree; extract_turn reads them GEOMETRICALLY, so the marked-content
+    ops must be transparent to both positioned walks), PDF 1.5 ObjStm +
+    xref streams (~15%), standard-handler encryption (~15%, RC4 V1/R2 /
+    V2/R3, AESV2 V4/R4 and AES-256 V5/R6), CID-keyed Type0 fonts with
+    ToUnicode CMaps (~10%), and simple-font /Differences remaps (~5%) /
+    Type3 user-defined fonts (~5%) — the remapped-show carriers use
+    text-block pages only (no positioned-items mode)."""
     from .minipdf import (
         write_cid_pdf,
         write_differences_pdf,
         write_encrypted_pdf,
         write_minimal_pdf,
         write_objstm_pdf,
+        write_tagged_pdf,
+        write_type3_pdf,
     )
 
     carrier = rng.random()  # drawn FIRST so page-shape draws stay aligned
@@ -313,11 +318,17 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
                     y -= PDF_LEADING * 2  # ≥ PDF_PARA_GAP → blank line
                 rng.shuffle(items)  # emit out of reading order
                 pages.append(items)
-    if carrier >= 0.9 and not near_empty:
+    if carrier >= 0.95 and not near_empty:
         data = write_differences_pdf(
             pages,
             compress=rng.random() < 0.5,
             encoding_ref=rng.random() < 0.5,
+        )
+    elif carrier >= 0.9 and not near_empty:
+        data = write_type3_pdf(
+            pages,
+            compress=rng.random() < 0.5,
+            charprocs_ref=rng.random() < 0.5,
         )
     elif carrier >= 0.8 and not near_empty:
         data = write_cid_pdf(
@@ -337,6 +348,32 @@ def _real_pdf_payload(rng: random.Random, near_empty: bool = False) -> str:
         )
     elif carrier >= 0.5:
         data = write_objstm_pdf(pages, compress=rng.random() < 0.5)
+    elif carrier >= 0.35:
+        # tagged classic file: every line becomes a marked-content
+        # paragraph; string pages synthesize positions (blank line →
+        # ≥PDF_PARA_GAP y gap), positioned pages reuse their items. The
+        # structure tree records the PRE-SORT emission order; geometric
+        # extraction (what extract_turn does) is order-independent.
+        tagged_pages = []
+        for page in pages:
+            if isinstance(page, str):
+                t_items, y = [], 720.0
+                for line in page.split("\n"):
+                    if not line:
+                        y -= PDF_LEADING * 2
+                        continue
+                    t_items.append((72.0 + rng.randint(0, 9), y, line))
+                    y -= PDF_LEADING
+                tagged_pages.append(t_items or [(72.0, 720.0, page)])
+            else:
+                tagged_pages.append([(x, y, s) for _tag, x, y, s in page])
+        data = write_tagged_pdf(
+            tagged_pages,
+            compress=rng.random() < 0.5,
+            artifact="Page 1" if rng.random() < 0.5 else None,
+            nest_sections=rng.random() < 0.3,
+            mcr_kids=rng.random() < 0.3,
+        )
     else:
         data = write_minimal_pdf(
             pages, compress=rng.random() < 0.5, tj_arrays=rng.random() < 0.5,

@@ -471,13 +471,17 @@ def test_real_pdf_golden_no_optional_libs(spark):
     from pdf_extraction_ai_agent_spark.oracle import extract_turn_frame
     from pdf_extraction_ai_agent_spark.plans.pipeline import extract_pipeline
 
-    pdf = generate_transcripts(n_convs=30, seed=7, skew=False, include_real_pdf=True)
+    pdf = generate_transcripts(n_convs=60, seed=7, skew=False, include_real_pdf=True)
     n_real = (pdf["text"].str.startswith("%PDF-1.")).sum()
     assert n_real >= 5  # the mix must actually exercise the new kind
-    # round 5: the carrier mix must cover the whole tokenizer matrix —
-    # classic xref, ObjStm/xref streams, RC4 + AESV2 encryption, CID fonts
+    # rounds 5-6: the carrier mix must cover the whole tokenizer matrix —
+    # classic xref, ObjStm/xref streams, RC4 + AESV2 encryption, CID fonts,
+    # /Differences remaps, tagged structure trees and Type3 fonts
     texts = pdf["text"]
-    for token in ("/ObjStm", "/Encrypt", "/AESV2", "/Type0", "/Differences"):
+    for token in (
+        "/ObjStm", "/Encrypt", "/AESV2", "/Type0", "/Differences",
+        "/StructTreeRoot", "/Type3",
+    ):
         assert texts.str.contains(token, regex=False).any(), token
 
     got = (
