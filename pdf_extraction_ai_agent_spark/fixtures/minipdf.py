@@ -414,6 +414,7 @@ def _std_security_values(
 def write_encrypted_pdf(
     pages: list, owner_pwd: bytes = b"", user_pwd: bytes = b"",
     permissions: int = -44, revision: int = 2,
+    plain: bytes | None = None,
 ) -> bytes:
     """``write_minimal_pdf`` variant encrypted with the PDF STANDARD
     security handler (``user_pwd`` defaults to empty — the ubiquitous
@@ -429,10 +430,17 @@ def write_encrypted_pdf(
     key (AESV2 payloads get an IV prefix + PKCS#7 padding); the /Encrypt
     dict and /ID land in the trailer. pdftext.py's rung decrypts these
     dependency-free; a user password outside its candidate book makes
-    the rung bail to the library chain."""
+    the rung bail to the library chain.
+
+    ``plain`` encrypts an ALREADY-ASSEMBLED classic file instead of
+    building one from ``pages`` (any `_assemble_classic`-layout bytes —
+    e.g. a tagged write_tagged_pdf file, whose structure-tree objects are
+    dict-only and stay plaintext while its content streams encrypt);
+    ``pages`` then only sizes the deterministic /ID and R6 salts."""
     import hashlib
 
-    plain = write_minimal_pdf(pages)
+    if plain is None:
+        plain = write_minimal_pdf(pages)
     file_id = hashlib.md5(b"spark-extract-fixture" + bytes(len(pages))).digest()
     key, enc_dict = _std_security_values(
         owner_pwd, user_pwd, permissions, revision, file_id, len(pages)

@@ -115,6 +115,66 @@ def test_out_of_scope_tagging_falls_back_identically():
         assert etext.splitlines()[1] == "Part two"
 
 
+def test_encrypted_tagged_pdf_twins():
+    """Encryption composes with tagging: content streams encrypt under
+    the standard handler while the structure tree (dict-only objects)
+    stays plaintext — both twins decrypt, then order logically, across
+    RC4 V1/R2 and AESV2 V4/R4."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        write_encrypted_pdf,
+    )
+
+    plain = write_tagged_pdf([TWO_COL], artifact="Page 1 of 9")
+    for revision in (2, 4):
+        pdf = write_encrypted_pdf(
+            [TWO_COL], owner_pwd=b"own-7", revision=revision, plain=plain
+        )
+        assert b"/Encrypt" in pdf and b"Part two" not in pdf  # ciphertext
+        etext, eocr = extract_tagged_pdf_text(pdf)
+        otext, oocr = extract_tagged_pdf(pdf.decode("latin-1"))
+        assert (etext, eocr) == (otext, oocr), revision
+        assert etext == "--- PAGE 1 ---\n" + LOGICAL
+        assert "Page 1 of 9" not in etext
+
+
+def test_tagged_pdf_property_roundtrip():
+    """Randomized twin identity: arbitrary paragraph grids (1–2 pages,
+    1–6 paragraphs, random two-column x/y placement, random tree shape,
+    compression and artifact) extract in exactly the input (logical)
+    order on BOTH twins."""
+    import random
+
+    rng = random.Random(20260818)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    for trial in range(40):
+        pages = []
+        for _ in range(rng.randint(1, 2)):
+            items = []
+            # distinct y per paragraph (>PDF_Y_TOL apart) so the geometric
+            # order is well-defined; logical order is the emission order
+            ys = rng.sample(range(200, 760, 8), rng.randint(1, 6))
+            for y in ys:
+                x = rng.choice([72, 320])
+                txt = " ".join(rng.sample(words, rng.randint(1, 3)))
+                items.append((x, float(y), txt))
+            pages.append(items)
+        pdf = write_tagged_pdf(
+            pages,
+            compress=rng.random() < 0.5,
+            artifact="pg" if rng.random() < 0.5 else None,
+            nest_sections=rng.random() < 0.3,
+            mcr_kids=rng.random() < 0.3,
+        )
+        etext, eocr = extract_tagged_pdf_text(pdf)
+        otext, oocr = extract_tagged_pdf(pdf.decode("latin-1"))
+        assert (etext, eocr) == (otext, oocr), trial
+        want = "\n".join(
+            f"--- PAGE {i + 1} ---\n" + "\n".join(t for _, _, t in items)
+            for i, items in enumerate(pages)
+        ).strip()
+        assert etext == want, (trial, etext, want)
+
+
 def test_tagged_pdf_unmarked_but_structured_is_geometric():
     """/StructTreeRoot present but /MarkInfo missing/false → not usably
     tagged; both twins stay geometric (ISO 32000 requires Marked true)."""
