@@ -676,18 +676,25 @@ PINNED_PAYLOAD_BUILDERS = {
 }
 
 
-def _pinned_extract_kernel():
+def _pinned_extract_kernel(tagged: bool = False):
     """(doc_id, pdf) batches -> (doc_id, extracted_text, needs_ocr): the
-    extraction half of the roundtrip kernels, over pre-materialized bytes."""
+    extraction half of the roundtrip kernels, over pre-materialized bytes.
+    ``tagged`` swaps in the tagged-PDF rung (q66 measures the logical-
+    order path it ships, not geometric extraction of the same bytes)."""
     import pandas as pd
 
-    from .operators.extract import extract_real_pdf_text
+    from .operators.extract import (
+        extract_real_pdf_text,
+        extract_tagged_pdf_text,
+    )
+
+    fn = extract_tagged_pdf_text if tagged else extract_real_pdf_text
 
     def kernel(batches):
         for b in batches:
             rows = []
             for doc_id, payload in zip(b["doc_id"], b["pdf"]):
-                t, ocr = extract_real_pdf_text(bytes(payload))
+                t, ocr = fn(bytes(payload))
                 rows.append((int(doc_id), t, ocr))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "extracted_text", "needs_ocr"]
@@ -713,7 +720,9 @@ def pinned_queries() -> dict:
                 .select("doc_id", "pdf")
                 .repartition(spark.sparkContext.defaultParallelism)
             )
-            base = _pinned_extract_kernel()
+            base = _pinned_extract_kernel(
+                tagged=(name == "q66_tagged_pdf_roundtrip")
+            )
             if name == "q58_aes256_pdf_roundtrip":
                 from .operators import pdftext
 
