@@ -1515,6 +1515,36 @@ def write_encrypted_objstm_pdf(
     return bytes(out)
 
 
+def make_hybrid_reference(classic: bytes) -> bytes:
+    """HYBRID-REFERENCE form (ISO 32000 §7.5.8.4 — the Acrobat 6 compat
+    shape): a classic-xref file gains an xref STREAM object describing the
+    same objects, and the classic trailer points at it via /XRefStm.
+    Readers that understand xref streams follow /XRefStm; older readers
+    use the classic table. Both twins scan object headers directly, so a
+    hybrid must extract bit-identically to its classic source."""
+    import struct
+
+    objs = {
+        int(m.group(1)): m.start()
+        for m in re.finditer(rb"(\d+) 0 obj\b", classic)
+    }
+    xref_num = max(objs) + 1
+    size = xref_num + 1
+    rows = [b"\x00\x00\x00\x00\xff"]
+    for n in range(1, size):
+        rows.append(bytes([1]) + struct.pack(">I", objs.get(n, 0))[1:] + b"\x00")
+    z = zlib.compress(b"".join(rows))
+    at = classic.rfind(b"trailer")
+    xobj = (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 1] /Index [0 %d] "
+        b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (xref_num, size, size, len(z))
+        + z + b"\nendstream\nendobj\n"
+    )
+    hybrid = classic[:at] + xobj + classic[at:]
+    return hybrid.replace(b"/Size ", b"/XRefStm %d /Size " % at, 1)
+
+
 def write_type3_pdf(
     pages: list[str], compress: bool = False, charprocs_ref: bool = True,
 ) -> bytes:

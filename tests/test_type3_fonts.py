@@ -65,3 +65,32 @@ def test_type3_multipage():
     assert etext == otext
     assert "--- PAGE 2 ---" in etext
     assert "Claim C9" in etext
+
+
+def test_hybrid_reference_files_extract_like_classic():
+    """Hybrid-reference form (ISO 32000 §7.5.8.4 — classic xref + an xref
+    STREAM the trailer names via /XRefStm, Acrobat's compat shape): both
+    twins extract a hybrid bit-identically to its classic source, across
+    plain / compressed / tagged / Type3 carriers."""
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import (
+        make_hybrid_reference,
+        write_minimal_pdf,
+        write_tagged_pdf,
+    )
+
+    carriers = [
+        write_minimal_pdf([BODY]),
+        write_minimal_pdf([BODY], compress=True, tj_arrays=True),
+        write_type3_pdf([BODY], compress=True),
+        write_tagged_pdf(
+            [[(72, 720, "Claim C1"), (320, 730, "Part two")]],
+            artifact="pg",
+        ),
+    ]
+    for classic in carriers:
+        hybrid = make_hybrid_reference(classic)
+        assert b"/XRefStm" in hybrid
+        assert extract_real_pdf_text(hybrid) == extract_real_pdf_text(classic)
+        assert extract_real_pdf(hybrid.decode("latin-1")) == extract_real_pdf(
+            classic.decode("latin-1")
+        )
