@@ -78,6 +78,7 @@ HEADLINE = [
     "q65_encrypted_objstm_pdf_roundtrip",
     "q66_tagged_pdf_roundtrip",
     "q67_type3_pdf_roundtrip",
+    "q68_hybrid_pdf_roundtrip",
 ]
 
 

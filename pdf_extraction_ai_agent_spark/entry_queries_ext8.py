@@ -597,3 +597,36 @@ def q67_type3_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT8_QUERIES["q67_type3_pdf_roundtrip"] = q67_type3_pdf_roundtrip
 _EXT8_ORACLES["q67_type3_pdf_roundtrip"] = _Q55_SQL
 PINNED_PAYLOAD_BUILDERS["q67_type3_pdf_roundtrip"] = _payload_q67
+
+
+# ---------------------------------------------------------------------------
+# q68 — HYBRID-REFERENCE file round trip under the ORACLE GATE: the q49
+# positioned-page contract where every payload is the Acrobat 6 compat
+# layout (ISO 32000 §7.5.8.4) — a classic xref table PLUS an xref STREAM
+# object the trailer names via /XRefStm, describing the same objects.
+# Both twins resolve objects by scanning headers (never xref offsets), so
+# the hybrid must extract identically to its classic source; odd docs
+# Flate-compress the content stream. Reuses the q49 SQL twin. Reference
+# parity: pdfplumber/pypdf follow /XRefStm natively (extract_text.py:39).
+# ---------------------------------------------------------------------------
+
+
+def _payload_q68(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import make_hybrid_reference, write_minimal_pdf
+
+    return make_hybrid_reference(
+        write_minimal_pdf(
+            [_positioned_items(doc_id, text)], compress=bool(doc_id % 2)
+        )
+    )
+
+
+def q68_hybrid_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q68), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+EXT8_QUERIES["q68_hybrid_pdf_roundtrip"] = q68_hybrid_pdf_roundtrip
+_EXT8_ORACLES["q68_hybrid_pdf_roundtrip"] = _Q49_SQL
+PINNED_PAYLOAD_BUILDERS["q68_hybrid_pdf_roundtrip"] = _payload_q68
