@@ -1805,12 +1805,25 @@ def _oracle_dict_at(buf: bytes, start: int) -> bytes | None:
     return None
 
 
+def _oracle_fetch_obj(data: bytes, num: int) -> bytes | None:
+    """_oracle_obj_body with a corrupt-boundary guard: a body that spans
+    ANOTHER object header means this object's `endobj` was damaged and
+    the lazy regex read past it — treat as unresolvable so the tagged
+    path falls back to geometric exactly like the engine's object map
+    (which drops the object at the broken boundary)."""
+    body = _oracle_obj_body(data, num)
+    if body is None or re.search(rb"\d+\s+0\s+obj\b", body):
+        return None
+    return body
+
+
 def _oracle_struct_order(data: bytes) -> dict[int, list[int]] | None:
     """Page-object-number → MCID sequence in STRUCTURE-TREE order (the
     oracle's own depth-first walk over /StructTreeRoot, element bodies
-    fetched by _oracle_obj_body). None when the document isn't usably
+    fetched by _oracle_fetch_obj). None when the document isn't usably
     tagged: /MarkInfo <</Marked true>> absent, root missing, an /OBJR
-    content item, unknown /K item shapes, or recursion past 32 levels."""
+    content item, unknown /K item shapes, a damaged object boundary, or
+    recursion past 32 levels."""
     cat = None
     for m in re.finditer(rb"\d+\s+0\s+obj(.*?)endobj", data, re.S):
         if re.search(rb"/Type\s*/Catalog(?![A-Za-z0-9])", m.group(1)):
@@ -1821,7 +1834,7 @@ def _oracle_struct_order(data: bytes) -> dict[int, list[int]] | None:
     if not mi:
         return None
     if mi.group(2) is not None:
-        mark = _oracle_obj_body(data, int(mi.group(2))) or b""
+        mark = _oracle_fetch_obj(data, int(mi.group(2))) or b""
     else:
         mark = _oracle_dict_at(cat, mi.start(1)) or b""
     if not re.search(rb"/Marked\s+true(?![A-Za-z0-9])", mark):
@@ -1829,7 +1842,7 @@ def _oracle_struct_order(data: bytes) -> dict[int, list[int]] | None:
     rootm = re.search(rb"/StructTreeRoot\s+(\d+)\s+0\s+R", cat)
     if not rootm:
         return None
-    root = _oracle_obj_body(data, int(rootm.group(1)))
+    root = _oracle_fetch_obj(data, int(rootm.group(1)))
     if root is None:
         return None
     order: dict[int, list[int]] = {}
@@ -1894,7 +1907,7 @@ def _oracle_struct_order(data: bytes) -> dict[int, list[int]] | None:
                 if not handle_dict(it, pg, depth):
                     return False
             elif b"R" in it:
-                child = _oracle_obj_body(data, int(it.split()[0]))
+                child = _oracle_fetch_obj(data, int(it.split()[0]))
                 if child is None or not handle_dict(child, pg, depth):
                     return False
             else:
