@@ -74,6 +74,23 @@ def _release_then(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[Spa
     return wrapped
 
 
+def _rotate(names: list[str]) -> list[str]:
+    """Registration order for the driver's correctness gate.
+
+    The driver records oracle rows for the FIRST 50 queries in registration
+    order only.  Rounds 1-6 registered q01..q68 ascending, so q51-q68 (the
+    real-PDF carrier matrix) never received a driver-recorded row — only
+    builder/judge selfcheck evidence (VERDICT r6, next-round item 1).
+    Rotate: newest families first, then the mid pack, then the core pack
+    (driver-green in every previous round).  Every family lands in the
+    driver's first 50 at least once across two consecutive rounds.
+    """
+    newest = [n for n in names if n >= "q51"]          # r5/r6 carrier matrix
+    mid = [n for n in names if "q33" <= n < "q51"]     # r3/r4 pack
+    core = [n for n in names if n < "q33"]             # r1/r2 pack
+    return newest + mid + core
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries import CORE_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext import EXT_QUERIES
@@ -88,7 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
               **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES,
               **EXT8_QUERIES}
-    return {name: _release_then(fn) for name, fn in merged.items()}
+    return {name: _release_then(merged[name]) for name in _rotate(sorted(merged))}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -102,9 +119,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import ext7_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext8 import ext8_oracles
 
-    return {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
-            **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles(),
-            **ext8_oracles()}
+    merged = {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
+              **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles(),
+              **ext8_oracles()}
+    # mirror queries()'s rotation so side-by-side iteration pairs up
+    return {name: merged[name] for name in _rotate(sorted(merged))}
 
 def pinned_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name -> (spark, pinned_parquet_path) -> DataFrame: extraction-only
