@@ -755,9 +755,10 @@ def _encryption_key(
     always tried first, then each candidate in order — Algorithm 4/5
     (R≤4) / 2.B /U validation (R6) picks the first that opens the file.
     The trailer fields (/Encrypt, /ID) come from the last classic
-    trailer or, when absent there, the last xref STREAM dict (the
-    modern trailer-less layout; the caller re-expands ObjStm containers
-    once the key exists). Raises _UnsupportedEncryption for every other
+    trailer or, when NO classic trailer exists at all, the last xref
+    STREAM dict (the modern trailer-less layout; the caller re-expands
+    ObjStm containers once the key exists) — a classic trailer without
+    /Encrypt means NOT encrypted even if a stale xref stream carries one. Raises _UnsupportedEncryption for every other
     configuration (non-StdCF crypt filters, /EncryptMetadata false on
     V4, a user password outside the book, owner-password-only
     knowledge, malformed /Encrypt).
@@ -768,11 +769,16 @@ def _encryption_key(
 
     t_at = data.rfind(b"trailer")
     td = _dict_of(data[t_at:]) if t_at >= 0 else b""
-    if b"/Encrypt" not in td:
+    if t_at < 0:
         # modern layout (PDF 1.6+, today's Acrobat default): the xref
         # STREAM dict carries the trailer fields — take the LAST /XRef
         # in file order (newest incremental revision); the xref stream
-        # itself is never encrypted (ISO 32000 §7.5.8.2)
+        # itself is never encrypted (ISO 32000 §7.5.8.2). Only consulted
+        # when NO classic trailer exists at all: ISO 32000 precedence says
+        # the newest trailer governs, so a stale xref stream still naming
+        # /Encrypt must not re-encrypt a file whose current trailer
+        # dropped it (RC4 'decrypting' plaintext streams would emit
+        # garbage — wrong text must never beat no text).
         for body in objs.values():
             if b"/XRef" not in body or b"/Encrypt" not in body:
                 continue
@@ -871,13 +877,26 @@ def aesv3_kdf_salts(data: bytes) -> bytes | None:
     V5/R6 AES-256 standard-handler file, or None. A CHEAP single-purpose
     parse (trailer → /Encrypt object → /U) for the distributed KDF
     pre-pass — it never runs Algorithm 2.B itself, and a wrong/missing
-    answer only costs a cache miss (the extract rung re-derives)."""
+    answer only costs a cache miss (the extract rung re-derives).
+    Mirrors _encryption_key's trailer precedence: the last classic
+    trailer when one exists, else the last xref STREAM dict (the modern
+    trailer-less layout, q65 shape)."""
     if not data.startswith(b"%PDF-") or b"/Encrypt" not in data:
         return None
     t_at = data.rfind(b"trailer")
+    td = _dict_of(data[t_at:]) if t_at >= 0 else b""
     if t_at < 0:
-        return None
-    td = _dict_of(data[t_at:])
+        # trailer-less layout: the LAST /XRef stream dict carrying
+        # /Encrypt governs (C substring prefilter before the _dict_of
+        # char walk — see the per-object-walk gotcha)
+        for om in _OBJ_START_RE.finditer(data):
+            end = data.find(b"endobj", om.end())
+            body = data[om.end(): end if end >= 0 else len(data)]
+            if b"/XRef" not in body or b"/Encrypt" not in body:
+                continue
+            d2 = _dict_of(body)
+            if b"/XRef" in d2 and b"/Type" in d2 and b"/Encrypt" in d2:
+                td = d2
     if b"/Encrypt" not in td:
         return None
     m = _REF_RE.search(_value_of(td, b"/Encrypt"))
@@ -896,16 +915,23 @@ def aesv3_kdf_salts(data: bytes) -> bytes | None:
     return u_val[32:48]
 
 
-def kdf_seed_for_salts(salt16: bytes) -> dict[tuple[bytes, bytes, bytes], bytes]:
+def kdf_seed_for_salts(
+    salt16: bytes, passwords: tuple[bytes, ...] = ()
+) -> dict[tuple[bytes, bytes, bytes], bytes]:
     """Algorithm 2.B entries for one 16-byte (validation ‖ key) salt pair
-    under the EMPTY user password — the two hashes _encryption_key's V5/R6
-    branch needs. Computed with the engine's OWN _hash_2b_compute (twin
-    independence holds: this only relocates where the engine's KDF runs)."""
+    under the empty user password AND every candidate in ``passwords``
+    (the pipeline's password book, spec.KNOWN_USER_PASSWORDS) — the
+    hashes _encryption_key's V5/R6 validation loop tries in order, so a
+    book-locked file costs the workers zero KDF calls too. Computed with
+    the engine's OWN _hash_2b_compute (twin independence holds: this only
+    relocates where the engine's KDF runs)."""
     v, k = bytes(salt16[:8]), bytes(salt16[8:16])
-    return {
-        (b"", v, b""): _hash_2b_compute(b"", v),
-        (b"", k, b""): _hash_2b_compute(b"", k),
-    }
+    out: dict[tuple[bytes, bytes, bytes], bytes] = {}
+    for pwd in (b"",) + tuple(passwords):
+        pwd = pwd[:127]  # mirror _encryption_key's ISO 32000-2 truncation
+        out[(pwd, v, b"")] = _hash_2b_compute(pwd, v)
+        out[(pwd, k, b"")] = _hash_2b_compute(pwd, k)
+    return out
 
 
 def _asciihex_decode(raw: bytes) -> bytes | None:

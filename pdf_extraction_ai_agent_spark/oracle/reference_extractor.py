@@ -595,13 +595,20 @@ def _oracle_encryption_key(data: bytes) -> bytes | None:
     import struct as _struct
 
     t = data.rfind(b"trailer")
-    trailer = data[t:] if t >= 0 and b"/Encrypt" in data[t:] else b""
-    if not trailer:
+    # bound the slice at the following startxref so /Encrypt detection
+    # sees only the trailer region, not appended objects / document text
+    t_end = data.find(b"startxref", t) if t >= 0 else -1
+    tseg = data[t : t_end if t_end >= 0 else len(data)] if t >= 0 else b""
+    trailer = tseg if b"/Encrypt" in tseg else b""
+    if not trailer and t < 0:
         # modern layout: the trailer fields live in an xref STREAM's dict
         # (never itself encrypted). The /XRef and /Encrypt tokens must
         # co-occur within a SINGLE object body — the two merely appearing
         # somewhere in document text must not trigger the branch; the
-        # LAST such object in file order is the newest revision.
+        # LAST such object in file order is the newest revision. Only
+        # consulted when NO classic trailer exists at all (ISO 32000
+        # precedence: the newest trailer governs — a stale xref stream
+        # must not re-encrypt a file whose trailer dropped /Encrypt).
         for om in re.finditer(rb"\d+\s+0\s+obj(.*?)endobj", data, re.S):
             if b"/XRef" in om.group(1) and b"/Encrypt" in om.group(1):
                 trailer = om.group(1)
@@ -1946,11 +1953,18 @@ def extract_tagged_pdf(payload: str) -> tuple[str, bool]:
     enc_key = _oracle_encryption_key(data)
     font_maps, strict_fonts = _oracle_font_maps(data, enc_key)
 
+    # last-wins by object number (matches the engine's object-map
+    # semantics): an append-save that re-emits a page object must yield
+    # that page ONCE, at its first-seen position, with the newest body
+    # governing content lookups (_oracle_obj_body already reads the last
+    # definition) — not twice in the reading order.
     page_nums = []
     for m in re.finditer(rb"(\d+)\s+0\s+obj(.*?)endobj", data, re.S):
         body = m.group(2)
         if re.search(rb"/Type\s*/Page(?![A-Za-z0-9])", body):
-            page_nums.append(int(m.group(1)))
+            n = int(m.group(1))
+            if n not in page_nums:
+                page_nums.append(n)
     if not page_nums:
         return extract_real_pdf(payload)
 

@@ -73,7 +73,11 @@ def _max_conv_rows(transcripts: DataFrame) -> int:
     return int(row.mx or 0)
 
 
-def precompute_kdf_seed(transcripts: DataFrame, text_col: str = "text") -> dict:
+def precompute_kdf_seed(
+    transcripts: DataFrame,
+    text_col: str = "text",
+    passwords: tuple[bytes, ...] | None = None,
+) -> dict:
     """AES-256 KDF pre-stage (round-6 verdict item 1).
 
     ISO 32000-2 Algorithm 2.B is ~1s/call pure Python BY DESIGN, and its
@@ -88,8 +92,20 @@ def precompute_kdf_seed(transcripts: DataFrame, text_col: str = "text") -> dict:
     (with_extraction(kdf_seed=...)). At 100 TB the map is bounded by the
     number of DISTINCT encrypt dicts, not files — the collect is safe, and
     extract workers then do only AES-CBC, never the KDF. Misses still
-    re-derive in-worker, so the seed is a pure cache."""
+    re-derive in-worker, so the seed is a pure cache.
+
+    ``passwords`` (default spec.KNOWN_USER_PASSWORDS) extends the seed to
+    the pipeline's candidate user-password book: _encryption_key's V5/R6
+    validation loop tries the empty password then each candidate in
+    order, so a book-locked file would otherwise re-pay ~1s/KDF per
+    candidate per worker — exactly the trap the pre-pass exists to kill."""
+    from .. import spec
     from ..operators.pdftext import aesv3_kdf_salts, kdf_seed_for_salts
+
+    pwds = tuple(
+        p[:127] for p in
+        ((b"",) + tuple(spec.KNOWN_USER_PASSWORDS if passwords is None else passwords))
+    )
 
     @F.pandas_udf("binary")
     def _salts(t: pd.Series) -> pd.Series:
@@ -99,12 +115,14 @@ def precompute_kdf_seed(transcripts: DataFrame, text_col: str = "text") -> dict:
         )
 
     @F.pandas_udf("binary")
-    def _kdf_pair(s: pd.Series) -> pd.Series:
-        # validation-salt hash ‖ key-salt hash, 64 bytes
-        def both(b) -> bytes:
-            d = kdf_seed_for_salts(bytes(b))
-            return d[(b"", bytes(b)[:8], b"")] + d[(b"", bytes(b)[8:16], b"")]
-        return s.map(both)
+    def _kdf_pack(s: pd.Series) -> pd.Series:
+        # per password: validation-salt hash ‖ key-salt hash (64 bytes),
+        # packed in book order → len(pwds) × 64 bytes total
+        def pack(b) -> bytes:
+            d = kdf_seed_for_salts(bytes(b), pwds[1:])
+            v, k = bytes(b)[:8], bytes(b)[8:16]
+            return b"".join(d[(p, v, b"")] + d[(p, k, b"")] for p in pwds)
+        return s.map(pack)
 
     rows = (
         transcripts.select(F.col(text_col).alias("t"))
@@ -112,14 +130,15 @@ def precompute_kdf_seed(transcripts: DataFrame, text_col: str = "text") -> dict:
         .select(_salts("t").alias("s"))
         .filter(F.col("s").isNotNull())
         .distinct()
-        .select("s", _kdf_pair("s").alias("h"))
+        .select("s", _kdf_pack("s").alias("h"))
         .collect()
     )
     seed: dict = {}
     for r in rows:
         s, h = bytes(r["s"]), bytes(r["h"])
-        seed[(b"", s[:8], b"")] = h[:32]
-        seed[(b"", s[8:16], b"")] = h[32:64]
+        for i, p in enumerate(pwds):
+            seed[(p, s[:8], b"")] = h[i * 64 : i * 64 + 32]
+            seed[(p, s[8:16], b"")] = h[i * 64 + 32 : i * 64 + 64]
     return seed
 
 
@@ -141,7 +160,7 @@ def extract_pipeline(
     salt_buckets: int | str = DEFAULT_SALT_BUCKETS,
     observation=None,
     max_conv_rows: int | None = None,
-    kdf_seed: dict | bool | None = True,
+    kdf_seed: dict | bool | None = None,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -158,11 +177,16 @@ def extract_pipeline(
     snapshot — plans/lineage.py cached_max_conv_rows); ignored unless
     ``salt_buckets='auto'``.
 
-    ``kdf_seed``: True (default) runs precompute_kdf_seed on this input so
-    AES-256 payloads never re-pay the Algorithm 2.B KDF per worker; a dict
-    reuses a seed the caller derived once for the whole input (the
-    resumable job does this — jobs/run_extraction.py); False/None skips
-    the pre-pass entirely (corpora known to carry no encrypted PDFs).
+    ``kdf_seed``: None (default) keeps plan construction side-effect-free —
+    no eager pre-pass, no second scan of the text column; AES-256 misses
+    derive Algorithm 2.B in-worker on first touch and memoize per worker
+    (pdftext lru_cache), bounding the cost at (distinct encrypt dicts ×
+    workers) instead of per file. True opts into the eager
+    precompute_kdf_seed pre-pass (worth it only when the corpus is known
+    to carry V5/R6 PDFs AND the caller runs ONE big batch — the extra
+    full-text scan amortizes); a dict reuses a seed the caller derived
+    once for the whole input (the resumable job does this —
+    jobs/run_extraction.py, the right shape at 100 TB).
 
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
