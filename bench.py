@@ -281,9 +281,11 @@ def _baseline_worktree() -> tuple[str, str] | None:
 def _pinned_corpus_dir() -> tuple[str, list[str]] | None:
     """Materialize the roundtrip payload corpora ONCE from HEAD's fixture
     generators (round-6 verdict item 2) so both A/B arms extract identical
-    bytes. Keyed by HEAD sha — a re-run within the same commit reuses the
-    parquet; a new commit re-pins (its generators may differ). Returns
-    (dir, pinned_names) or None (→ arms fall back to live generators)."""
+    bytes. Keyed by HEAD sha PLUS a dirty-tree marker (advice r6 #5): a
+    worktree with locally modified generators must not silently reuse the
+    corpus pinned for the clean sha — the bytes would no longer match the
+    tree under test. Clean re-runs within the same commit still reuse the
+    parquet. Returns (dir, pinned_names) or None (→ live generators)."""
     here = os.path.dirname(os.path.abspath(__file__))
     names = [n for n in HEADLINE if n.endswith("_pdf_roundtrip")]
     if not names:
@@ -295,7 +297,20 @@ def _pinned_corpus_dir() -> tuple[str, list[str]] | None:
         ).stdout.strip()
         if not sha:
             return None
-        out_dir = os.path.join(here, ".bench_cache", f"pinned_{sha[:12]}")
+        tag = sha[:12]
+        # diff covers tracked edits; porcelain adds untracked new modules
+        dirty = "".join(
+            subprocess.run(
+                ["git"] + args + ["--", "pdf_extraction_ai_agent_spark"],
+                capture_output=True, text=True, cwd=here, timeout=60,
+            ).stdout
+            for args in (["diff", "HEAD"], ["status", "--porcelain"])
+        )
+        if dirty:
+            import hashlib as _hashlib
+
+            tag += "_d" + _hashlib.sha1(dirty.encode()).hexdigest()[:10]
+        out_dir = os.path.join(here, ".bench_cache", f"pinned_{tag}")
         child = os.path.join(here, "scripts", "bench_pin_corpus.py")
         r = subprocess.run(
             [sys.executable, child, out_dir, SF_DIR, str(CPUS)] + names,
