@@ -331,7 +331,9 @@ PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63
 # Do (pixels must be dropped, not shown) + explicit identity /Matrix /
 # TRANSLATE-ONLY /Matrix placement (form authored at its local origin;
 # the splice re-anchors BT line origins with a synthetic Td and shifts
-# Tm + ruling operands — each twin with its own scanner).
+# Tm + ruling operands — each twin with its own scanner) / 2× SCALE
+# /Matrix (full 2×3 transform of Td operands, r7) / a 90°-ROTATED
+# nested stamp composed under a translated letterhead (r7).
 # The engine splices form streams at the Do site through its chunked
 # regex walk (pdftext._expand_forms: identity-matrix forms only, no cm,
 # no Do inside BT — anything else bails to the library chain); the
@@ -345,7 +347,31 @@ PINNED_PAYLOAD_BUILDERS["q63_incremental_pdf_roundtrip"] = _payload_q63
 def _payload_q64(doc_id: int, text: str) -> bytes:
     from .fixtures.minipdf import write_form_pdf
 
-    k = doc_id % 4
+    k = doc_id % 6
+    if k == 4:
+        # SCALE placement (r7, r6 verdict item 5): header + stamp authored
+        # at the form-local origin under a 2× /Matrix — the splice runs a
+        # real 2×3 transform of Td operands, so local (0, -8) lands at
+        # page (72, 744), the same geometry as the plain variants
+        return write_form_pdf(
+            [_positioned_items(doc_id, text)],
+            [("text", 0, 0, f"ACME FORM {doc_id % 11}")],
+            sub=[("text", 0, -8, "STAMP approved")],
+            translate=(2, 0, 0, 2, 72, 760),
+            compress=bool(doc_id % 2),
+        )
+    if k == 5:
+        # ROTATED stamp (r7): the nested sub-form carries a 90° /Matrix —
+        # its single run maps through the rotation to (72, 744); the
+        # outer letterhead stays a translate splice (matrices compose)
+        return write_form_pdf(
+            [_positioned_items(doc_id, text)],
+            [("text", 0, 0, f"ACME FORM {doc_id % 11}")],
+            sub=[("text", 0, 0, "STAMP approved")],
+            translate=(72, 760),
+            sub_translate=(0, 1, -1, 0, 0, -16),
+            compress=bool(doc_id % 2),
+        )
     if k == 3:
         # TRANSLATED placement: header/stamp authored at the form-local
         # origin, positioned by a translate-only /Matrix (the per-page
@@ -386,7 +412,7 @@ WITH parts AS (
          'Claim C' || CAST(doc_id AS VARCHAR) AS l1,
          'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
          'Total ' || CAST(doc_id % 97 AS VARCHAR) || '.00' AS l3,
-         doc_id % 4 AS k
+         doc_id % 6 AS k
   FROM documents
 )
 SELECT doc_id,

@@ -1314,8 +1314,8 @@ def write_form_pdf(
     with_image: bool = False,
     compress: bool = False,
     explicit_matrix: bool = False,
-    translate: tuple[float, float] | None = None,
-    sub_translate: tuple[float, float] | None = None,
+    translate: tuple | None = None,
+    sub_translate: tuple | None = None,
 ) -> bytes:
     """Pages whose content invokes a shared /Subtype /Form XObject header
     (`/FmHead Do`) before their own text — the letterhead/stamp shape
@@ -1324,8 +1324,10 @@ def write_form_pdf(
     its own (the ISO 32000 §8.10.1 legacy inherit rule). ``with_image``
     also invokes a /Subtype /Image XObject from each page (pixels — must
     be dropped, not shown). ``explicit_matrix`` writes the identity
-    /Matrix out explicitly. pages/header/sub are _content_stream inputs
-    (item lists or '\\n'-joined strings)."""
+    /Matrix out explicitly. ``translate``/``sub_translate`` take a
+    (tx, ty) shorthand or a full 6-tuple (a b c d e f) form /Matrix
+    (scale / rotation fixtures). pages/header/sub are _content_stream
+    inputs (item lists or '\\n'-joined strings)."""
 
     def _wrap(data: bytes, extra: bytes = b"") -> bytes:
         filt = b""
@@ -1361,9 +1363,11 @@ def write_form_pdf(
         if im is not None:
             content += b"\n/Im0 Do"
         objs[cont_num] = _wrap(content)
-    def _matrix(tr: tuple[float, float] | None) -> bytes:
+    def _matrix(tr: tuple | None) -> bytes:
         if tr is not None:
-            return b"/Matrix [1 0 0 1 %g %g] " % tr
+            if len(tr) == 2:  # (tx, ty) translate shorthand
+                tr = (1, 0, 0, 1) + tuple(tr)
+            return b"/Matrix [%g %g %g %g %g %g] " % tuple(tr)
         return b"/Matrix [1 0 0 1 0 0] " if explicit_matrix else b""
 
     head_res = b"/Font << /F1 3 0 R >>"

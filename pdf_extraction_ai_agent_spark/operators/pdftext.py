@@ -1512,6 +1512,9 @@ _CM_RE = re.compile(rb"(?<![A-Za-z0-9.+\-])cm(?![A-Za-z0-9])")
 _BT_ET_DO_RE = re.compile(rb"(?<![A-Za-z0-9])(BT|ET|Do)(?![A-Za-z0-9])")
 _NUM2_TM_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+Tm(?![A-Za-z0-9]))")
 _NUM2_ML_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+[ml](?![A-Za-z0-9]))")
+_NUM2_TD_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+T[dD](?![A-Za-z0-9]))")
+_NUM1_TL_RE = re.compile(rb"([-+0-9.]+)(\s+TL(?![A-Za-z0-9]))")
+_LEADING_OP_RE = re.compile(rb"(?<![A-Za-z0-9])(?:T\*|TL)(?![A-Za-z0-9])|['\"]")
 _BT_TOKEN_RE = re.compile(rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])")
 
 
@@ -1549,6 +1552,58 @@ def _translate_text_ops(content: bytes, tx: float, ty: float) -> bytes:
     return bytes(out)
 
 
+def _transform_text_ops(
+    content: bytes, a: float, b: float, c: float, d: float,
+    e: float, f: float,
+) -> bytes:
+    """Apply a full affine form /Matrix (scale / rotation — the caller
+    validated column orthogonality; true shear bails there) to spliced
+    form bytes. POSITIONS transform: the BT anchor lands at (e, f), Td/TD
+    deltas map through the linear part, Tm e/f and `x y m`/`x y l` ruling
+    endpoints map through the whole matrix — the (x, y) run model never
+    represents glyph-level rotation/scaling, matching the reference's
+    library chain, which extracts rotated stamps by position
+    (extract_text.py:27-36 via fitz). Leading is a SCALAR in the walks,
+    so `NUM TL` scales by d under pure scale matrices, and any
+    leading-based advance (TL/T*/'/") under a ROTATED matrix bails — its
+    advance direction is unexpressible in rewritten operands."""
+    if (a, b, c, d) == (1.0, 0.0, 0.0, 1.0):
+        return _translate_text_ops(content, e, f)
+    rotated = b != 0.0 or c != 0.0
+    td_anchor = b"BT " + _fmt_coord(e) + b" " + _fmt_coord(f) + b" Td"
+
+    def _abs(m: re.Match) -> bytes:
+        x, y = float(m.group(1)), float(m.group(2))
+        return (_fmt_coord(a * x + c * y + e) + b" "
+                + _fmt_coord(b * x + d * y + f) + m.group(3))
+
+    def _rel(m: re.Match) -> bytes:
+        x, y = float(m.group(1)), float(m.group(2))
+        return (_fmt_coord(a * x + c * y) + b" "
+                + _fmt_coord(b * x + d * y) + m.group(3))
+
+    def _lead(m: re.Match) -> bytes:
+        return _fmt_coord(d * float(m.group(1))) + m.group(2)
+
+    out = bytearray()
+    for is_str, ch in _content_chunks(content):
+        if not is_str:
+            if _CM_RE.search(ch):
+                raise _UnsupportedForm("cm inside a transformed form")
+            if rotated and _LEADING_OP_RE.search(ch):
+                raise _UnsupportedForm(
+                    "leading-based advance inside a rotated form"
+                )
+            ch = _NUM2_TM_RE.sub(_abs, ch)
+            ch = _NUM2_ML_RE.sub(_abs, ch)
+            ch = _NUM2_TD_RE.sub(_rel, ch)
+            if not rotated:
+                ch = _NUM1_TL_RE.sub(_lead, ch)
+            ch = _BT_TOKEN_RE.sub(td_anchor, ch)
+        out += ch
+    return bytes(out)
+
+
 def _expand_forms(
     objs: dict[int, bytes],
     holder_d: bytes,
@@ -1563,8 +1618,12 @@ def _expand_forms(
     the downstream walks see one flat token sequence per page. Modeled
     subset (anything else raises _UnsupportedForm → rung bail):
 
-    - /Subtype /Form with an absent or IDENTITY /Matrix — form space ==
-      page space, so spliced Td/Tm coordinates are already correct;
+    - /Subtype /Form with an absent/identity /Matrix (form space == page
+      space), a translate-only one (byte splice + re-anchor), or a
+      scale/rotation matrix with orthogonal columns (full 2×3 coordinate
+      transform of Td/Tm/ruling operands — _transform_text_ops); true
+      SHEAR or singular matrices bail, and leading-based advance
+      (TL/T*/'/") under a rotated matrix bails;
     - no top-level `cm` in any content that carries a Do (a CTM change
       would reposition the spliced text — positions would be wrong);
     - Do at nesting depth ≤ 8, outside BT…ET blocks, with the name
@@ -1627,7 +1686,7 @@ def _expand_forms(
             if not re.search(rb"/Subtype\s*/Form(?![A-Za-z0-9])", bd):
                 raise _UnsupportedForm("Do of unmodeled XObject subtype")
             mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", bd)
-            tx = ty = 0.0
+            mat = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
             if mm:
                 try:
                     vals = [
@@ -1636,11 +1695,17 @@ def _expand_forms(
                     ]
                 except ValueError:
                     raise _UnsupportedForm("unparsable form /Matrix")
-                # translate-only form space (stamps placed per page);
-                # any rotation/scale/skew is out of the splice's model
-                if len(vals) != 6 or vals[:4] != [1.0, 0.0, 0.0, 1.0]:
-                    raise _UnsupportedForm("non-translate form /Matrix")
-                tx, ty = vals[4], vals[5]
+                if len(vals) != 6:
+                    raise _UnsupportedForm("unparsable form /Matrix")
+                # modeled form space: translate / scale / rotation — the
+                # linear part must have ORTHOGONAL columns (rotation ×
+                # axis scale) and be invertible; true shear or a singular
+                # matrix bails (spliced positions would be wrong)
+                ma, mb, mc, md = vals[:4]
+                if (abs(ma * mc + mb * md) > 1e-9
+                        or abs(ma * md - mb * mc) < 1e-12):
+                    raise _UnsupportedForm("sheared or singular form /Matrix")
+                mat = tuple(vals)
             fraw = _stream_data(body, num=num, enc_key=enc_key)
             if fraw is None:
                 raise _UnsupportedForm("undecodable form stream")
@@ -1649,8 +1714,8 @@ def _expand_forms(
                 objs, bd, fraw, enc_key, form_dicts,
                 inherited_xo=xo, depth=depth + 1,
             )
-            if tx or ty:
-                sub = _translate_text_ops(sub, tx, ty)
+            if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+                sub = _transform_text_ops(sub, *mat)
             out += b"\n" + sub + b"\n"
         out += c[last:]
     return bytes(out)

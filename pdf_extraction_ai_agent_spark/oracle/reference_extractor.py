@@ -1213,19 +1213,26 @@ def _oracle_xobject_names(data: bytes) -> dict[bytes, int]:
     return names
 
 
-def _oracle_form_translation(head: bytes) -> tuple[float, float]:
-    """(tx, ty) of an absent/identity/translate-only form /Matrix; any
-    rotation/scale/skew raises (out of the splice's model)."""
+def _oracle_form_matrix(head: bytes) -> tuple[float, ...]:
+    """The 6-tuple of an absent/identity (→ identity), translate-only,
+    scale, or rotation form /Matrix — the linear part must have
+    ORTHOGONAL columns and a nonzero determinant; true shear or a
+    singular matrix raises (out of the splice's model)."""
     mm = re.search(rb"/Matrix\s*\[([^\]]*)\]", head)
     if not mm:
-        return 0.0, 0.0
+        return (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     try:
         vals = [float(v) for v in mm.group(1).decode("latin-1").split()]
     except ValueError:
         raise RuntimeError("unparsable form /Matrix — out of twin scope")
-    if len(vals) != 6 or vals[:4] != [1.0, 0.0, 0.0, 1.0]:
-        raise RuntimeError("non-translate form /Matrix — out of twin scope")
-    return vals[4], vals[5]
+    if len(vals) != 6:
+        raise RuntimeError("unparsable form /Matrix — out of twin scope")
+    a, b, c, d = vals[:4]
+    if abs(a * c + b * d) > 1e-9 or abs(a * d - b * c) < 1e-12:
+        raise RuntimeError(
+            "sheared or singular form /Matrix — out of twin scope"
+        )
+    return tuple(vals)
 
 
 def _oracle_fmt_coord(v: float) -> bytes:
@@ -1336,6 +1343,140 @@ def _oracle_translate_text(raw: bytes, tx: float, ty: float) -> bytes:
     return bytes(out)
 
 
+def _oracle_transform_text(
+    raw: bytes, a: float, b: float, c: float, d: float, e: float, f: float
+) -> bytes:
+    """Apply a scale/rotation form /Matrix to spliced bytes — the general
+    sibling of _oracle_translate_text (which keeps the translate-only
+    fast path byte-identical): the BT anchor lands at (e, f), Td/TD
+    deltas map through the linear part, Tm e/f and `m`/`l` endpoints map
+    through the whole matrix, `NUM TL` scales by d under pure scale, and
+    any leading-based advance (TL/T*/'/") under a ROTATED matrix raises
+    (its direction is unexpressible in rewritten operands)."""
+    if (a, b, c, d) == (1.0, 0.0, 0.0, 1.0):
+        return _oracle_translate_text(raw, e, f)
+    rotated = b != 0.0 or c != 0.0
+    out = bytearray()
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(raw)
+
+    def rewrite_pair(absolute: bool) -> None:
+        if len(spans) < 2:
+            return  # malformed operand run — both walks keep raw operands
+        (s1, e1), (s2, e2) = spans[-2], spans[-1]
+        x, y = float(bytes(out[s1:e1])), float(bytes(out[s2:e2]))
+        nx = a * x + c * y + (e if absolute else 0.0)
+        ny = b * x + d * y + (f if absolute else 0.0)
+        out[s2:e2] = _oracle_fmt_coord(ny)
+        out[s1:e1] = _oracle_fmt_coord(nx)
+
+    def rewrite_lead() -> None:
+        if spans:
+            s1, e1 = spans[-1]
+            out[s1:e1] = _oracle_fmt_coord(d * float(bytes(out[s1:e1])))
+
+    while i < n:
+        ch = raw[i]
+        if ch == 0x28:  # literal string — copy with escape/nesting tracking
+            spans.clear()
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if raw[j] == 0x5C:
+                    j += 2
+                    continue
+                if raw[j] == 0x28:
+                    depth += 1
+                elif raw[j] == 0x29:
+                    depth -= 1
+                j += 1
+            out += raw[i:j]
+            i = j
+            continue
+        if ch == 0x3C:  # <hex> or << dict — copy verbatim
+            spans.clear()
+            if raw[i : i + 2] == b"<<":
+                out += b"<<"
+                i += 2
+                continue
+            gt = raw.find(b">", i)
+            j = n if gt < 0 else gt + 1
+            out += raw[i:j]
+            i = j
+            continue
+        if ch in b"+-.0123456789":
+            m = _ORACLE_NUM_RE.match(raw, i)
+            if m:
+                start = len(out)
+                out += m.group(0)
+                spans.append((start, len(out)))
+                if len(spans) > 8:
+                    del spans[0]
+                i = m.end()
+                continue
+        boundary = i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]"
+        two = raw[i : i + 2]
+        two_ok = boundary and (i + 2 >= n or raw[i + 2] in _ORACLE_DELIM)
+        if two_ok and two == b"BT":
+            out += (b"BT " + _oracle_fmt_coord(e) + b" "
+                    + _oracle_fmt_coord(f) + b" Td")
+            spans.clear()
+            i += 2
+            continue
+        if two_ok and two == b"cm":
+            raise RuntimeError(
+                "cm inside a transformed form — out of twin scope"
+            )
+        if two_ok and two == b"Tm":
+            rewrite_pair(absolute=True)
+            out += two
+            spans.clear()
+            i += 2
+            continue
+        if two_ok and two in (b"Td", b"TD"):
+            rewrite_pair(absolute=False)
+            out += two
+            spans.clear()
+            i += 2
+            continue
+        if two_ok and two in (b"TL", b"T*"):
+            if rotated:
+                raise RuntimeError(
+                    "leading-based advance inside a rotated form — "
+                    "out of twin scope"
+                )
+            if two == b"TL":
+                rewrite_lead()
+            out += two
+            spans.clear()
+            i += 2
+            continue
+        if ch in b"'\"":
+            # any top-level quote char (the engine's regex is equally
+            # position-blind — twin-symmetric strictness)
+            if rotated:
+                raise RuntimeError(
+                    "leading-based advance inside a rotated form — "
+                    "out of twin scope"
+                )
+            out.append(ch)
+            spans.clear()
+            i += 1
+            continue
+        if boundary and ch in b"ml" and (
+            i + 1 >= n or raw[i + 1] in _ORACLE_DELIM
+        ):
+            rewrite_pair(absolute=True)
+            out.append(ch)
+            spans.clear()
+            i += 1
+            continue
+        if ch not in _ORACLE_WS:
+            spans.clear()  # any other token breaks the operand run
+        out.append(ch)
+        i += 1
+    return bytes(out)
+
+
 _ORACLE_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
 _ORACLE_OP2_RE = re.compile(rb"(?:BT|ET|cm|Do)(?![A-Za-z0-9])")
 
@@ -1424,12 +1565,12 @@ def _oracle_splice_forms(
             continue  # image XObject: pixels carry no text
         if num is None or num not in forms:
             raise RuntimeError("unresolvable Do target — out of twin scope")
-        tx, ty = _oracle_form_translation(form_heads[num])
+        mat = _oracle_form_matrix(form_heads[num])
         sub = _oracle_splice_forms(
             forms[num], names, forms, images, form_heads, depth + 1
         )
-        if tx or ty:
-            sub = _oracle_translate_text(sub, tx, ty)
+        if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+            sub = _oracle_transform_text(sub, *mat)
         out += b"\n" + sub + b"\n"
     out += raw[last:]
     return bytes(out)

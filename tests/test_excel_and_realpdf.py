@@ -1594,8 +1594,9 @@ def test_form_xobject_twins_and_scope():
     # out-of-scope shapes: every mutation keeps /Length valid (same-length
     # overwrite), so only the form framing is broken
     pdf_m = write_form_pdf([page], header, explicit_matrix=True)
+    # r7: scale/rotation matrices are modeled now — SINGULAR stays out
     broken_matrix = pdf_m.replace(
-        b"/Matrix [1 0 0 1 0 0]", b"/Matrix [2 0 0 2 0 0]"
+        b"/Matrix [1 0 0 1 0 0]", b"/Matrix [0 0 0 0 0 0]"
     )
     pdf = write_form_pdf(
         [page + [("line", 50, 50, 60, 60)]], header
@@ -1690,13 +1691,15 @@ def test_form_xobject_translate_matrix():
         translate=(50, 500),
     )
     assert tokenize_pdf_rulings(pdf) == [[(50.0, 490.0, 150.0, 490.0)]]
-    # a rotation matrix bails both twins
+    # a SHEARED matrix bails both twins (r7: scale/rotation are modeled
+    # now — see test_form_xobject_scale_rotate_matrix — but true shear
+    # stays out of the splice's model)
     pdf = write_form_pdf([page], hdr_local, translate=(72, 760))
-    rot = pdf.replace(b"/Matrix [1 0 0 1 72 760]", b"/Matrix [0 1 -1 0 72 760]")
-    assert rot != pdf
-    assert tokenize_pdf_runs(rot) is None
+    shr = pdf.replace(b"/Matrix [1 0 0 1 72 760]", b"/Matrix [1 0.5 0 1 72 76]")
+    assert shr != pdf
+    assert tokenize_pdf_runs(shr) is None
     with _pytest.raises(RuntimeError):
-        extract_real_pdf(rot.decode("latin-1"))
+        extract_real_pdf(shr.decode("latin-1"))
     # cm inside a TRANSLATED form bails both twins (same-length overwrite)
     pdf = write_form_pdf(
         [[("text", 72, 720, "Claim body line here ok")]],
@@ -1708,6 +1711,83 @@ def test_form_xobject_translate_matrix():
     assert tokenize_pdf_runs(cm) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(cm.decode("latin-1"))
+
+
+def test_form_xobject_scale_rotate_matrix():
+    """r7 (r6 verdict item 5): scale and rotation form matrices run a real
+    2×3 coordinate transform of Td/Tm/ruling operands on both twins —
+    positions land where the matrix places them; leading ops scale under
+    pure scale and bail under rotation; nested matrices compose."""
+    import pytest as _pytest
+
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.operators.pdftext import (
+        _transform_text_ops,
+        _UnsupportedForm,
+        tokenize_pdf_rulings,
+        tokenize_pdf_runs,
+    )
+    from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
+        _oracle_transform_text,
+        extract_real_pdf,
+    )
+
+    page = [
+        ("text", 72, 720, "Claim C1"),
+        ("text", 72, 704, "Body sample body"),
+        ("text", 72, 664, "Total 1.00"),
+    ]
+    hdr = [("text", 0, 0, "ACME FORM 7"), ("text", 0, -16, "Second hdr line")]
+    # 2× scale placed at (72, 600): header lines land at y 600 and 568
+    for compress in (False, True):
+        pdf = write_form_pdf(
+            [page], hdr, translate=(2, 0, 0, 2, 72, 600), compress=compress
+        )
+        assert extract_real_pdf_text(pdf) == extract_real_pdf(
+            pdf.decode("latin-1")
+        )
+        runs = tokenize_pdf_runs(pdf)[0]
+        assert (72.0, 600.0, "ACME FORM 7") in runs
+        assert (72.0, 568.0, "Second hdr line") in runs
+    # 90° CCW rotation placed at (400, 100): local (0,-16) → (416, 100)
+    pdf = write_form_pdf([page], hdr, translate=(0, 1, -1, 0, 400, 100))
+    assert extract_real_pdf_text(pdf) == extract_real_pdf(
+        pdf.decode("latin-1")
+    )
+    runs = tokenize_pdf_runs(pdf)[0]
+    assert (400.0, 100.0, "ACME FORM 7") in runs
+    assert (416.0, 100.0, "Second hdr line") in runs
+    # rulings transform for the lattice walk: local (0,-10)-(100,-10)
+    # under 2× scale at (50, 500) → (50, 480)-(250, 480)
+    pdf = write_form_pdf(
+        [[("text", 72, 720, "Claim body line here ok")]],
+        [("text", 0, 0, "HDR"), ("line", 0, -10, 100, -10)],
+        translate=(2, 0, 0, 2, 50, 500),
+    )
+    assert tokenize_pdf_rulings(pdf) == [[(50.0, 480.0, 250.0, 480.0)]]
+    # nested matrices compose: outer 2× scale at (100, 400), inner
+    # translate (0, -8) → sub line local (0,0) lands at (100, 384)
+    pdf = write_form_pdf(
+        [page], hdr, sub=[("text", 0, 0, "STAMP approved")],
+        translate=(2, 0, 0, 2, 100, 400), sub_translate=(0, -8),
+    )
+    assert extract_real_pdf_text(pdf) == extract_real_pdf(
+        pdf.decode("latin-1")
+    )
+    assert (100.0, 384.0, "STAMP approved") in tokenize_pdf_runs(pdf)[0]
+    # leading ops: scaled under pure scale (both rewriters, byte-equal) …
+    c = b"BT /F1 12 Tf 16 TL 10 20 Td (x) Tj T* (y) Tj ET\n5 6 m 7 8 l S"
+    a = _transform_text_ops(c, 2, 0, 0, 2, 100, 50)
+    assert a == _oracle_transform_text(c, 2, 0, 0, 2, 100, 50)
+    assert b"32 TL" in a and b"20 40 Td" in a and b"110 62 m 114 66 l" in a
+    # … and a bail under rotation (both twins)
+    with _pytest.raises(_UnsupportedForm):
+        _transform_text_ops(c, 0, 1, -1, 0, 5, 5)
+    with _pytest.raises(RuntimeError):
+        _oracle_transform_text(c, 0, 1, -1, 0, 5, 5)
 
 
 def test_encrypted_objstm_pdf_matrix():
