@@ -101,10 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import EXT6_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import EXT7_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext8 import EXT8_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext9 import EXT9_QUERIES
 
     merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
               **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES,
-              **EXT8_QUERIES}
+              **EXT8_QUERIES, **EXT9_QUERIES}
     return {name: _release_then(merged[name]) for name in _rotate(sorted(merged))}
 
 
@@ -118,10 +119,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext6 import ext6_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import ext7_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext8 import ext8_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext9 import ext9_oracles
 
     merged = {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
               **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles(),
-              **ext8_oracles()}
+              **ext8_oracles(), **ext9_oracles()}
     # mirror queries()'s rotation so side-by-side iteration pairs up
     return {name: merged[name] for name in _rotate(sorted(merged))}
 
@@ -131,9 +133,10 @@ def pinned_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     data-pinned A/B bench (scripts/bench_headline_child.py). Not part of
     the driver contract — the driver uses queries()/oracle_sql()."""
     from pdf_extraction_ai_agent_spark import entry_queries_ext8  # noqa: F401
+    from pdf_extraction_ai_agent_spark import entry_queries_ext9  # noqa: F401
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import (
         pinned_queries as _pq,
     )
 
-    # importing ext8 registers its builders in PINNED_PAYLOAD_BUILDERS
+    # importing ext8/ext9 registers their builders in PINNED_PAYLOAD_BUILDERS
     return _pq()

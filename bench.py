@@ -79,6 +79,9 @@ HEADLINE = [
     "q66_tagged_pdf_roundtrip",
     "q67_type3_pdf_roundtrip",
     "q68_hybrid_pdf_roundtrip",
+    # round-7: the executed OCR slice (scan render → template OCR); the
+    # A/B base arm predates it and reports null
+    "q69_scanned_pdf_ocr_roundtrip",
 ]
 
 
@@ -287,7 +290,7 @@ def _pinned_corpus_dir() -> tuple[str, list[str]] | None:
     tree under test. Clean re-runs within the same commit still reuse the
     parquet. Returns (dir, pinned_names) or None (→ live generators)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    names = [n for n in HEADLINE if n.endswith("_pdf_roundtrip")]
+    names = [n for n in HEADLINE if n.endswith("_roundtrip")]
     if not names:
         return None
     try:

@@ -747,6 +747,32 @@ def pinned_queries() -> dict:
                     pdftext.seed_kdf(engine_seed)
                     yield from base(batches)
 
+            elif name == "q69_scanned_pdf_ocr_roundtrip":
+                # the scanned corpus measures extract + the fixture OCR
+                # rung (the entry query's with_ocr_fallback semantics)
+                from .operators.extract import extract_real_pdf_text
+                from .operators.ocr import ocr_payload_fixture
+
+                def kernel(batches):
+                    import pandas as pd
+
+                    for frame in batches:
+                        rows = []
+                        for doc_id, pdf_bytes in zip(
+                            frame["doc_id"], frame["pdf"]
+                        ):
+                            payload = bytes(pdf_bytes)
+                            t, ocr = extract_real_pdf_text(payload)
+                            if ocr:
+                                t = ocr_payload_fixture(payload)
+                            rows.append((int(doc_id), t, ocr))
+                        yield pd.DataFrame(
+                            rows,
+                            columns=[
+                                "doc_id", "extracted_text", "needs_ocr",
+                            ],
+                        )
+
             else:
                 kernel = base
             return df.mapInPandas(kernel, schema=_ROUNDTRIP_SCHEMA)

@@ -1715,8 +1715,16 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         if b"BT" not in raw and b"Do" not in raw:
             continue
         raw = _oracle_strip_inline(raw)  # raises on a truncated image
+        had_do = re.search(rb"/[^\s/<>()\[\]{}%]+\s+Do(?![A-Za-z0-9])", raw)
         raw = _oracle_splice_forms(raw, xobj_names, forms, images, form_heads)
-        if b"BT" not in raw:  # e.g. only image Do ops — no text stream
+        if b"BT" not in raw:
+            # a content stream whose only invocations were IMAGE XObjects
+            # (the scanned-page shape, r7): an EMPTY page on both twins —
+            # the engine's page walk emits the marker and the no-text page
+            # trips the <OCR_MIN_CHARS needs_ocr trigger. Streams that
+            # never invoked anything stay skipped (CMaps, metadata).
+            if had_do:
+                pages.append([])
             continue
         # char-level token walk with text-line-origin tracking: numbers are
         # buffered so Td/TD (relative) and Tm (absolute e, f) can consume

@@ -287,3 +287,66 @@ BASE_ENCODING_TABLES = _build_base_encoding_tables()
 # known). Tried in order after the empty password; pure DATA shared by
 # both twins (each side keeps its own validation logic).
 KNOWN_USER_PASSWORDS: tuple = (b"claims-batch-2024", b"wc-lossrun")
+
+
+def _build_ocr_font() -> dict[str, tuple[str, ...]]:
+    """The deterministic 5×7 bitmap font behind the in-sandbox executed
+    OCR slice (r6 verdict item 7): fixtures/scanned.py RENDERS synthetic
+    scanned pages with it and operators/ocr.py's fixture rung RECOGNIZES
+    glyphs by template match against it. Pure DATA shared by the writer
+    and the reader (like the AGL table) — each side keeps its own
+    algorithm. Design constraints the reader relies on (pinned by
+    tests): every glyph has ink in column 0 (a line's first ink column
+    is a cell origin), and every glyph's ROW-CROPPED pattern is unique
+    (matching is invariant to the line band's vertical extent)."""
+    raw = {
+        "A": (".XXX.", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+        "B": ("XXXX.", "X...X", "X...X", "XXXX.", "X...X", "X...X", "XXXX."),
+        "C": (".XXXX", "X....", "X....", "X....", "X....", "X....", ".XXXX"),
+        "D": ("XXXX.", "X...X", "X...X", "X...X", "X...X", "X...X", "XXXX."),
+        "E": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+        "F": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "X...."),
+        "G": (".XXXX", "X....", "X....", "X..XX", "X...X", "X...X", ".XXXX"),
+        "H": ("X...X", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+        "I": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+        "J": ("XXXXX", "...X.", "...X.", "...X.", "...X.", "X..X.", ".XX.."),
+        "K": ("X...X", "X..X.", "X.X..", "XX...", "X.X..", "X..X.", "X...X"),
+        "L": ("X....", "X....", "X....", "X....", "X....", "X....", "XXXXX"),
+        "M": ("X...X", "XX.XX", "X.X.X", "X.X.X", "X...X", "X...X", "X...X"),
+        "N": ("X...X", "XX..X", "X.X.X", "X..XX", "X...X", "X...X", "X...X"),
+        "O": (".XXX.", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "P": ("XXXX.", "X...X", "X...X", "XXXX.", "X....", "X....", "X...."),
+        "Q": (".XXX.", "X...X", "X...X", "X...X", "X.X.X", "X..X.", ".XX.X"),
+        "R": ("XXXX.", "X...X", "X...X", "XXXX.", "X.X..", "X..X.", "X...X"),
+        "S": (".XXXX", "X....", "X....", ".XXX.", "....X", "....X", "XXXX."),
+        "T": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "..X.."),
+        "U": ("X...X", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+        "V": ("X...X", "X...X", "X...X", "X...X", ".X.X.", ".X.X.", "..X.."),
+        "W": ("X...X", "X...X", "X...X", "X.X.X", "X.X.X", "XX.XX", "X...X"),
+        "X": ("X...X", "X...X", ".X.X.", "..X..", ".X.X.", "X...X", "X...X"),
+        "Y": ("X...X", "X...X", ".X.X.", "..X..", "..X..", "..X..", "..X.."),
+        "Z": ("XXXXX", "....X", "...X.", "..X..", ".X...", "X....", "XXXXX"),
+        "0": (".XXX.", "X...X", "X..XX", "X.X.X", "XX..X", "X...X", ".XXX."),
+        "1": ("..X..", ".XX..", "X.X..", "..X..", "..X..", "..X..", "XXXXX"),
+        "2": (".XXX.", "X...X", "....X", "...X.", "..X..", ".X...", "XXXXX"),
+        "3": ("XXXX.", "....X", "....X", ".XXX.", "....X", "....X", "XXXX."),
+        "4": ("...X.", "..XX.", ".X.X.", "X..X.", "XXXXX", "...X.", "...X."),
+        "5": ("XXXXX", "X....", "XXXX.", "....X", "....X", "X...X", ".XXX."),
+        "6": (".XXX.", "X....", "X....", "XXXX.", "X...X", "X...X", ".XXX."),
+        "7": ("XXXXX", "....X", "...X.", "..X..", ".X...", ".X...", ".X..."),
+        "8": (".XXX.", "X...X", "X...X", ".XXX.", "X...X", "X...X", ".XXX."),
+        "9": (".XXX.", "X...X", "X...X", ".XXXX", "....X", "....X", ".XXX."),
+        ".": (".....", ".....", ".....", ".....", ".....", "XX...", "XX..."),
+        ",": (".....", ".....", ".....", ".....", "XX...", ".X...", "X...."),
+        "-": (".....", ".....", ".....", "XXXXX", ".....", ".....", "....."),
+        "#": (".X.X.", "XXXXX", ".X.X.", ".X.X.", "XXXXX", ".X.X.", "....."),
+        "/": ("....X", "...X.", "...X.", "..X..", ".X...", ".X...", "X...."),
+        ":": (".....", "XX...", "XX...", ".....", "XX...", "XX...", "....."),
+    }
+    return raw
+
+
+OCR_FONT_5X7: dict[str, tuple[str, ...]] = _build_ocr_font()
+# characters the scanned-fixture pipeline can carry (space renders as an
+# empty cell); the q69 text transform filters to this set on BOTH sides
+OCR_FONT_CHARSET: str = "".join(sorted(OCR_FONT_5X7)) + " "

@@ -28,8 +28,9 @@ def main() -> None:
     import pandas as pd
 
     from pdf_extraction_ai_agent_spark import entry_queries_ext8  # noqa: F401
+    from pdf_extraction_ai_agent_spark import entry_queries_ext9  # noqa: F401
     from pdf_extraction_ai_agent_spark.entry_queries_ext7 import (
-        PINNED_PAYLOAD_BUILDERS,  # ext8 import above registers its builders
+        PINNED_PAYLOAD_BUILDERS,  # ext8/ext9 imports register their builders
     )
     from pdf_extraction_ai_agent_spark.session import get_spark
 

@@ -739,7 +739,10 @@ def test_executed_ocr_differential_when_deps_present():
     the words the text layer carries. In this sandbox the stack is absent
     and the test SKIPS with the missing dependency named — it can never
     pass vacuously, because reaching the assertions requires the real
-    chain to have executed."""
+    chain to have executed. The IN-SANDBOX executed differential (r7) is
+    tests/test_ocr_executed.py::test_executed_ocr_differential — always
+    runs, no deps — plus the oracle-gated q69 query; this one stays for
+    the tesseract chain itself."""
     import pytest
 
     pytest.importorskip("fitz", reason="PyMuPDF not installed (sandbox image)")
