@@ -420,30 +420,59 @@ def _scaling(transcripts_path: str) -> dict:
     else:
         levels = [max(CPUS // 16, 1), max(CPUS // 4, 2)]
     # host interference on this sandbox comes in multi-minute bursts — run
-    # the levels INTERLEAVED (lo,hi,lo,hi) and keep each level's best child,
-    # so a burst can't bias one side of the efficiency ratio (a sequential
-    # protocol measured the same engine at 0.94 and 0.79 an hour apart)
-    results = {}
-    for cores in levels * 2:
+    # the levels INTERLEAVED (lo,hi,lo,hi,…) so a burst can't bias one side
+    # of the efficiency ratio (a sequential protocol measured the same
+    # engine at 0.94 and 0.79 an hour apart). r7 (verdict item 4): THREE
+    # samples per level, MEDIAN kept, min/max recorded, plus the corpus
+    # content hash and the host load — so cross-round turns/sec claims are
+    # attributable instead of ±25% host-load noise.
+    import statistics
+
+    load_before = os.getloadavg()
+    samples: dict[int, list[float]] = {c: [] for c in levels}
+    turns: dict[int, int] = {}
+    for cores in levels * 3:
         out = subprocess.run(
             [sys.executable, child, str(cores), transcripts_path],
             capture_output=True, text=True, timeout=1200,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         parsed = json.loads(line)
-        prev = results.get(cores)
-        if prev is None or parsed["wall_sec"] < prev["wall_sec"]:
-            results[cores] = parsed
+        samples[cores].append(parsed["wall_sec"])
+        turns[cores] = parsed["turns"]
     lo, hi = levels
-    tps = {c: results[c]["turns"] / results[c]["wall_sec"] for c in levels}
+    med = {c: statistics.median(samples[c]) for c in levels}
+    tps = {c: turns[c] / med[c] for c in levels}
     eff = (tps[hi] / tps[lo]) / (hi / lo)
     return {
         "levels": levels,
-        "turns": results[hi]["turns"],
-        "wall_sec": {str(c): results[c]["wall_sec"] for c in levels},
+        "turns": turns[hi],
+        "wall_sec": {str(c): round(med[c], 3) for c in levels},
+        "wall_sec_samples": {
+            str(c): [round(s, 3) for s in sorted(samples[c])] for c in levels
+        },
         "turns_per_sec": {str(c): round(tps[c], 1) for c in levels},
         "scaling_efficiency": round(eff, 3),
+        "corpus_hash": _corpus_content_hash(transcripts_path),
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+        "protocol": "median-of-3 fresh-JVM children per level, interleaved",
     }
+
+
+def _corpus_content_hash(transcripts_path: str) -> str:
+    """Order-insensitive content hash of the bench corpus (r7, verdict
+    item 4): cross-round turns/sec is only comparable when the bytes
+    extracted are provably the same — the hash lands next to the numbers
+    in BENCH/BASELINE.md."""
+    import duckdb
+
+    con = duckdb.connect()
+    n, h = con.sql(
+        "SELECT count(*), bit_xor(hash(conv_id, turn_idx, ts, text, tool)) "
+        f"FROM read_parquet('{transcripts_path}/*.parquet')"
+    ).fetchone()
+    return f"{n}:{h & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
 def _arrow_batch_default() -> int:
@@ -497,22 +526,30 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
             "salted repartition → vectorized extract UDF → ordering window →\n"
             "field parse → LOB classify) over identical cached transcripts, run\n"
             "at two local parallelism levels in fresh JVMs.\n\n"
-            "| parallelism | input turns | wall sec | turns/sec |\n"
-            "|---|---|---|---|\n"
+            "| parallelism | input turns | wall sec (median) | samples | turns/sec |\n"
+            "|---|---|---|---|---|\n"
         )
         for c in scaling["levels"]:
+            smp = scaling.get("wall_sec_samples", {}).get(str(c), [])
             f.write(
                 f"| local[{c}] | {scaling['turns']} | {scaling['wall_sec'][str(c)]} "
+                f"| {', '.join(str(s) for s in smp)} "
                 f"| {scaling['turns_per_sec'][str(c)]} |\n"
             )
         f.write(
             f"\nScaling efficiency local[{lo}] → local[{hi}] "
             f"(= (tps_{hi}/tps_{lo}) / {hi // lo}): **{scaling['scaling_efficiency']}**"
             f" (gate: ≥ 0.8)\n\n"
+            f"Corpus content hash (rows:xor64): `{scaling.get('corpus_hash', '?')}` — "
+            "cross-round turns/sec is attributable only when this hash matches.\n"
+            f"Host load (1/5/15 min) before: {scaling.get('loadavg_before')} "
+            f"/ after: {scaling.get('loadavg_after')}.\n\n"
             "Measurement notes: fresh JVM per level with "
             "`-XX:ActiveProcessorCount=N` (a local[N] JVM otherwise sizes "
-            "GC/netty pools for all host cores); full-worker warmup; best of "
-            "2 timed runs; levels kept ≤ CPUS/4 because local mode co-schedules "
+            "GC/netty pools for all host cores); full-worker warmup; "
+            "MEDIAN of 3 timed runs per level, levels interleaved so a "
+            "host-load burst can't bias one side of the ratio (r7, verdict "
+            "item 4); levels kept ≤ CPUS/4 because local mode co-schedules "
             "JVM task threads and python workers on the same cores (an "
             "artifact absent on real clusters, where executor sizing accounts "
             "for python workers).\n\n"
@@ -648,6 +685,12 @@ def main():
                 "extraction_turns_per_sec": scaling["turns_per_sec"],
                 "scaling_levels": scaling["levels"],
                 "scaling_efficiency": scaling["scaling_efficiency"],
+                "scaling_wall_sec_samples": scaling["wall_sec_samples"],
+                "corpus_hash": scaling["corpus_hash"],
+                "loadavg": {
+                    "before": scaling["loadavg_before"],
+                    "after": scaling["loadavg_after"],
+                },
             }
         )
     if sweep:
