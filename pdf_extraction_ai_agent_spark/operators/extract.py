@@ -59,6 +59,11 @@ EXTRACT_RESULT_TYPE = StructType(
     ]
 )
 
+# with_spans=False kernel output (manual pruning through the UDF boundary)
+EXTRACT_RESULT_TYPE_NOSPANS = StructType(
+    [f for f in EXTRACT_RESULT_TYPE.fields if f.name != "spans"]
+)
+
 # ---------------------------------------------------------------------------
 # HTML branch (fully vectorized)
 # ---------------------------------------------------------------------------
@@ -341,6 +346,10 @@ _FIELD_RES = [
     ("amount", _AMOUNT, ("$",)),
     ("reason", _REASON, ("reason", "cause", "description")),
 ]
+# bound-method search handles for the unrolled hot loop (round-7 item d);
+# _FIELD_RES stays as the declarative table (exp scripts, docs)
+_FIELD_SEARCHES = (_CLAIM_NO.search, _NAME.search, _AMOUNT.search, _REASON.search)
+_DATE_SEARCHES = tuple(p.search for p in _DATES)
 
 from functools import lru_cache  # noqa: E402
 
@@ -380,12 +389,28 @@ def _spans_chunked(t: str) -> list[dict]:
     inherently per-match Python), so the per-chunk loop survives and the
     Arrow pass only replaces ~6 C-level `in` calls with mask indexing
     plus three materialized arrays. Bit-exact, kept as the experiment
-    script; do not re-try without restructuring date handling first."""
+    script; do not re-try without restructuring date handling first.
+
+    Round-7 results: (d) UNROLLING the field/date loops into straight-line
+    code (no per-field tuple unpacking, no inner for/else frames) measured
+    0.913× median-of-7 — shipped below; (e) lru_cache-memoized per-chunk
+    RELATIVE spans measured ~1.0–1.2× (NOISY, net-negative): the bench
+    corpus repeats only ~13% of chunks, so 87% of lookups pay string
+    hashing for nothing; (f) fusing the alternation remains unsound
+    (negative c) AND unprofitable even if sound — `re` is a backtracking
+    NFA, so an alternation costs the SUM of per-branch per-position work,
+    not a DFA's shared scan; (g) JVM-native spans (regexp_instr/extract,
+    Spark 3.4+) were analyzed and rejected on plan shape: span offsets
+    need record-split separator positions, which natively requires either
+    a posexplode + re-aggregation SHUFFLE (worse at 100 TB than map-side
+    Python) or interpreted higher-order functions (the measured-slow path,
+    see CLAUDE.md). A compiled DFA (re2-class) would win, but no such
+    wheel exists in this environment."""
     recs: list[dict] = []
     append = recs.append
     split_search = _RECORD_SPLIT.search
-    field_res = _FIELD_RES
-    dates = _DATES
+    claim_s, name_s, amount_s, reason_s = _FIELD_SEARCHES
+    d0_s, d1_s, d2_s = _DATE_SEARCHES
     norm_date = _norm_date_cached
     start = 0
     n = len(t)
@@ -394,30 +419,50 @@ def _spans_chunked(t: str) -> list[dict]:
         end = m.start() if m else n
         chunk = t[start:end]
         if chunk:
+            # literal prefilters: a regex cannot match without one of its
+            # anchors (C-level `in` on the lowered chunk); straight-line
+            # per field — unrolled (round-7 measurement d)
             low = chunk.lower()
-            for field, rex, lits in field_res:
-                # literal prefilter: regex cannot match without one of the
-                # anchors (plain loop — a genexp frame per field measurably
-                # drags at 50k+ chunks/batch)
-                for lit in lits:
-                    if lit in low:
-                        break
-                else:
-                    continue
-                fm = rex.search(chunk)
+            if "claim" in low or "ref" in low:
+                fm = claim_s(chunk)
                 if fm:
                     append(
-                        {"field": field, "start": start + fm.start(1),
+                        {"field": "claim_number", "start": start + fm.start(1),
                          "end": start + fm.end(1), "value": fm.group(1).strip()}
                     )
-            for pat in dates:
-                cand = pat.search(chunk)
-                if cand and norm_date(cand.group(1)):
+            if "claimant" in low or "insured" in low or "name" in low:
+                fm = name_s(chunk)
+                if fm:
                     append(
-                        {"field": "date", "start": start + cand.start(1),
-                         "end": start + cand.end(1), "value": cand.group(1).strip()}
+                        {"field": "name", "start": start + fm.start(1),
+                         "end": start + fm.end(1), "value": fm.group(1).strip()}
                     )
-                    break
+            if "$" in chunk:
+                fm = amount_s(chunk)
+                if fm:
+                    append(
+                        {"field": "amount", "start": start + fm.start(1),
+                         "end": start + fm.end(1), "value": fm.group(1).strip()}
+                    )
+            if "reason" in low or "cause" in low or "description" in low:
+                fm = reason_s(chunk)
+                if fm:
+                    append(
+                        {"field": "reason", "start": start + fm.start(1),
+                         "end": start + fm.end(1), "value": fm.group(1).strip()}
+                    )
+            cand = d0_s(chunk)
+            if not (cand and norm_date(cand.group(1))):
+                cand = d1_s(chunk)
+                if not (cand and norm_date(cand.group(1))):
+                    cand = d2_s(chunk)
+                    if not (cand and norm_date(cand.group(1))):
+                        cand = None
+            if cand is not None:
+                append(
+                    {"field": "date", "start": start + cand.start(1),
+                     "end": start + cand.end(1), "value": cand.group(1).strip()}
+                )
         if m is None:
             break
         start = m.end()
@@ -433,7 +478,9 @@ def _spans_batch(texts: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
-def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+def extract_turn_batch(
+    text: pd.Series, tool: pd.Series, with_spans: bool = True
+) -> pd.DataFrame:
     """Pure-pandas batch kernel (also unit-testable off-Spark).
 
     Error channel (reference cli.py:41-49 — exceptions become per-row
@@ -442,6 +489,13 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     rows carry an error string. One pathological document in 10^12 turns
     must not kill a multi-hour job; Spark task retries only cover infra
     failures, not deterministic poison input.
+
+    ``with_spans=False`` skips the span scan entirely (~half the kernel on
+    transcript corpora) and omits the column — manual column pruning
+    through the UDF boundary for consumers whose output contract carries
+    no spans (Catalyst cannot prune INSIDE a pandas UDF). The flagship
+    pipeline and the resumable job keep the default: spans are part of
+    the north-rule output contract.
     """
     text = text.fillna("")
     is_pdf = text.str.startswith(spec.PDF_HEADER)
@@ -516,26 +570,23 @@ def extract_turn_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
     _guarded(is_pdf, pdf_batch, pdf_row)
     _guarded(is_real_pdf, real_pdf_batch, real_pdf_row)
 
-    spans = _spans_batch(extracted)
     kind = pd.Series(
         np.select(
             [is_pdf, is_real_pdf, is_html], ["pdf", "pdf_real", "html"], default="plain"
         ),
         index=text.index,
     )
-    return pd.DataFrame(
-        {
-            "extracted_text": extracted,
-            "spans": spans,
-            "needs_ocr": needs_ocr,
-            "payload_kind": kind,
-            "error": error,
-        }
+    cols = {"extracted_text": extracted}
+    if with_spans:
+        cols["spans"] = _spans_batch(extracted)
+    cols.update(
+        {"needs_ocr": needs_ocr, "payload_kind": kind, "error": error}
     )
+    return pd.DataFrame(cols)
 
 
 def with_extraction(df, text_col: str = "text", tool_col: str = "tool",
-                    kdf_seed: dict | None = None):
+                    kdf_seed: dict | None = None, with_spans: bool = True):
     """Append extraction columns to a transcripts DataFrame.
 
     Declarative so Catalyst keeps column pruning/pushdown around the UDF;
@@ -545,7 +596,14 @@ def with_extraction(df, text_col: str = "text", tool_col: str = "tool",
     plans.pipeline.precompute_kdf_seed) closed over the UDF and installed
     in each python worker before the batch runs, so AES-256 payloads never
     re-pay the ~1s/call KDF per worker. Pure cache — a miss re-derives.
+
+    ``with_spans=False`` prunes the span scan INSIDE the UDF (Catalyst
+    prunes columns around a pandas UDF but cannot reach into it): the
+    kernel skips ~half its work and the output carries no spans column.
+    For consumers whose contract omits spans; the flagship pipeline and
+    the resumable job keep the default.
     """
+    rtype = EXTRACT_RESULT_TYPE if with_spans else EXTRACT_RESULT_TYPE_NOSPANS
     if kdf_seed:
         seed = dict(kdf_seed)
 
@@ -553,17 +611,24 @@ def with_extraction(df, text_col: str = "text", tool_col: str = "tool",
             from .pdftext import seed_kdf
 
             seed_kdf(seed)
-            return extract_turn_batch(text, tool)
+            return extract_turn_batch(text, tool, with_spans=with_spans)
 
-        udf = F.pandas_udf(_seeded_batch, EXTRACT_RESULT_TYPE)
+        udf = F.pandas_udf(_seeded_batch, rtype)
     else:
-        udf = F.pandas_udf(extract_turn_batch, EXTRACT_RESULT_TYPE)
+        # pandas_udf infers the eval type from the signature — the bare
+        # kernel's with_spans kwarg confuses it, so both paths wrap
+        def _plain_batch(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+            return extract_turn_batch(text, tool, with_spans=with_spans)
+
+        udf = F.pandas_udf(_plain_batch, rtype)
     res = udf(F.col(text_col), F.col(tool_col))
+    out = df.withColumn("_ex", res).withColumn(
+        "extracted_text", F.col("_ex.extracted_text")
+    )
+    if with_spans:
+        out = out.withColumn("spans", F.col("_ex.spans"))
     return (
-        df.withColumn("_ex", res)
-        .withColumn("extracted_text", F.col("_ex.extracted_text"))
-        .withColumn("spans", F.col("_ex.spans"))
-        .withColumn("needs_ocr", F.col("_ex.needs_ocr"))
+        out.withColumn("needs_ocr", F.col("_ex.needs_ocr"))
         .withColumn("payload_kind", F.col("_ex.payload_kind"))
         .withColumn("error", F.col("_ex.error"))
         .drop("_ex")

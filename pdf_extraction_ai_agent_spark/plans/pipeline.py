@@ -161,6 +161,7 @@ def extract_pipeline(
     observation=None,
     max_conv_rows: int | None = None,
     kdf_seed: dict | bool | None = None,
+    with_spans: bool = True,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -188,6 +189,11 @@ def extract_pipeline(
     once for the whole input (the resumable job does this —
     jobs/run_extraction.py, the right shape at 100 TB).
 
+    ``with_spans=False`` prunes the span scan inside the extract UDF
+    (~half the kernel) and omits the spans column — for consumers whose
+    output contract carries no spans. The default keeps the full
+    north-rule contract (the resumable job and the flagship always do).
+
     Output: (conv_id, turn_idx, ts, turn_pos, extracted_text, spans,
     needs_ocr, payload_kind [, claim_number, name, date, confidence]
     [, lob, lobs]).
@@ -204,7 +210,9 @@ def extract_pipeline(
         kdf_seed = precompute_kdf_seed(transcripts)
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
-    df = with_extraction(df, kdf_seed=kdf_seed or None).drop("text", "tool")
+    df = with_extraction(
+        df, kdf_seed=kdf_seed or None, with_spans=with_spans
+    ).drop("text", "tool")
     df = with_turn_pos(df, bucket_width=ordering_bucket_width)
     # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
     # pass a pyspark Observation to read them after an action, else they
