@@ -37,6 +37,17 @@ def main():
                          "column-pruned pre-pass whose result is cached in "
                          "the lineage stats table per run-group, so resumes "
                          "skip it; or a fixed int")
+    ap.add_argument("--ocr", default="off",
+                    choices=["off", "auto", "fixture", "real"],
+                    help="execute the OCR fallback on needs_ocr rows inside "
+                         "the job (reference extract_text.py:18-24): 'real' "
+                         "= rasterize+tesseract (cluster image), 'fixture' = "
+                         "the dependency-free template matcher for generated "
+                         "scans, 'auto' = real-when-installed else fixture. "
+                         "Map-only and flag-guarded; failures land in the "
+                         "per-row error channel, never a job abort. Default "
+                         "off: rows keep the needs_ocr flag for a downstream "
+                         "OCR pass")
     args = ap.parse_args()
     salt = args.salt_buckets if args.salt_buckets == "auto" else int(args.salt_buckets)
 
@@ -83,6 +94,7 @@ def main():
         transcripts,
         lambda df: extract_pipeline(
             df, salt_buckets=salt, max_conv_rows=mx, kdf_seed=kdf_seed or False,
+            ocr=None if args.ocr == "off" else args.ocr,
         ),
         out_path=args.output,
         lineage_path=args.lineage,

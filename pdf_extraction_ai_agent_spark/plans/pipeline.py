@@ -162,6 +162,7 @@ def extract_pipeline(
     max_conv_rows: int | None = None,
     kdf_seed: dict | bool | None = None,
     with_spans: bool = True,
+    ocr: str | None = None,
 ) -> DataFrame:
     """Transcripts → per-turn extraction rows.
 
@@ -189,6 +190,12 @@ def extract_pipeline(
     once for the whole input (the resumable job does this —
     jobs/run_extraction.py, the right shape at 100 TB).
 
+    ``ocr`` (None | 'auto' | 'fixture' | 'real' | 'stub') executes the OCR
+    fallback on ``needs_ocr`` rows inside the pipeline (map-only,
+    flag-guarded, per-row error channel) and re-scans those rows' spans
+    from the final text. None (default) keeps the flag-only contract —
+    downstream systems run their own OCR pass.
+
     ``with_spans=False`` prunes the span scan inside the extract UDF
     (~half the kernel) and omits the spans column — for consumers whose
     output contract carries no spans. The default keeps the full
@@ -210,9 +217,37 @@ def extract_pipeline(
         kdf_seed = precompute_kdf_seed(transcripts)
     df = transcripts.select("conv_id", "turn_idx", "ts", "text", "tool")
     df = salted_repartition(df, num_partitions, salt_buckets)
-    df = with_extraction(
-        df, kdf_seed=kdf_seed or None, with_spans=with_spans
-    ).drop("text", "tool")
+    df = with_extraction(df, kdf_seed=kdf_seed or None, with_spans=with_spans)
+    if ocr:
+        # OCR fallback INSIDE the pipeline (reference extract_text.py:18-24
+        # always falls back; here opt-in via jobs --ocr): map-only,
+        # flag-guarded, before the payload column drops out of the plan.
+        from ..operators.ocr import with_ocr_fallback
+
+        df = with_ocr_fallback(df, impl=ocr)
+        if with_spans:
+            # spans must describe the FINAL text (the reference derives
+            # fields from whichever text won): re-scan flagged rows from
+            # the current extracted_text — idempotent when OCR failed or
+            # left the text unchanged, untouched rows keep their spans
+            from ..operators.extract import SPAN_TYPE, _spans_chunked
+
+            @F.pandas_udf(SPAN_TYPE)
+            def _respan(text: pd.Series, flag: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [_spans_chunked(str(t)) if f and t else []
+                     for t, f in zip(text.fillna(""), flag.fillna(False))],
+                    index=text.index, dtype=object,
+                )
+
+            df = df.withColumn(
+                "spans",
+                F.when(
+                    F.col("needs_ocr"),
+                    _respan("extracted_text", "needs_ocr"),
+                ).otherwise(F.col("spans")),
+            )
+    df = df.drop("text", "tool")
     df = with_turn_pos(df, bucket_width=ordering_bucket_width)
     # zero-cost pipeline metrics (the A9 'knowledge base' as observe();
     # pass a pyspark Observation to read them after an action, else they

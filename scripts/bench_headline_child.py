@@ -87,25 +87,34 @@ def main() -> None:
     pinned_ran: list[str] = []
 
     def run(name: str) -> float | None:
-        ppath = os.path.join(pinned_dir, name) if pinned_dir else ""
-        if ppath and os.path.isdir(ppath) and name in qs:
-            fn = pinned_fns.get(name) or _generic_pinned_fn(name)
-            if name not in pinned_ran:
-                pinned_ran.append(name)
-            t0 = time.monotonic()
-            df = fn(spark, ppath)
-        else:
-            fn = qs.get(name)
-            if fn is None:
-                return None
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-        # same full-evaluation action as bench.py's in-process headline
-        df.agg(
-            F.count(F.lit(1)),
-            F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
-        ).collect()
-        return round(time.monotonic() - t0, 3)
+        # per-query isolation: a query this arm cannot run — e.g. the BASE
+        # arm extracting a pinned corpus whose newest carrier shapes only
+        # HEAD parses (bit us: r7's q64 rotation matrices made the r6 base
+        # kernel raise and took the whole arm down) — reports null instead
+        # of killing the child and losing every other measurement
+        try:
+            ppath = os.path.join(pinned_dir, name) if pinned_dir else ""
+            if ppath and os.path.isdir(ppath) and name in qs:
+                fn = pinned_fns.get(name) or _generic_pinned_fn(name)
+                if name not in pinned_ran:
+                    pinned_ran.append(name)
+                t0 = time.monotonic()
+                df = fn(spark, ppath)
+            else:
+                fn = qs.get(name)
+                if fn is None:
+                    return None
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+            # same full-evaluation action as bench.py's in-process headline
+            df.agg(
+                F.count(F.lit(1)),
+                F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
+            ).collect()
+            return round(time.monotonic() - t0, 3)
+        except Exception as e:
+            print(f"# {name}: {type(e).__name__}: {e}"[:200], file=sys.stderr)
+            return None
 
     # untimed warmup: python-worker imports + codegen paid before timing
     warm = next((n for n in names if n in qs), None)
