@@ -349,7 +349,8 @@ def _headline_ab(reps: int = 3) -> dict | None:
         child_env["SPARK_GRAFT_BENCH_PINNED_DIR"] = pin[0]
     arms = {"base": base_path, "head": here}
     samples: dict[str, dict[str, list[float]]] = {a: {} for a in arms}
-    for _ in range(reps):
+    rep_failures: list[str] = []
+    for rep in range(reps):
         for arm, root in arms.items():  # base first, then head — interleaved
             # HEAD's child script also drives the baseline tree (old trees
             # may predate it); queries missing there report null
@@ -360,15 +361,22 @@ def _headline_ab(reps: int = 3) -> dict | None:
                     env=child_env,
                 )
             except (subprocess.TimeoutExpired, OSError) as e:
-                # a wedged child must degrade to the skip path, not lose the
-                # whole bench session's evidence
-                return {"error": f"{arm} child {type(e).__name__}: {e}"}
+                # one wedged rep must not lose the session's other reps
+                # (bit us r7: a single transient base-child death during a
+                # load-10 burst nuked the whole A/B table) — record + go on
+                rep_failures.append(f"{arm} rep{rep} {type(e).__name__}")
+                continue
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if out.returncode != 0 or not lines:
-                return {"error": f"{arm} child failed: {out.stderr.strip()[-300:]}"}
+                rep_failures.append(
+                    f"{arm} rep{rep} child failed: {out.stderr.strip()[-300:]}"
+                )
+                continue
             for q, sec in json.loads(lines[-1])["queries"].items():
                 if sec is not None:
                     samples[arm].setdefault(q, []).append(sec)
+    if not samples["head"] and not samples["base"]:
+        return {"error": "every A/B child rep failed: " + "; ".join(rep_failures)}
 
     def stats(vals: list[float]) -> dict:
         s = sorted(vals)
@@ -391,13 +399,16 @@ def _headline_ab(reps: int = 3) -> dict | None:
                 stats(h)["median"] / max(stats(b)["median"], 1e-9), 3
             )
         queries[q] = row
-    return {
+    result = {
         "baseline_sha": base_sha,
         "reps": reps,
         "queries": queries,
         # which queries ran over the shared materialized corpus (both arms)
         "data_pinned": pin[1] if pin is not None else [],
     }
+    if rep_failures:
+        result["rep_failures"] = rep_failures
+    return result
 
 
 def _scaling(transcripts_path: str) -> dict:
@@ -603,6 +614,11 @@ def _write_bench_md(scaling: dict, timings: dict[str, float],
                 f.write(
                     f"| {q} | {fmt(row.get('head'))} | {fmt(row.get('base'))} "
                     f"| {row.get('ratio_head_over_base', '—')} |\n"
+                )
+            if ab.get("rep_failures"):
+                f.write(
+                    "\nRep failures (medians above cover the surviving "
+                    "reps): " + "; ".join(ab["rep_failures"]) + "\n"
                 )
         elif ab and "error" in ab:
             f.write(f"\n## A/B headline: SKIPPED — {ab['error']}\n")

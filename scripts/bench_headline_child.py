@@ -122,8 +122,16 @@ def main() -> None:
         run(warm)
 
     out = {n: run(n) for n in names}
-    spark.stop()
+    # JSON FIRST, stop second: if the JVM died mid-run (task OOM during a
+    # host burst), every later query already degraded to null via run()'s
+    # isolation — but spark.stop() then raises, and printing after it would
+    # lose the whole arm's evidence (bit us: r7 snapshot recorded "base
+    # child failed" over one transient executor death).
     print(json.dumps({"queries": out, "root": root, "pinned": sorted(pinned_ran)}))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
