@@ -79,9 +79,11 @@ HEADLINE = [
     "q66_tagged_pdf_roundtrip",
     "q67_type3_pdf_roundtrip",
     "q68_hybrid_pdf_roundtrip",
-    # round-7: the executed OCR slice (scan render → template OCR); the
-    # A/B base arm predates it and reports null
+    # round-7: the executed OCR slice (scan render → template OCR, then
+    # the noisy-scan nearest-template rung); the A/B base arm predates
+    # them and reports null
     "q69_scanned_pdf_ocr_roundtrip",
+    "q70_noisy_scan_ocr_roundtrip",
 ]
 
 

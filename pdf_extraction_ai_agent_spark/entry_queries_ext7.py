@@ -747,7 +747,10 @@ def pinned_queries() -> dict:
                     pdftext.seed_kdf(engine_seed)
                     yield from base(batches)
 
-            elif name == "q69_scanned_pdf_ocr_roundtrip":
+            elif name in (
+                "q69_scanned_pdf_ocr_roundtrip",
+                "q70_noisy_scan_ocr_roundtrip",
+            ):
                 # the scanned corpus measures extract + the fixture OCR
                 # rung (the entry query's with_ocr_fallback semantics)
                 from .operators.extract import extract_real_pdf_text

@@ -174,21 +174,96 @@ def ocr_bitmap(width: int, height: int, raw: bytes) -> str:
     return "\n".join(lines)
 
 
+def _nearest_templates():
+    """(chars, (n,35) bool matrix) of full-cell patterns incl. space."""
+    import numpy as np
+
+    from .. import spec
+
+    chars = [" "]
+    rows = [[False] * 35]
+    for ch, glyph in spec.OCR_FONT_5X7.items():
+        chars.append(ch)
+        rows.append([px == "X" for row in glyph for px in row])
+    return chars, np.array(rows, dtype=bool)
+
+
+def ocr_bitmap_nearest(width: int, height: int, raw: bytes) -> str:
+    """Noise-tolerant decode of one grayscale scan (the r7 realism rung):
+    segment by the FIXED fixture geometry (spec.OCR_SCAN_*: 4 px margins,
+    10 px line pitch, 6 px cell pitch — the contract fixtures/scanned.py
+    renders with, which ink-run detection cannot recover under
+    salt-and-pepper noise), then per 5x7 cell take the NEAREST template
+    by Hamming distance with a confidence threshold: best distance
+    ≤ spec.OCR_NEAREST_MAX_D and a strictly unique winner, else raise —
+    wrong text must never beat no text, so an ambiguous or badly
+    degraded cell fails loudly instead of guessing."""
+    import numpy as np
+
+    from .. import spec
+
+    m, pitch, cw = (
+        spec.OCR_SCAN_MARGIN, spec.OCR_SCAN_LINE_PITCH, spec.OCR_SCAN_CELL_W
+    )
+    if (height - 2 * m - 7) % pitch or (width - 2 * m) % cw:
+        raise RuntimeError(
+            "scan geometry off the fixture grid — not a generated scan "
+            "(real scans need the cluster OCR stack)"
+        )
+    n_lines = (height - 2 * m - 7) // pitch + 1
+    n_cells = (width - 2 * m) // cw
+    chars, tmpl = _nearest_templates()
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+    ink = arr < 128
+    lines: list[str] = []
+    for li in range(n_lines):
+        y0 = m + li * pitch
+        band = ink[y0:y0 + 7, m:m + n_cells * cw]
+        # (n_cells, 35): drop each cell's 6th (gap) column
+        cells = (
+            band.reshape(7, n_cells, cw)[:, :, :5]
+            .transpose(1, 0, 2)
+            .reshape(n_cells, 35)
+        )
+        dists = (cells[:, None, :] != tmpl[None, :, :]).sum(axis=2)
+        order = np.argsort(dists, axis=1)
+        best, second = order[:, 0], order[:, 1]
+        d1 = dists[np.arange(n_cells), best]
+        d2 = dists[np.arange(n_cells), second]
+        if (d1 > spec.OCR_NEAREST_MAX_D).any() or (d2 == d1).any():
+            raise RuntimeError(
+                "low-confidence OCR cell (degraded beyond %d flipped px "
+                "or ambiguous between templates) — refusing to guess"
+                % spec.OCR_NEAREST_MAX_D
+            )
+        lines.append("".join(chars[i] for i in best).rstrip())
+    return "\n".join(lines)
+
+
 def ocr_payload_fixture(payload) -> str:
     """Dependency-free executed OCR for GENERATED scanned fixtures
     (fixtures/scanned.py): read each page's grayscale image XObject and
     template-match it against spec.OCR_FONT_5X7 — the in-sandbox stand-in
     for the reference's rasterize→pytesseract chain
-    (extract_text.py:18-24). Honest scope: raises on anything that is not
-    the generated-scan shape; real scans still need ``impl='real'`` on a
-    cluster image."""
+    (extract_text.py:18-24). Rung ladder per image, mirroring the extract
+    stage's rung chain: EXACT row-cropped match first (clean scans,
+    byte-identical q69 behavior), then the NEAREST-template matcher with
+    a confidence threshold (noisy scans, q70); a failure of both raises.
+    Honest scope: raises on anything that is not the generated-scan
+    shape; real scans still need ``impl='real'`` on a cluster image."""
     data = payload if isinstance(payload, (bytes, bytearray)) else str(
         payload
     ).encode("latin-1", errors="ignore")
     images = _scan_images(bytes(data))
     if not images:
         raise RuntimeError("no scan images found in needs_ocr payload")
-    return "\n".join(ocr_bitmap(w, h, raw) for w, h, raw in images).strip()
+    out = []
+    for w, h, raw in images:
+        try:
+            out.append(ocr_bitmap(w, h, raw))
+        except RuntimeError:
+            out.append(ocr_bitmap_nearest(w, h, raw))
+    return "\n".join(out).strip()
 
 
 def ocr_payload_auto(payload) -> str:

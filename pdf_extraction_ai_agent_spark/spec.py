@@ -350,3 +350,15 @@ OCR_FONT_5X7: dict[str, tuple[str, ...]] = _build_ocr_font()
 # characters the scanned-fixture pipeline can carry (space renders as an
 # empty cell); the q69 text transform filters to this set on BOTH sides
 OCR_FONT_CHARSET: str = "".join(sorted(OCR_FONT_5X7)) + " "
+
+# Scanned-fixture geometry contract (pure data, shared by the renderer in
+# fixtures/scanned.py and the grid template-matcher in operators/ocr.py):
+# glyph cell = 5 ink columns + 1 gap, line pitch = 7 glyph rows + 3 blank,
+# 4 px page margins. The nearest-template rung tolerates at most
+# OCR_NEAREST_MAX_D flipped pixels per 5x7 cell and demands a strictly
+# unique nearest template — ties or worse raise (wrong text never beats
+# no text).
+OCR_SCAN_CELL_W = 6
+OCR_SCAN_LINE_PITCH = 10
+OCR_SCAN_MARGIN = 4
+OCR_NEAREST_MAX_D = 2

@@ -103,6 +103,63 @@ def test_with_ocr_fallback_fixture_impl(spark):
     assert "RuntimeError" in got["badscan"]["error"]
 
 
+def test_noisy_scan_roundtrip_exact_recovery():
+    """The realism rung (q70): deterministic salt-and-pepper noise on the
+    rendered page defeats the exact matcher's ink-run segmentation, and
+    the nearest-template rung recovers the ORIGINAL text exactly — over
+    several seeds and every glyph in the font."""
+    from pdf_extraction_ai_agent_spark.operators.ocr import (
+        ocr_bitmap_nearest,
+    )
+
+    every_glyph = "".join(sorted(spec.OCR_FONT_5X7))
+    pages = [
+        ["NOISY N42", "QUICK BROWN FOX 19.95", every_glyph[:20]],
+        [every_glyph[20:], "END OF SCAN."],
+    ]
+    for seed in (1, 7, 12345):
+        pdf = write_scanned_pdf(pages, noise_seed=seed)
+        # determinism: same seed, same bytes
+        assert pdf == write_scanned_pdf(pages, noise_seed=seed)
+        want = "\n".join("\n".join(p) for p in pages)
+        assert ocr_payload_fixture(pdf) == want, f"seed={seed}"
+    # the exact rung really does fall through on a noisy bitmap (the
+    # ladder's second rung did the work, not a lucky exact match)
+    from pdf_extraction_ai_agent_spark.fixtures.scanned import (
+        add_scan_noise,
+    )
+
+    w, h, raw = render_page_bitmap(pages[0])
+    noisy = add_scan_noise(w, h, raw, seed=1)
+    assert noisy != raw
+    with pytest.raises(RuntimeError):
+        ocr_bitmap(w, h, noisy)
+    assert ocr_bitmap_nearest(w, h, noisy) == "\n".join(pages[0])
+
+
+def test_nearest_matcher_refuses_heavy_or_ambiguous_noise():
+    """Wrong text never beats no text: degradation beyond
+    spec.OCR_NEAREST_MAX_D flipped pixels in one cell makes the nearest
+    rung raise instead of guessing; off-grid geometry raises too."""
+    from pdf_extraction_ai_agent_spark.operators.ocr import (
+        ocr_bitmap_nearest,
+    )
+
+    w, h, raw = render_page_bitmap(["HELLO WORLD"])
+    buf = bytearray(raw)
+    # obliterate the first glyph cell (flip all 35 in-cell pixels)
+    m, cw = spec.OCR_SCAN_MARGIN, spec.OCR_SCAN_CELL_W
+    for r in range(7):
+        for c in range(5):
+            o = (m + r) * w + m + c
+            buf[o] = 0 if buf[o] >= 128 else 255
+    with pytest.raises(RuntimeError, match="refusing to guess"):
+        ocr_bitmap_nearest(w, h, bytes(buf))
+    # off the fixture grid: not a generated scan
+    with pytest.raises(RuntimeError, match="geometry"):
+        ocr_bitmap_nearest(w - 1, h, raw[: (w - 1) * h])
+
+
 def test_scannable_text_matches_q69_sql_twin(spark):
     """The python transform and its DuckDB twin stay in lockstep on
     adversarial inputs (mixed case, filtered chars, whitespace runs)."""
