@@ -84,6 +84,9 @@ HEADLINE = [
     # them and reports null
     "q69_scanned_pdf_ocr_roundtrip",
     "q70_noisy_scan_ocr_roundtrip",
+    # round-7: the executed render slice (fixture render → strict PNG
+    # decode → template match)
+    "q71_render_pages_roundtrip",
 ]
 
 

@@ -776,6 +776,37 @@ def pinned_queries() -> dict:
                             ],
                         )
 
+            elif name == "q71_render_pages_roundtrip":
+                # the render corpus measures the executed render slice:
+                # fixture render → strict PNG decode → template match
+                from .operators.multimodal import render_pdf_pages_fixture
+                from .operators.ocr import ocr_bitmap
+                from .operators.raster import decode_png_gray
+
+                def kernel(batches):
+                    import pandas as pd
+
+                    for frame in batches:
+                        rows = []
+                        for doc_id, pdf_bytes in zip(
+                            frame["doc_id"], frame["pdf"]
+                        ):
+                            texts = []
+                            for _, png in render_pdf_pages_fixture(
+                                bytes(pdf_bytes)
+                            ):
+                                w, h, raw = decode_png_gray(png)
+                                texts.append(ocr_bitmap(w, h, raw))
+                            rows.append(
+                                (int(doc_id), "\n".join(texts), False)
+                            )
+                        yield pd.DataFrame(
+                            rows,
+                            columns=[
+                                "doc_id", "extracted_text", "needs_ocr",
+                            ],
+                        )
+
             else:
                 kernel = base
             return df.mapInPandas(kernel, schema=_ROUNDTRIP_SCHEMA)

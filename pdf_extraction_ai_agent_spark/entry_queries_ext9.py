@@ -157,3 +157,122 @@ PINNED_PAYLOAD_BUILDERS["q69_scanned_pdf_ocr_roundtrip"] = _payload_q69
 EXT9_QUERIES["q70_noisy_scan_ocr_roundtrip"] = q70_noisy_scan_ocr_roundtrip
 _EXT9_ORACLES["q70_noisy_scan_ocr_roundtrip"] = _Q70_SQL
 PINNED_PAYLOAD_BUILDERS["q70_noisy_scan_ocr_roundtrip"] = _payload_q70
+
+
+# ---------------------------------------------------------------------------
+# q71 — EXECUTED page render under the ORACLE GATE (S7 closure, reference
+# claude_pdf_image_extractor.py:62-74). Per document a PDF is built — even
+# doc_ids a text-layer minipdf, odd doc_ids an image-only scanned PDF
+# carrying the SAME three lines — and the REAL Spark render operator
+# (operators/multimodal.py::with_rendered_pages, impl='fixture') produces
+# one PNG per page: text pages rasterized with the spec font, scanned
+# pages as image passthrough. The verification half decodes the PNG with
+# the STRICT spec reader (operators/raster.py::decode_png_gray — full
+# filter set + chunk CRCs) and template-matches the raster back to text;
+# the DuckDB twin predicts text AND pixel geometry (width/height follow
+# from line lengths and the spec grid) straight from the table, so the
+# gate proves write→render→encode→decode→match is the identity on both
+# semantics and geometry, for both carrier shapes.
+# ---------------------------------------------------------------------------
+
+
+def _q71_lines(doc_id: int, text: str) -> list[str]:
+    from .fixtures.scanned import scannable_text
+
+    body = ("TEXT " + scannable_text(text)).strip()
+    return [f"RENDER R{doc_id}", body, f"SUM {doc_id % 83}.50"]
+
+
+def _payload_q71(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+    from .fixtures.scanned import write_scanned_pdf
+
+    lines = _q71_lines(doc_id, text)
+    if doc_id % 2 == 0:
+        return write_minimal_pdf(["\n".join(lines)])
+    return write_scanned_pdf([lines])
+
+
+def q71_render_pages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import with_rendered_pages
+    from .operators.ocr import ocr_bitmap
+    from .operators.raster import decode_png_gray
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(d) for d in pdf["doc_id"]],
+                    "payload": [
+                        _payload_q71(int(d), str(t))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    payloads = _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        build, schema="doc_id long, payload binary"
+    )
+    rendered = with_rendered_pages(
+        payloads, payload_col="payload", id_col="doc_id", impl="fixture"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, page_no, png, err in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["png"], pdf["error"]
+            ):
+                if err is not None and not (
+                    isinstance(err, float) and pd.isna(err)
+                ):
+                    rows.append(
+                        (int(doc_id), None, None, None, None, str(err))
+                    )
+                    continue
+                w, h, raw = decode_png_gray(bytes(png))
+                rows.append(
+                    (int(doc_id), int(page_no), w, h, ocr_bitmap(w, h, raw),
+                     None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "page_no", "width", "height",
+                         "recovered_text", "render_error"],
+            )
+
+    return rendered.mapInPandas(
+        verify,
+        schema="doc_id long, page_no int, width int, height int, "
+               "recovered_text string, render_error string",
+    )
+
+
+# geometry twin: width = 2*margin + cell_w * longest line, height =
+# 2*margin + line_pitch * (n_lines - 1) + 7 — spec.OCR_SCAN_* as literals
+# (4 / 6 / 10), 3 lines → height 35; identical for both carrier parities
+_Q71_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'RENDER R' || CAST(doc_id AS VARCHAR) AS l1,
+         trim('TEXT ' || trim(regexp_replace(
+             upper(trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g'))),
+             '[^A-Z0-9 #,./:-]', '', 'g'))) AS l2,
+         'SUM ' || CAST(doc_id % 83 AS VARCHAR) || '.50' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       1 AS page_no,
+       CAST(8 + 6 * greatest(len(l1), len(l2), len(l3)) AS INTEGER) AS width,
+       35 AS height,
+       l1 || chr(10) || l2 || chr(10) || l3 AS recovered_text,
+       CAST(NULL AS VARCHAR) AS render_error
+FROM parts
+"""
+
+
+EXT9_QUERIES["q71_render_pages_roundtrip"] = q71_render_pages_roundtrip
+_EXT9_ORACLES["q71_render_pages_roundtrip"] = _Q71_SQL
+PINNED_PAYLOAD_BUILDERS["q71_render_pages_roundtrip"] = _payload_q71

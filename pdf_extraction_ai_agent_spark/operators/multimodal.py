@@ -69,13 +69,9 @@ def extract_media_meta(df: DataFrame, id_col: str = "media_id",
     return cols.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
 
-def render_pdf_pages(payload, dpi: int = 200) -> list[tuple[int, bytes]]:
-    """S7 — PDF → per-page PNG bytes (reference:
-    claude_pdf_image_extractor.py:62-74 rasterizes with pdf2image/fitz for
-    the LLM-image path). Same dispatch pattern as extract_real_pdf_text:
-    PyMuPDF when installed, else a documented RuntimeError that the per-row
-    error channel captures. Returns [(page_no starting at 1, png_bytes)].
-    """
+def render_pdf_pages_real(payload, dpi: int = 200) -> list[tuple[int, bytes]]:
+    """PyMuPDF render, per the reference chain. Raises when fitz is absent
+    (captured by the error channel, never a job abort)."""
     data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode(
         "latin-1", errors="ignore"
     )
@@ -90,18 +86,92 @@ def render_pdf_pages(payload, dpi: int = 200) -> list[tuple[int, bytes]]:
     return [(i + 1, doc[i].get_pixmap(dpi=dpi).tobytes("png")) for i in range(doc.page_count)]
 
 
+def render_pdf_pages_fixture(payload) -> list[tuple[int, bytes]]:
+    """EXECUTED in-sandbox render (r7, the S7 closure — same pattern as
+    the fixture OCR rung): PDF bytes → one real PNG per page, without
+    fitz, for the shapes the dependency-free tokenizer models.
+
+    - Text-layer documents: each page's reading-order body is rasterized
+      onto the fixture scan grid with the spec 5x7 font
+      (operators/raster.py::rasterize_text_page; small-caps mapping,
+      unknown glyphs raise into the error channel).
+    - Scanned documents (no text layer at all): the embedded grayscale
+      image XObjects pass through — one PNG per page image, the raster a
+      real renderer would produce for an image-only page (modulo dpi).
+
+    Honest scope: generated/modeled PDFs only; mixed text+image pages
+    render their text layer; real-world PDFs that the tokenizer cannot
+    parse raise — real render still needs fitz on a cluster image."""
+    from .. import spec
+    from .pdftext import assemble_reading_order, tokenize_pdf_runs
+    from .raster import encode_png_gray, rasterize_text_page
+
+    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode(
+        "latin-1", errors="ignore"
+    )
+    pages_runs = tokenize_pdf_runs(data, passwords=spec.KNOWN_USER_PASSWORDS)
+    if pages_runs is None:
+        raise RuntimeError(
+            "payload outside the dependency-free tokenizer's domain — real "
+            "render needs PyMuPDF (fitz) on a cluster image"
+        )
+    bodies = assemble_reading_order(pages_runs)
+    if any(b.strip() for b in bodies):
+        return [
+            (i + 1, encode_png_gray(*rasterize_text_page(body.split("\n"))))
+            for i, body in enumerate(bodies)
+        ]
+    # image-only (scanned) shape: one image XObject per page, file order
+    from .ocr import _scan_images
+
+    images = _scan_images(data)
+    if not images:
+        raise RuntimeError("no text layer and no scan images — nothing to render")
+    if len(images) != len(bodies):
+        raise RuntimeError(
+            "scan image count != page count — outside the generated-scan "
+            "contract (real render needs fitz)"
+        )
+    return [
+        (i + 1, encode_png_gray(w, h, raw))
+        for i, (w, h, raw) in enumerate(images)
+    ]
+
+
+def render_pdf_pages(payload, dpi: int = 200, impl: str = "auto") -> list[tuple[int, bytes]]:
+    """S7 — PDF → per-page PNG bytes (reference:
+    claude_pdf_image_extractor.py:62-74 rasterizes with pdf2image/fitz for
+    the LLM-image path). ``impl='real'`` requires PyMuPDF; ``'fixture'``
+    is the executed dependency-free rung (render_pdf_pages_fixture);
+    ``'auto'`` prefers real-when-installed and falls back to the fixture
+    rung. Returns [(page_no starting at 1, png_bytes)]."""
+    if impl == "real":
+        return render_pdf_pages_real(payload, dpi=dpi)
+    if impl == "fixture":
+        return render_pdf_pages_fixture(payload)
+    if impl == "auto":
+        try:
+            import fitz  # type: ignore  # noqa: F401
+
+            return render_pdf_pages_real(payload, dpi=dpi)
+        except ImportError:
+            return render_pdf_pages_fixture(payload)
+    raise ValueError(f"unknown render impl {impl!r}")
+
+
 def with_rendered_pages(df: DataFrame, payload_col: str = "payload",
-                        id_col: str = "media_id", dpi: int = 200) -> DataFrame:
+                        id_col: str = "media_id", dpi: int = 200,
+                        impl: str = "auto") -> DataFrame:
     """(media_id, page_no, png: binary, error) — one row per rendered page;
-    render failures (incl. missing fitz) land in the error channel, one row
-    per failed document, never a job abort."""
+    render failures (incl. missing fitz on impl='real') land in the error
+    channel, one row per failed document, never a job abort."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    for page_no, png in render_pdf_pages(p, dpi=dpi):
+                    for page_no, png in render_pdf_pages(p, dpi=dpi, impl=impl):
                         rows.append((int(mid), page_no, png, None))
                 except Exception as e:
                     rows.append((int(mid), None, None, f"{type(e).__name__}: {e}"[:500]))
