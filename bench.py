@@ -87,6 +87,10 @@ HEADLINE = [
     # round-7: the executed render slice (fixture render → strict PNG
     # decode → template match)
     "q71_render_pages_roundtrip",
+    # round-7: top-level q/cm/Q graphics state (six matrix variants)
+    "q72_ctm_pdf_roundtrip",
+    # round-7: CTM × form-XObject composition (§8.10.2 splice isolation)
+    "q73_ctm_form_roundtrip",
 ]
 
 

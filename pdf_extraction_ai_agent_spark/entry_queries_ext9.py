@@ -276,3 +276,155 @@ FROM parts
 EXT9_QUERIES["q71_render_pages_roundtrip"] = q71_render_pages_roundtrip
 _EXT9_ORACLES["q71_render_pages_roundtrip"] = _Q71_SQL
 PINNED_PAYLOAD_BUILDERS["q71_render_pages_roundtrip"] = _payload_q71
+
+
+# ---------------------------------------------------------------------------
+# q72 — TOP-LEVEL GRAPHICS STATE (q/cm/Q) under the ORACLE GATE (r7): the
+# common real-generator page shape where the whole body sits under a
+# `q a b c d e f cm … Q` wrapper. Per document the SAME three consecutive
+# lines ride one of six matrix variants (doc_id % 6): a q…Q-wrapped
+# identity, a translate, two positive scales (one with translate), a
+# NESTED two-level state (outer scale, inner translate with l1 outside
+# the inner q), and a bare un-pushed cm. Every variant is order- and
+# cluster-preserving on the fixture pitch (16 pt × scale stays within
+# (PDF_Y_TOL, PDF_PARA_GAP)), so the DuckDB twin predicts one text for
+# all six — equality proves both twins track the CTM identically.
+# Reference behavior: the library chain reads cm-wrapped pages by device
+# position via pdfplumber/fitz (extract_text.py:39-66); round 7 closes
+# that gap in the dependency-free rung on both twins.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q72(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    lines = [
+        ("text", 72, 720, f"Matrix M{doc_id}"),
+        ("text", 72, 704, f"Ctm {norm30}"),
+        ("text", 72, 688, f"Grand {doc_id % 79}.75"),
+    ]
+    l1, l2, l3 = lines
+    variant = doc_id % 6
+    if variant == 0:  # q…Q-wrapped identity (state plumbing, no movement)
+        ops = [("ctm", 1, 0, 0, 1, 0, 0), l1, l2, l3, ("pop",)]
+    elif variant == 1:  # pure translate
+        ops = [("ctm", 1, 0, 0, 1, 30.5, -12.25), l1, l2, l3, ("pop",)]
+    elif variant == 2:  # uniform scale up (pitch 16 → 24 < PARA_GAP)
+        ops = [("ctm", 1.5, 0, 0, 1.5, 0, 0), l1, l2, l3, ("pop",)]
+    elif variant == 3:  # scale down + translate (pitch 16 → 8 > Y_TOL)
+        ops = [("ctm", 0.5, 0, 0, 0.5, 40, 100), l1, l2, l3, ("pop",)]
+    elif variant == 4:  # nested states: l1 under the outer scale only
+        ops = [
+            ("ctm", 1.25, 0, 0, 1.25, 0, 0), l1,
+            ("ctm", 1, 0, 0, 1, 0, -4), l2, l3,
+            ("pop",), ("pop",),
+        ]
+    else:  # bare cm, never popped (legal: CTM persists to end of stream)
+        ops = [("cm", 0.75, 0, 0, 0.75, 10, 5), l1, l2, l3]
+    return write_minimal_pdf([ops])
+
+
+def q72_ctm_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q72), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+# all six matrix variants preserve line order and clustering, so the twin
+# is matrix-blind: one predicted text per document (the q55 shape)
+_Q72_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Matrix M' || CAST(doc_id AS VARCHAR) AS l1,
+         'Ctm ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Grand ' || CAST(doc_id % 79 AS VARCHAR) || '.75' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q72_ctm_pdf_roundtrip"] = q72_ctm_pdf_roundtrip
+_EXT9_ORACLES["q72_ctm_pdf_roundtrip"] = _Q72_SQL
+PINNED_PAYLOAD_BUILDERS["q72_ctm_pdf_roundtrip"] = _payload_q72
+
+
+# ---------------------------------------------------------------------------
+# q73 — CTM × FORM-XOBJECT composition under the ORACLE GATE (r7): the
+# letterhead shape under a page CTM. Do saves/restores graphics state
+# (ISO 32000 §8.10.2), which both twins express as a synthetic q…Q around
+# every splice — so a page `cm` wrapping the Do, a form /Matrix under it,
+# and an identity-matrix form whose own content issues a bare internal cm
+# (which must be CONTAINED, not leak onto the rest of the page) all
+# compose like a real renderer. Five variants per corpus (doc_id % 5);
+# variant (d)'s internal cm is a 2× scale whose leak WOULD double the
+# page line pitch past PDF_PARA_GAP and visibly change the text — the
+# gate proves containment, not just parity.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q73(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_form_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    stamp = f"Stamp S{doc_id}"
+    header = [("text", 72, 736, stamp)]
+    page = [
+        ("text", 72, 720, f"Wrap W{doc_id}"),
+        ("text", 72, 704, f"Page {norm30}"),
+        ("text", 72, 688, f"Net {doc_id % 73}.25"),
+    ]
+    variant = doc_id % 5
+    if variant == 0:  # page cm translate around Do + text
+        return write_form_pdf([page], header, page_wrap=(1, 0, 0, 1, 30, -10))
+    if variant == 1:  # page cm scale
+        return write_form_pdf([page], header, page_wrap=(1.25, 0, 0, 1.25, 0, 0))
+    if variant == 2:  # page cm scale × form translate /Matrix
+        return write_form_pdf(
+            [page], header, page_wrap=(1.25, 0, 0, 1.25, 0, 0),
+            translate=(0, 4),
+        )
+    if variant == 3:  # identity form with INTERNAL bare cm — containment
+        hdr = [("cm", 2, 0, 0, 2, 0, 0), ("text", 36, 368, stamp)]
+        return write_form_pdf([page], hdr)
+    return write_form_pdf([page], header)  # control: no wrapper
+
+
+def q73_ctm_form_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q73), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+# matrix-blind twin: every variant preserves line order and the 16-pt
+# cluster pitch (scaled pitches stay inside (PDF_Y_TOL, PDF_PARA_GAP))
+_Q73_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Stamp S' || CAST(doc_id AS VARCHAR) AS l0,
+         'Wrap W' || CAST(doc_id AS VARCHAR) AS l1,
+         'Page ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Net ' || CAST(doc_id % 73 AS VARCHAR) || '.25' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l0 || chr(10) || l1 || chr(10) || l2
+         || chr(10) || l3 AS extracted_text,
+       (len(trim(l0)) + len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40
+         AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q73_ctm_form_roundtrip"] = q73_ctm_form_roundtrip
+_EXT9_ORACLES["q73_ctm_form_roundtrip"] = _Q73_SQL
+PINNED_PAYLOAD_BUILDERS["q73_ctm_form_roundtrip"] = _payload_q73

@@ -59,6 +59,14 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
             elif item[0] == "line":
                 _, x1, y1, x2, y2 = item
                 ops.append(f"{x1:g} {y1:g} m {x2:g} {y2:g} l S")
+            elif item[0] == "ctm":  # push graphics state + concat matrix
+                _, a, b, c, d, e, f = item
+                ops.append(f"q {a:g} {b:g} {c:g} {d:g} {e:g} {f:g} cm")
+            elif item[0] == "cm":  # bare concat (no q — persists to EOS)
+                _, a, b, c, d, e, f = item
+                ops.append(f"{a:g} {b:g} {c:g} {d:g} {e:g} {f:g} cm")
+            elif item[0] == "pop":  # restore graphics state
+                ops.append("Q")
             elif item[0] == "image":
                 data = item[1]
                 assert not re.search(
@@ -1316,6 +1324,7 @@ def write_form_pdf(
     explicit_matrix: bool = False,
     translate: tuple | None = None,
     sub_translate: tuple | None = None,
+    page_wrap: tuple | None = None,
 ) -> bytes:
     """Pages whose content invokes a shared /Subtype /Form XObject header
     (`/FmHead Do`) before their own text — the letterhead/stamp shape
@@ -1326,8 +1335,10 @@ def write_form_pdf(
     be dropped, not shown). ``explicit_matrix`` writes the identity
     /Matrix out explicitly. ``translate``/``sub_translate`` take a
     (tx, ty) shorthand or a full 6-tuple (a b c d e f) form /Matrix
-    (scale / rotation fixtures). pages/header/sub are _content_stream
-    inputs (item lists or '\\n'-joined strings)."""
+    (scale / rotation fixtures). ``page_wrap`` (r7) wraps each page's
+    ENTIRE content — Do invocations included — in `q a b c d e f cm … Q`,
+    the page-level CTM shape q73 exercises. pages/header/sub are
+    _content_stream inputs (item lists or '\\n'-joined strings)."""
 
     def _wrap(data: bytes, extra: bytes = b"") -> bytes:
         filt = b""
@@ -1362,6 +1373,11 @@ def write_form_pdf(
         content = b"/FmHead Do\n" + _content_stream(page, False)
         if im is not None:
             content += b"\n/Im0 Do"
+        if page_wrap is not None:
+            content = (
+                b"q %g %g %g %g %g %g cm\n" % tuple(page_wrap)
+                + content + b"\nQ"
+            )
         objs[cont_num] = _wrap(content)
     def _matrix(tr: tuple | None) -> bytes:
         if tr is not None:

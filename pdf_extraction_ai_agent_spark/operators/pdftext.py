@@ -1439,10 +1439,53 @@ _MOVE_RE = re.compile(
     rb"|(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
     + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b"
     rb"|BT\b"
-    rb"|(" + _NUM + rb")\s+TL\b"  # group 10: set leading (text state)
-    rb"|(T\*)"                    # group 11: leading-based line advance
-    rb"|(cm\b)"                   # group 12: transform — NOT modeled → bail
+    rb"|(" + _NUM + rb")\s+TL\b"       # group 10: set leading (text state)
+    rb"|(T\*)"                         # group 11: leading-based line advance
+    rb"|(?P<cmbail>cm\b)"              # cm in the NO-cm fast path: a 'cm'
+    # substring slipped past the C prefilter mid-token — bail, never guess
 )
+# the CTM-aware walk (r7: top-level q/cm/Q graphics state — the common
+# real-generator shape where the whole page body sits under a `q … cm … Q`
+# wrapper). Same leading groups 1–11 as _MOVE_RE, plus: a fully-operanded
+# `a b c d e f cm` (composes into the tracked CTM), bare `cm` whose
+# operands the walk could not capture (→ bail), and standalone q/Q
+# (push/pop; the lookarounds keep name tails like `/freq` and ops like
+# `/Quality` from misreading as state ops).
+_MOVE_CTM_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b"
+    rb"|(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b"
+    rb"|BT\b"
+    rb"|(" + _NUM + rb")\s+TL\b"
+    rb"|(T\*)"
+    rb"|(?P<c1>" + _NUM + rb")\s+(?P<c2>" + _NUM + rb")\s+(?P<c3>" + _NUM
+    + rb")\s+(?P<c4>" + _NUM + rb")\s+(?P<c5>" + _NUM + rb")\s+(?P<c6>"
+    + _NUM + rb")\s+cm(?![A-Za-z0-9])"
+    rb"|(?P<cmbail>cm(?![A-Za-z0-9]))"
+    rb"|(?P<push>(?<![A-Za-z0-9/])q(?![A-Za-z0-9*'\"]))"
+    rb"|(?P<pop>(?<![A-Za-z0-9/])Q(?![A-Za-z0-9*'\"]))"
+)
+
+
+def _ctm_compose(m: tuple, ctm: tuple | None) -> tuple:
+    """Row-vector convention (PDF 8.3.4): p_device = p_user × M × CTM, so
+    `cm` PREPENDS — the new matrix applies before the current CTM."""
+    if ctm is None:
+        return m
+    a, b, c, d, e, f = m
+    ca, cb, cc, cd, ce, cf = ctm
+    return (
+        a * ca + b * cc, a * cb + b * cd,
+        c * ca + d * cc, c * cb + d * cd,
+        e * ca + f * cc + ce, e * cb + f * cd + cf,
+    )
+
+
+def _ctm_ok(a: float, b: float, c: float, d: float) -> bool:
+    """The modeled linear part — orthogonal columns (rotation × axis
+    scale), invertible; true shear or singular matrices are out of scope
+    (same rule as the form-/Matrix path)."""
+    return abs(a * c + b * d) <= 1e-9 and abs(a * d - b * c) >= 1e-12
 
 
 _BI_BOUND = b"\x00\t\n\x0c\r >)]"  # byte classes that may precede BI
@@ -1624,8 +1667,12 @@ def _expand_forms(
       transform of Td/Tm/ruling operands — _transform_text_ops); true
       SHEAR or singular matrices bail, and leading-based advance
       (TL/T*/'/") under a rotated matrix bails;
-    - no top-level `cm` in any content that carries a Do (a CTM change
-      would reposition the spliced text — positions would be wrong);
+    - top-level `cm` alongside Do is MODELED (r7): each spliced form is
+      isolated in a synthetic `q … Q` (ISO 32000 §8.10.2 — Do saves and
+      restores graphics state around the form), and the page walks'
+      CTM tracking then positions the spliced ops in device space; an
+      identity-matrix form's own internal cm is contained by the same
+      wrapper instead of leaking past the Do;
     - Do at nesting depth ≤ 8, outside BT…ET blocks, with the name
       resolvable through the holder's /Resources /XObject map (a form
       without its own /Resources inherits the invoking context's map —
@@ -1649,8 +1696,6 @@ def _expand_forms(
     for is_str, c in chunks:
         if is_str:
             continue
-        if _CM_RE.search(c):
-            raise _UnsupportedForm("cm transform alongside a Do splice")
         for m in _BT_ET_DO_RE.finditer(c):
             t = m.group(1)
             if t == b"BT":
@@ -1716,7 +1761,12 @@ def _expand_forms(
             )
             if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
                 sub = _transform_text_ops(sub, *mat)
-            out += b"\n" + sub + b"\n"
+            # synthetic state isolation (§8.10.2): Do saves/restores the
+            # graphics state, so a cm inside the form (or a page CTM
+            # around the Do) composes exactly as a real renderer would.
+            # Text state (Tf/TL) still leaks by the twins' shared
+            # simplification — the walks' q/Q tracking restores CTM only.
+            out += b"\nq\n" + sub + b"\nQ\n"
         out += c[last:]
     return bytes(out)
 
@@ -1823,14 +1873,23 @@ def tokenize_pdf_rulings(
 ) -> list[list[tuple[float, float, float, float]]] | None:
     """Per-page stroked straight segments `x1 y1 m x2 y2 l S` — the vector
     ruling geometry lattice-table extraction keys on (Camelot's line mask).
-    None when the file is out of this rung's scope."""
+    Segment endpoints map through the same top-level q/cm/Q state the text
+    walk tracks (r7) — text and rulings must live in ONE device space or
+    lattice cell placement would mis-grid on cm-wrapped pages. None when
+    the file is out of this rung's scope."""
     if not data.startswith(b"%PDF-"):
         return None
     res = _page_contents(data, passwords)
     if res is None:
         return None
     pages, _has_type0 = res
-    return [_top_level_segments(content) for content, _fonts in pages]
+    out = []
+    for content, _fonts in pages:
+        segs = _top_level_segments_ctm(content)
+        if segs is None:
+            return None  # same bail contract as the text walk
+        out.append(segs)
+    return out
 
 
 def _content_chunks(content: bytes) -> list[tuple[bool, bytes]]:
@@ -1877,6 +1936,65 @@ def _top_level_segments(content: bytes) -> list[tuple[float, float, float, float
     ]
 
 
+# ruling scan + graphics-state ops in ONE pass (r7): segments, fully-
+# operanded cm, bare cm (bail), and standalone q/Q — finditer order within
+# a gap preserves operator order, which the CTM state depends on
+_SEG_CTM_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+m\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+l\s+S"
+    rb"|(?P<c1>" + _NUM + rb")\s+(?P<c2>" + _NUM + rb")\s+(?P<c3>" + _NUM
+    + rb")\s+(?P<c4>" + _NUM + rb")\s+(?P<c5>" + _NUM + rb")\s+(?P<c6>"
+    + _NUM + rb")\s+cm(?![A-Za-z0-9])"
+    rb"|(?P<cmbail>cm(?![A-Za-z0-9]))"
+    rb"|(?P<push>(?<![A-Za-z0-9/])q(?![A-Za-z0-9*'\"]))"
+    rb"|(?P<pop>(?<![A-Za-z0-9/])Q(?![A-Za-z0-9*'\"]))"
+)
+
+
+def _top_level_segments_ctm(
+    content: bytes,
+) -> list[tuple[float, float, float, float]] | None:
+    """_top_level_segments with the r7 top-level CTM model: `x y m x y l S`
+    endpoints map through the tracked q/cm/Q state so rulings land in the
+    same device space as the text walk's runs. The `cm`-free common case
+    takes the untouched single-regex fast path. None = out of scope
+    (sheared/singular/operand-less cm, unbalanced Q) — the caller bails
+    the whole document, mirroring tokenize_pdf_runs."""
+    if b"cm" not in content:
+        return _top_level_segments(content)
+    segs: list[tuple[float, float, float, float]] = []
+    ctm: tuple | None = None
+    stack: list[tuple | None] = []
+    for is_str, chunk in _content_chunks(content):
+        if is_str:
+            continue
+        for m in _SEG_CTM_RE.finditer(chunk):
+            if m.group("cmbail") is not None:
+                return None
+            if m.group("c1") is not None:
+                m6 = tuple(
+                    float(m.group(k))
+                    for k in ("c1", "c2", "c3", "c4", "c5", "c6")
+                )
+                if not _ctm_ok(*m6[:4]):
+                    return None
+                ctm = _ctm_compose(m6, ctm)
+            elif m.group("push"):
+                stack.append(ctm)
+            elif m.group("pop"):
+                if not stack:
+                    return None
+                ctm = stack.pop()
+            else:
+                x1, y1, x2, y2 = (float(g) for g in m.groups()[:4])
+                if ctm is not None:
+                    a, b, c, d, e, f = ctm
+                    x1, y1 = a * x1 + c * y1 + e, b * x1 + d * y1 + f
+                    x2, y2 = a * x2 + c * y2 + e, b * x2 + d * y2 + f
+                segs.append((x1, y1, x2, y2))
+    return segs
+
+
 def tokenize_pdf_runs(
     data: bytes, passwords: tuple[bytes, ...] = ()
 ) -> list[list[tuple[float, float, str]]] | None:
@@ -1894,12 +2012,23 @@ def tokenize_pdf_runs(
     ' / \" quote-shows advance by the leading BEFORE showing their
     string (\" additionally carries ignored aw/ac spacing operands).
 
+    Top-level graphics state is modeled (round 7): `a b c d e f cm`
+    composes into a tracked CTM (row-vector convention, §8.3.4) and
+    `q`/`Q` push/pop it, so the common real-generator shape — the whole
+    page body under a `q … cm … Q` wrapper, including nested states —
+    extracts with correct device positions; runs record their text-space
+    origin transformed through the CTM at show time (which keeps
+    leading/T* exact even under rotation — the advance happens in text
+    space). The modeled linear part matches the form-/Matrix rule:
+    orthogonal columns, invertible.
+
     Returns None (→ caller falls through to pdfplumber/fitz) on constructs
     this rung does NOT model rather than producing wrong positions:
-    cm transforms, rotated/scaled Tm — and as a safety net, any page
-    whose content shows text (Tj/TJ present) that the walk failed to
-    capture. Feeds both reading-order assembly (assemble_reading_order)
-    and detect_lattice_tables' cell placement on REAL PDF bytes."""
+    sheared/singular/operand-less cm, unbalanced Q, rotated/scaled Tm —
+    and as a safety net, any page whose content shows text (Tj/TJ
+    present) that the walk failed to capture. Feeds both reading-order
+    assembly (assemble_reading_order) and detect_lattice_tables' cell
+    placement on REAL PDF bytes."""
     if not data.startswith(b"%PDF-"):
         return None
     res = _page_contents(data, passwords)
@@ -1913,6 +2042,8 @@ def tokenize_pdf_runs(
         leading = 0.0
         moved = True
         in_tj_array = False
+        ctm: tuple | None = None  # None = identity (the overwhelming case)
+        ctm_stack: list[tuple | None] = []
         cur_map: tuple[str, dict[int, str]] | None = None
         # strip geometry segments so their numbers can't confuse the walk —
         # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
@@ -1923,6 +2054,14 @@ def tokenize_pdf_runs(
             chunk if is_str else _SEG_RE.sub(b" ", chunk)
             for is_str, chunk in _content_chunks(content)
         )
+        # C-substring prefilter (r7 top-level CTM): content with no `cm`
+        # bytes keeps the lean move regex AND skips all graphics-state
+        # tracking — q/Q are geometric no-ops while the CTM is identity,
+        # so the common page pays nothing for the new capability. (A 'cm'
+        # inside a shown string only costs the wider regex, never a
+        # mis-parse — the walk hops strings before matching operators.)
+        has_cm = b"cm" in body
+        move_re = _MOVE_CTM_RE if has_cm else _MOVE_RE
         i, n = 0, len(body)
 
         def record(txt: str):
@@ -1930,8 +2069,11 @@ def tokenize_pdf_runs(
             if runs and not moved:
                 px, py, pt = runs[-1]
                 runs[-1] = (px, py, pt + txt)
-            else:
+            elif ctm is None:
                 runs.append((x, y, txt))
+            else:  # device position = text-space origin through the CTM
+                a, b, c, d, e, f = ctm
+                runs.append((a * x + c * y + e, b * x + d * y + f, txt))
             moved = False
 
         def quote_advance(at: int) -> int:
@@ -1947,10 +2089,34 @@ def tokenize_pdf_runs(
             return at
 
         while i < n:
-            sm = _MOVE_RE.match(body, i)
+            sm = move_re.match(body, i)
             if sm:
-                if sm.group(12):  # cm transform — out of scope
+                if sm.group("cmbail") is not None:
+                    # a `cm` whose operands the walk could not capture
+                    # (exponent syntax, comments between operands, or the
+                    # fast path's mid-token false positive) — out of scope
                     return None
+                if has_cm:
+                    if sm.group("c1") is not None:  # a b c d e f cm
+                        m6 = tuple(
+                            float(sm.group(k))
+                            for k in ("c1", "c2", "c3", "c4", "c5", "c6")
+                        )
+                        if not _ctm_ok(*m6[:4]):
+                            return None  # shear/singular — never guess
+                        ctm = _ctm_compose(m6, ctm)
+                        i = sm.end()
+                        continue
+                    if sm.group("push"):  # q — save graphics state
+                        ctm_stack.append(ctm)
+                        i = sm.end()
+                        continue
+                    if sm.group("pop"):  # Q — restore graphics state
+                        if not ctm_stack:
+                            return None  # unbalanced Q — malformed page
+                        ctm = ctm_stack.pop()
+                        i = sm.end()
+                        continue
                 if sm.group(0) == b"BT":
                     x = y = 0.0  # leading is text STATE — survives BT
                     moved = True

@@ -1491,16 +1491,18 @@ def _oracle_splice_forms(
 ) -> bytes:
     """Splice `/Name Do` form invocations into ``raw`` at the call site —
     the oracle's own char-cursor scan (the engine expands via its chunked
-    regex walk; independent algorithms, same modeled subset). Raises on:
-    nesting > 8, a top-level `cm` in Do-carrying content, Do inside a
-    BT…ET block, an unresolvable name, a non-form/-image target, or a
-    non-identity form /Matrix. Image Do ops are dropped (no text)."""
+    regex walk; independent algorithms, same modeled subset). Each splice
+    is isolated in a synthetic `q … Q` (ISO 32000 §8.10.2 — Do saves and
+    restores graphics state; r7), so a page CTM around the Do or a cm
+    inside an identity-matrix form composes through the walk's state
+    tracking instead of bailing. Raises on: nesting > 8, Do inside a
+    BT…ET block, an unresolvable name, a non-form/-image target, or an
+    unmodeled form /Matrix. Image Do ops are dropped (no text)."""
     if depth > 8:
         raise RuntimeError("form nesting too deep — out of twin scope")
     if b"Do" not in raw:
         return raw
     splices: list[tuple[int, int, bytes]] = []  # (start, end, name)
-    has_cm = False
     i, n = 0, len(raw)
     bt = 0
     while i < n:
@@ -1545,16 +1547,12 @@ def _oracle_splice_forms(
                     bt += 1
                 elif op == b"ET":
                     bt = max(0, bt - 1)
-                elif op == b"cm":
-                    has_cm = True
                 # a bare Do with no adjacent /Name is ignored (both twins)
                 i = m2.end()
                 continue
         i += 1
     if not splices:
         return raw
-    if has_cm:
-        raise RuntimeError("cm transform alongside Do — out of twin scope")
     out = bytearray()
     last = 0
     for start, end, name in splices:
@@ -1571,7 +1569,8 @@ def _oracle_splice_forms(
         )
         if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
             sub = _oracle_transform_text(sub, *mat)
-        out += b"\n" + sub + b"\n"
+        # synthetic §8.10.2 state isolation — mirrors the engine splice
+        out += b"\nq\n" + sub + b"\nQ\n"
     out += raw[last:]
     return bytes(out)
 
@@ -1735,6 +1734,19 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         nums: list[float] = []
         x = y = 0.0
         leading = 0.0  # text STATE (set by TL / TD) — survives BT
+        # top-level graphics state (r7, mirrors the engine walk): `cm`
+        # composes (row-vector §8.3.4: new matrix applies first), q/Q
+        # push/pop; device position = text-space origin through the CTM
+        # at show time. Orthogonal-column invertible linear parts only —
+        # shear/singular/operand-less cm and unbalanced Q raise.
+        ctm: tuple | None = None
+        ctm_stack: list[tuple | None] = []
+        # mirror the engine's C-substring prefilter exactly: with no `cm`
+        # bytes in the stream the engine's fast path never looks at q/Q
+        # (they are geometric no-ops while the CTM is identity), so the
+        # oracle must not either — an unbalanced Q on a cm-free page must
+        # not raise here when the engine walk ignores it
+        track_ctm = b"cm" in raw
         moved = True
         in_tj_array = False
         cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
@@ -1756,8 +1768,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             if runs and not moved:
                 px, py, pt = runs[-1]
                 runs[-1] = (px, py, pt + txt)
-            else:
+            elif ctm is None:
                 runs.append((x, y, txt))
+            else:
+                a, b, c, d, e, f = ctm
+                runs.append((a * x + c * y + e, b * x + d * y + f, txt))
             moved = False
 
         while i < n:
@@ -1926,6 +1941,70 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 nums.clear()
                 last_name = None
                 i += 2
+            elif track_ctm and raw[i : i + 2] == b"cm" and (
+                i + 2 == n or not (
+                    0x30 <= raw[i + 2] <= 0x39
+                    or 0x41 <= raw[i + 2] <= 0x5A
+                    or 0x61 <= raw[i + 2] <= 0x7A
+                )
+            ):
+                # top-level CTM concatenation (r7). The engine's regex
+                # demands six whitespace-adjacent operands; this cursor
+                # walk keeps the last six buffered numbers — identical on
+                # well-formed content, and an operand-less cm raises on
+                # both sides.
+                if len(nums) < 6:
+                    raise RuntimeError(
+                        "cm without six operands — out of twin scope"
+                    )
+                a2, b2, c2, d2, e2, f2 = nums[-6:]
+                if abs(a2 * c2 + b2 * d2) > 1e-9 or abs(
+                    a2 * d2 - b2 * c2
+                ) < 1e-12:
+                    raise RuntimeError(
+                        "sheared or singular top-level cm — out of twin scope"
+                    )
+                if ctm is None:
+                    ctm = (a2, b2, c2, d2, e2, f2)
+                else:
+                    ca, cb, cc, cd, ce, cf = ctm
+                    ctm = (
+                        a2 * ca + b2 * cc, a2 * cb + b2 * cd,
+                        c2 * ca + d2 * cc, c2 * cb + d2 * cd,
+                        e2 * ca + f2 * cc + ce, e2 * cb + f2 * cd + cf,
+                    )
+                nums.clear()
+                last_name = None
+                i += 2
+            elif track_ctm and ch in (0x71, 0x51) and (
+                i == 0 or not (
+                    0x30 <= raw[i - 1] <= 0x39
+                    or 0x41 <= raw[i - 1] <= 0x5A
+                    or 0x61 <= raw[i - 1] <= 0x7A
+                    or raw[i - 1] == 0x2F
+                )
+            ) and (
+                i + 1 == n or not (
+                    0x30 <= raw[i + 1] <= 0x39
+                    or 0x41 <= raw[i + 1] <= 0x5A
+                    or 0x61 <= raw[i + 1] <= 0x7A
+                    or raw[i + 1] in (0x2A, 0x27, 0x22)
+                )
+            ):
+                # standalone q / Q — the boundary classes mirror the
+                # engine regex's lookarounds (name tails like /freq and
+                # ops like /Quality never misread as state ops)
+                if ch == 0x71:
+                    ctm_stack.append(ctm)
+                else:
+                    if not ctm_stack:
+                        raise RuntimeError(
+                            "unbalanced Q — out of twin scope"
+                        )
+                    ctm = ctm_stack.pop()
+                nums.clear()
+                last_name = None
+                i += 1
             elif ch in (0x20, 0x0A, 0x0D, 0x09, 0x0C):
                 i += 1  # whitespace separates operands — keep them
             else:

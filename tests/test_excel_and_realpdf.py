@@ -151,9 +151,11 @@ def test_pdf_tokenizer_hex_shows_and_endobj_in_stream():
 
 def test_pdf_tokenizer_bails_on_unsupported_constructs():
     """The rung must return None (→ library fallback, error channel here)
-    rather than produce wrong positions: cm transforms, rotated Tm,
+    rather than produce wrong positions: SHEARED cm, rotated Tm,
     indirect /Length. (TL/T*/quote-show leading advance became SUPPORTED
-    in round 5 — covered by test_pdf_leading_advance_semantics.)"""
+    in round 5 — test_pdf_leading_advance_semantics; orthogonal-column
+    cm transforms became SUPPORTED in round 7 — tests/test_ctm_pages.py;
+    a scale cm is pinned here as the in-scope control.)"""
     import pytest
 
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
@@ -161,8 +163,13 @@ def test_pdf_tokenizer_bails_on_unsupported_constructs():
     from pdf_extraction_ai_agent_spark.operators.pdftext import tokenize_pdf_runs
 
     base = write_minimal_pdf(["line one\nline two"])
+    # r7: a plain scale cm is in scope now — positions transform
+    supported = base.replace(b"BT\n/F1 12 Tf", b"2 0 0 2 0 0 cm\nBT\n/F1 12 Tf")
+    assert supported != base
+    got = tokenize_pdf_runs(supported)
+    assert got is not None and got[0][0][:2] == (144.0, 1440.0)
     mutations = [
-        (b"BT\n/F1 12 Tf", b"2 0 0 2 0 0 cm\nBT\n/F1 12 Tf"),  # cm transform
+        (b"BT\n/F1 12 Tf", b"2 1 0 2 0 0 cm\nBT\n/F1 12 Tf"),  # sheared cm
         (b"72 720 Td", b"0 1 -1 0 72 720 Tm"),           # rotated Tm
     ]
     for old, new in mutations:
@@ -1553,9 +1560,11 @@ def test_incremental_update_truncated_tail():
 
 def test_form_xobject_twins_and_scope():
     """Form XObjects (/Name Do): header/nested/image shapes agree on both
-    twins, compressed or not; out-of-scope shapes (non-identity /Matrix,
-    top-level cm alongside Do, Do inside BT, unresolvable name) bail the
-    engine (None → library chain) and raise in the oracle."""
+    twins, compressed or not; out-of-scope shapes (singular /Matrix,
+    SHEARED top-level cm alongside Do, Do inside BT, unresolvable name)
+    bail the engine (None → library chain) and raise in the oracle. A
+    modeled (translate) cm alongside Do is IN scope since r7 — pinned as
+    a twin-equal extraction above the bail matrix."""
     import pytest as _pytest
 
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
@@ -1605,7 +1614,15 @@ def test_form_xobject_twins_and_scope():
         [page + [("line", 50, 50, 60, 60)]], header
     )
     assert b"50 50 m 60 60 l S" in pdf
-    broken_cm = pdf.replace(b"50 50 m 60 60 l S", b"1 0 0 1 5 4 cm   ")
+    # r7: a MODELED cm alongside Do no longer bails — the synthetic q…Q
+    # splice isolation + CTM tracking extract it on both twins
+    modeled_cm = pdf.replace(b"50 50 m 60 60 l S", b"1 0 0 1 5 4 cm   ")
+    etext, eocr = extract_real_pdf_text(modeled_cm)
+    otext, oocr = extract_real_pdf(modeled_cm.decode("latin-1"))
+    assert (etext, eocr) == (otext, oocr)
+    assert "Claim C1" in etext and "ACME FORM 7" in etext
+    # a SHEARED cm stays out of scope
+    broken_cm = pdf.replace(b"50 50 m 60 60 l S", b"1 0 0.5 1 5 4 cm ")
     pdf = write_form_pdf([page], header)
     broken_name = pdf.replace(b"/FmHead Do\n", b"/Nopead Do\n")
     old = b"BT /F1 12 Tf 72 720 Td (Claim C1) Tj ET"
