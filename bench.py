@@ -91,6 +91,8 @@ HEADLINE = [
     "q72_ctm_pdf_roundtrip",
     # round-7: CTM × form-XObject composition (§8.10.2 splice isolation)
     "q73_ctm_form_roundtrip",
+    # round-7: non-translation Tm (scaled/rotated text matrices)
+    "q74_tm_matrix_roundtrip",
 ]
 
 

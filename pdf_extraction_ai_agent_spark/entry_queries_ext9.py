@@ -428,3 +428,92 @@ FROM parts
 EXT9_QUERIES["q73_ctm_form_roundtrip"] = q73_ctm_form_roundtrip
 _EXT9_ORACLES["q73_ctm_form_roundtrip"] = _Q73_SQL
 PINNED_PAYLOAD_BUILDERS["q73_ctm_form_roundtrip"] = _payload_q73
+
+
+# ---------------------------------------------------------------------------
+# q74 — NON-TRANSLATION Tm under the ORACLE GATE (r7): the text matrix
+# with a real linear part (scaled watermark/letterhead shape real
+# generators emit). Five variants (doc_id % 5): scaled Tm with relative
+# Td line advances mapping through the linear part, scaled Tm with the
+# TL/T* leading idiom (whose advance also maps through it — exactly what
+# the FORM rewrite path cannot express and bails on; the top-level walk
+# does the math in text space so it is exact), a translate-Tm control, a
+# down-scale, and CTM × scaled-Tm composition. Every pitch stays inside
+# (PDF_Y_TOL, PDF_PARA_GAP), so the DuckDB twin is matrix-blind.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q74(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    l1, l2, l3 = (
+        f"Tmx T{doc_id}", f"Text {norm30}", f"Due {doc_id % 71}.10"
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    variant = doc_id % 5
+    if variant == 0:  # scaled Tm, Td deltas map through the linear part
+        raw = (
+            f"BT /F1 12 Tf 1.5 0 0 1.5 72 720 Tm ({esc(l1)}) Tj "
+            f"0 -16 Td ({esc(l2)}) Tj 0 -16 Td ({esc(l3)}) Tj ET"
+        )
+        ops = [("raw", raw)]
+    elif variant == 1:  # scaled Tm + TL/T* leading advance through it
+        raw = (
+            f"BT /F1 12 Tf 1.5 0 0 1.5 72 720 Tm 16 TL ({esc(l1)}) Tj "
+            f"T* ({esc(l2)}) Tj T* ({esc(l3)}) Tj ET"
+        )
+        ops = [("raw", raw)]
+    elif variant == 2:  # translate-only Tm control (identity linear)
+        raw = (
+            f"BT /F1 12 Tf 1 0 0 1 72 720 Tm ({esc(l1)}) Tj "
+            f"1 0 0 1 72 704 Tm ({esc(l2)}) Tj "
+            f"1 0 0 1 72 688 Tm ({esc(l3)}) Tj ET"
+        )
+        ops = [("raw", raw)]
+    elif variant == 3:  # down-scale (pitch 16 → 12 > Y_TOL)
+        raw = (
+            f"BT /F1 12 Tf 0.75 0 0 0.75 60 540 Tm ({esc(l1)}) Tj "
+            f"0 -16 Td ({esc(l2)}) Tj 0 -16 Td ({esc(l3)}) Tj ET"
+        )
+        ops = [("raw", raw)]
+    else:  # CTM × scaled Tm composition (pitch 16 × 1.2 × 1.25 = 24)
+        raw = (
+            f"q 1.25 0 0 1.25 0 0 cm "
+            f"BT /F1 12 Tf 1.2 0 0 1.2 72 600 Tm ({esc(l1)}) Tj "
+            f"0 -16 Td ({esc(l2)}) Tj 0 -16 Td ({esc(l3)}) Tj ET Q"
+        )
+        ops = [("raw", raw)]
+    return write_minimal_pdf([ops])
+
+
+def q74_tm_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q74), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q74_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Tmx T' || CAST(doc_id AS VARCHAR) AS l1,
+         'Text ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Due ' || CAST(doc_id % 71 AS VARCHAR) || '.10' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q74_tm_matrix_roundtrip"] = q74_tm_matrix_roundtrip
+_EXT9_ORACLES["q74_tm_matrix_roundtrip"] = _Q74_SQL
+PINNED_PAYLOAD_BUILDERS["q74_tm_matrix_roundtrip"] = _payload_q74

@@ -67,6 +67,8 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
                 ops.append(f"{a:g} {b:g} {c:g} {d:g} {e:g} {f:g} cm")
             elif item[0] == "pop":  # restore graphics state
                 ops.append("Q")
+            elif item[0] == "raw":  # verbatim content ops (Tm/TL/T* axes)
+                ops.append(item[1])
             elif item[0] == "image":
                 data = item[1]
                 assert not re.search(

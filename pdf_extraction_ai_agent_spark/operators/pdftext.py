@@ -1554,6 +1554,14 @@ _DO_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+Do(?![A-Za-z0-9])")
 _CM_RE = re.compile(rb"(?<![A-Za-z0-9.+\-])cm(?![A-Za-z0-9])")
 _BT_ET_DO_RE = re.compile(rb"(?<![A-Za-z0-9])(BT|ET|Do)(?![A-Za-z0-9])")
 _NUM2_TM_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+Tm(?![A-Za-z0-9]))")
+# full 6-operand Tm, linear part captured — the transform-rewrite guard:
+# a non-identity text matrix inside a scale/rotate form cannot compose
+# through operand rewriting (the e/f rewrite leaves a·d untouched), so
+# such forms bail rather than extract at wrong positions
+_NUM6_TM_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
+    + rb")\s+" + _NUM + rb"\s+" + _NUM + rb"\s+Tm(?![A-Za-z0-9])"
+)
 _NUM2_ML_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+[ml](?![A-Za-z0-9]))")
 _NUM2_TD_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+T[dD](?![A-Za-z0-9]))")
 _NUM1_TL_RE = re.compile(rb"([-+0-9.]+)(\s+TL(?![A-Za-z0-9]))")
@@ -1637,6 +1645,13 @@ def _transform_text_ops(
                 raise _UnsupportedForm(
                     "leading-based advance inside a rotated form"
                 )
+            for tm6 in _NUM6_TM_RE.finditer(ch):
+                if tuple(float(tm6.group(k)) for k in (1, 2, 3, 4)) != (
+                    1.0, 0.0, 0.0, 1.0,
+                ):
+                    raise _UnsupportedForm(
+                        "non-identity text matrix inside a transformed form"
+                    )
             ch = _NUM2_TM_RE.sub(_abs, ch)
             ch = _NUM2_ML_RE.sub(_abs, ch)
             ch = _NUM2_TD_RE.sub(_rel, ch)
@@ -2022,9 +2037,16 @@ def tokenize_pdf_runs(
     space). The modeled linear part matches the form-/Matrix rule:
     orthogonal columns, invertible.
 
+    Non-translation Tm is modeled too (round 7): an orthogonal-column
+    invertible linear part becomes the tracked text matrix — Td/TD
+    deltas and the TL/T*/quote leading advance map through it (the
+    rotated-watermark shape), with the position still recorded at the
+    matrix origin (the run model never represents glyph-level rotation,
+    matching the reference's library chain).
+
     Returns None (→ caller falls through to pdfplumber/fitz) on constructs
     this rung does NOT model rather than producing wrong positions:
-    sheared/singular/operand-less cm, unbalanced Q, rotated/scaled Tm —
+    sheared/singular/operand-less cm, unbalanced Q, sheared/singular Tm —
     and as a safety net, any page whose content shows text (Tj/TJ
     present) that the walk failed to capture. Feeds both reading-order
     assembly (assemble_reading_order) and detect_lattice_tables' cell
@@ -2044,6 +2066,7 @@ def tokenize_pdf_runs(
         in_tj_array = False
         ctm: tuple | None = None  # None = identity (the overwhelming case)
         ctm_stack: list[tuple | None] = []
+        lin: tuple | None = None  # text-matrix linear part (None=identity)
         cur_map: tuple[str, dict[int, str]] | None = None
         # strip geometry segments so their numbers can't confuse the walk —
         # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
@@ -2080,10 +2103,14 @@ def tokenize_pdf_runs(
             """If the token after ``at`` is a top-level ' or \" quote-show
             operator, apply the leading advance BEFORE the pending record
             and return the index past the operator; else return ``at``."""
-            nonlocal y, moved
+            nonlocal x, y, moved
             qm = re.match(rb"\s*('|\")", body[at:])
             if qm and not in_tj_array:
-                y -= leading
+                if lin is None:
+                    y -= leading
+                else:  # T(0, -leading) through the text-matrix linear part
+                    x -= leading * lin[2]
+                    y -= leading * lin[3]
                 moved = True
                 return at + qm.end()
             return at
@@ -2119,22 +2146,36 @@ def tokenize_pdf_runs(
                         continue
                 if sm.group(0) == b"BT":
                     x = y = 0.0  # leading is text STATE — survives BT
+                    lin = None  # the text matrix resets to identity too
                     moved = True
-                elif sm.group(3):  # Td / TD
-                    x += float(sm.group(1))
-                    y += float(sm.group(2))
+                elif sm.group(3):  # Td / TD — deltas live in TEXT space
+                    tx, ty = float(sm.group(1)), float(sm.group(2))
+                    if lin is None:
+                        x += tx
+                        y += ty
+                    else:  # map through the text-matrix linear part
+                        x += tx * lin[0] + ty * lin[2]
+                        y += tx * lin[1] + ty * lin[3]
                     if sm.group(3) == b"TD":
-                        leading = -float(sm.group(2))
+                        leading = -ty
                     moved = True
                 elif sm.group(10) is not None:  # NUM TL — not a move
                     leading = float(sm.group(10))
                 elif sm.group(11):  # T* — advance by the leading
-                    y -= leading
+                    if lin is None:
+                        y -= leading
+                    else:
+                        x -= leading * lin[2]
+                        y -= leading * lin[3]
                     moved = True
-                else:  # Tm — only the pure-translation form is modeled
+                else:  # Tm — orthogonal-column linear parts modeled (r7)
                     a, b, c, d = (float(sm.group(k)) for k in (4, 5, 6, 7))
-                    if (a, b, c, d) != (1.0, 0.0, 0.0, 1.0):
-                        return None
+                    if (a, b, c, d) == (1.0, 0.0, 0.0, 1.0):
+                        lin = None
+                    elif _ctm_ok(a, b, c, d):
+                        lin = (a, b, c, d)
+                    else:
+                        return None  # sheared/singular Tm — never guess
                     x = float(sm.group(8))
                     y = float(sm.group(9))
                     moved = True

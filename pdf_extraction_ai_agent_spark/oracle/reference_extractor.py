@@ -1427,6 +1427,18 @@ def _oracle_transform_text(
                 "cm inside a transformed form — out of twin scope"
             )
         if two_ok and two == b"Tm":
+            # a non-identity text matrix cannot compose through operand
+            # rewriting (only e/f are rewritten) — bail, mirroring the
+            # engine's _NUM6_TM_RE guard (r7)
+            if len(spans) >= 6:
+                linear = tuple(
+                    float(bytes(out[s:e2])) for s, e2 in spans[-6:-2]
+                )
+                if linear != (1.0, 0.0, 0.0, 1.0):
+                    raise RuntimeError(
+                        "non-identity text matrix inside a transformed "
+                        "form — out of twin scope"
+                    )
             rewrite_pair(absolute=True)
             out += two
             spans.clear()
@@ -1741,6 +1753,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         # shear/singular/operand-less cm and unbalanced Q raise.
         ctm: tuple | None = None
         ctm_stack: list[tuple | None] = []
+        lin: tuple | None = None  # Tm linear part (r7; None = identity)
         # mirror the engine's C-substring prefilter exactly: with no `cm`
         # bytes in the stream the engine's fast path never looks at q/Q
         # (they are geometric no-ops while the CTM is identity), so the
@@ -1894,7 +1907,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 # advice finding).
                 operand = strings.pop() if strings else None
                 show()
-                y -= leading
+                if lin is None:
+                    y -= leading
+                else:  # T(0, -leading) through the Tm linear part
+                    x -= leading * lin[2]
+                    y -= leading * lin[3]
                 moved = True
                 if operand is not None:
                     strings.append(operand)
@@ -1913,16 +1930,35 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             elif raw[i : i + 2] in (b"Td", b"TD"):
                 strings.clear()
                 if len(nums) >= 2:
-                    x += nums[-2]
-                    y += nums[-1]
+                    tx, ty = nums[-2], nums[-1]
+                    if lin is None:
+                        x += tx
+                        y += ty
+                    else:  # deltas live in text space (r7 Tm model)
+                        x += tx * lin[0] + ty * lin[2]
+                        y += tx * lin[1] + ty * lin[3]
                     if raw[i : i + 2] == b"TD":
-                        leading = -nums[-1]
+                        leading = -ty
                 last_name = None
                 moved = True
                 nums.clear()
                 i += 2
             elif raw[i : i + 2] == b"Tm":
                 strings.clear()
+                if len(nums) >= 6:
+                    # orthogonal-column invertible linear parts modeled
+                    # (r7) — mirror of the engine's Tm branch
+                    la, lb, lc, ld = nums[-6:-2]
+                    if (la, lb, lc, ld) == (1.0, 0.0, 0.0, 1.0):
+                        lin = None
+                    elif abs(la * lc + lb * ld) <= 1e-9 and abs(
+                        la * ld - lb * lc
+                    ) >= 1e-12:
+                        lin = (la, lb, lc, ld)
+                    else:
+                        raise RuntimeError(
+                            "sheared or singular Tm — out of twin scope"
+                        )
                 if len(nums) >= 2:
                     x, y = nums[-2], nums[-1]
                 moved = True
@@ -1931,12 +1967,17 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 i += 2
             elif raw[i : i + 2] == b"T*":
                 strings.clear()
-                y -= leading
+                if lin is None:
+                    y -= leading
+                else:
+                    x -= leading * lin[2]
+                    y -= leading * lin[3]
                 moved = True
                 last_name = None
                 i += 2
             elif raw[i : i + 2] == b"BT":
                 x = y = 0.0
+                lin = None  # text matrix resets to identity at BT
                 moved = True
                 nums.clear()
                 last_name = None

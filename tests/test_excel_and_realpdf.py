@@ -151,11 +151,12 @@ def test_pdf_tokenizer_hex_shows_and_endobj_in_stream():
 
 def test_pdf_tokenizer_bails_on_unsupported_constructs():
     """The rung must return None (→ library fallback, error channel here)
-    rather than produce wrong positions: SHEARED cm, rotated Tm,
+    rather than produce wrong positions: SHEARED cm, SHEARED Tm,
     indirect /Length. (TL/T*/quote-show leading advance became SUPPORTED
     in round 5 — test_pdf_leading_advance_semantics; orthogonal-column
-    cm transforms became SUPPORTED in round 7 — tests/test_ctm_pages.py;
-    a scale cm is pinned here as the in-scope control.)"""
+    cm transforms AND Tm linear parts became SUPPORTED in round 7 —
+    tests/test_ctm_pages.py, tests/test_tm_matrix.py; a scale cm is
+    pinned here as the in-scope control.)"""
     import pytest
 
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
@@ -170,7 +171,7 @@ def test_pdf_tokenizer_bails_on_unsupported_constructs():
     assert got is not None and got[0][0][:2] == (144.0, 1440.0)
     mutations = [
         (b"BT\n/F1 12 Tf", b"2 1 0 2 0 0 cm\nBT\n/F1 12 Tf"),  # sheared cm
-        (b"72 720 Td", b"0 1 -1 0 72 720 Tm"),           # rotated Tm
+        (b"72 720 Td", b"1 0 0.5 1 72 720 Tm"),          # sheared Tm
     ]
     for old, new in mutations:
         mutated = base.replace(old, new)
