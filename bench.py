@@ -93,6 +93,10 @@ HEADLINE = [
     "q73_ctm_form_roundtrip",
     # round-7: non-translation Tm (scaled/rotated text matrices)
     "q74_tm_matrix_roundtrip",
+    # round-7: inheritable page attributes (§7.7.3.4 resources, §7.7.3.3
+    # display rotation)
+    "q75_inherited_resources_roundtrip",
+    "q76_rotate_pdf_roundtrip",
 ]
 
 

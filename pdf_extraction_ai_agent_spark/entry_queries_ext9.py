@@ -517,3 +517,144 @@ FROM parts
 EXT9_QUERIES["q74_tm_matrix_roundtrip"] = q74_tm_matrix_roundtrip
 _EXT9_ORACLES["q74_tm_matrix_roundtrip"] = _Q74_SQL
 PINNED_PAYLOAD_BUILDERS["q74_tm_matrix_roundtrip"] = _payload_q74
+
+
+# ---------------------------------------------------------------------------
+# q75 — INHERITED PAGE RESOURCES under the ORACLE GATE (r7; ISO 32000
+# §7.7.3.4): real generators hoist the shared /Resources dict onto a
+# /Pages node; pages carry none and inherit via /Parent. The carrier font
+# is /Differences-remapped, so inheritance is LOAD-BEARING: an engine
+# that fails to climb cannot resolve the strict font and must bail — it
+# can never emit high-byte garbage that still hashes. Four variants
+# (doc_id % 4): resources on the page (control), on the /Pages root, on
+# an intermediate node of a two-level tree, and root + FlateDecode.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q75(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_differences_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    page = (
+        f"Inherit I{doc_id}\nRes {norm30}\nSum {doc_id % 67}.40"
+    )
+    variant = doc_id % 4
+    if variant == 0:
+        return write_differences_pdf([page], resources_parent=0)
+    if variant == 1:
+        return write_differences_pdf([page], resources_parent=1)
+    if variant == 2:
+        return write_differences_pdf([page], resources_parent=2)
+    return write_differences_pdf([page], resources_parent=1, compress=True)
+
+
+def q75_inherited_resources_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q75), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q75_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Inherit I' || CAST(doc_id AS VARCHAR) AS l1,
+         'Res ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Sum ' || CAST(doc_id % 67 AS VARCHAR) || '.40' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q75_inherited_resources_roundtrip"] = (
+    q75_inherited_resources_roundtrip
+)
+_EXT9_ORACLES["q75_inherited_resources_roundtrip"] = _Q75_SQL
+PINNED_PAYLOAD_BUILDERS["q75_inherited_resources_roundtrip"] = _payload_q75
+
+
+# ---------------------------------------------------------------------------
+# q76 — /ROTATE display rotation under the ORACLE GATE (r7; §7.7.3.3):
+# scanned/landscape documents carry a 90/180/270 /Rotate (itself an
+# inheritable attribute), and the library chain extracts them in the
+# DISPLAYED orientation. Both twins model it as the page's initial CTM
+# (engine: synthetic leading cm from the page-tree walk; oracle: uniform
+# file-level rotation). Four variants (doc_id % 4): no rotation, 90 on
+# the /Pages node with rotated-authored text (reads upright displayed),
+# 180 per-page with upside-down-authored text, 270 per-page with
+# column-authored text — every variant displays the SAME three lines, so
+# the twin is rotation-blind.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q76(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    l1, l2, l3 = (
+        f"Rot R{doc_id}", f"View {norm30}", f"Amt {doc_id % 61}.80"
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    variant = doc_id % 4
+    if variant == 0:  # portrait control
+        return write_minimal_pdf(["\n".join((l1, l2, l3))])
+    if variant == 1:  # /Rotate 90 inherited; text authored rotated
+        raw = (
+            f"BT /F1 12 Tf 0 1 -1 0 300 72 Tm ({esc(l1)}) Tj "
+            f"0 -16 Td ({esc(l2)}) Tj 0 -16 Td ({esc(l3)}) Tj ET"
+        )
+        return write_minimal_pdf(
+            [[("raw", raw)]], rotate=90, rotate_on_pages=True
+        )
+    if variant == 2:  # /Rotate 180 per page; authored upside-down
+        page = [
+            ("text", 72, 688, l1), ("text", 72, 704, l2),
+            ("text", 72, 720, l3),
+        ]
+        return write_minimal_pdf([page], rotate=180)
+    # /Rotate 270 per page; authored as a column (x carries the pitch)
+    page = [
+        ("text", 300, 400, l1), ("text", 284, 400, l2),
+        ("text", 268, 400, l3),
+    ]
+    return write_minimal_pdf([page], rotate=270)
+
+
+def q76_rotate_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q76), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q76_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Rot R' || CAST(doc_id AS VARCHAR) AS l1,
+         'View ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Amt ' || CAST(doc_id % 61 AS VARCHAR) || '.80' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q76_rotate_pdf_roundtrip"] = q76_rotate_pdf_roundtrip
+_EXT9_ORACLES["q76_rotate_pdf_roundtrip"] = _Q76_SQL
+PINNED_PAYLOAD_BUILDERS["q76_rotate_pdf_roundtrip"] = _payload_q76

@@ -110,23 +110,30 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
 
 def write_minimal_pdf(
     pages: list[str], compress: bool = False, tj_arrays: bool = False,
-    leading: bool = False,
+    leading: bool = False, rotate: int | None = None,
+    rotate_on_pages: bool = False,
 ) -> bytes:
     """One PDF with ``len(pages)`` pages; each element is that page's text
     ('\\n'-separated lines). ``compress`` wraps every content stream in
     FlateDecode (zlib), exercising the tokenizer's filter path;
     ``leading`` uses the TL/quote-show line-advance idiom instead of
-    relative Td."""
+    relative Td. ``rotate`` writes a /Rotate display rotation (r7,
+    §7.7.3.3) — on every page dict, or on the /Pages node when
+    ``rotate_on_pages`` (the inheritable-attribute shape)."""
     objs: dict[int, bytes] = {}
     n = len(pages)
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    rot_page = f"/Rotate {rotate} " if rotate is not None and not rotate_on_pages else ""
+    rot_tree = f"/Rotate {rotate} " if rotate is not None and rotate_on_pages else ""
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    objs[2] = (
+        f"<< /Type /Pages {rot_tree}/Kids [{kids}] /Count {n} >>"
+    ).encode("latin-1")
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for i, text in enumerate(pages):
         page_num, cont_num = 4 + 2 * i, 5 + 2 * i
         objs[page_num] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent 2 0 R {rot_page}/MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {cont_num} 0 R >>"
         ).encode("latin-1")
@@ -746,7 +753,8 @@ def object_aes_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
 
 
 def write_differences_pdf(
-    pages: list[str], compress: bool = False, encoding_ref: bool = False
+    pages: list[str], compress: bool = False, encoding_ref: bool = False,
+    resources_parent: int = 0,
 ) -> bytes:
     """``write_minimal_pdf`` variant whose simple Type1 font carries an
     /Encoding /Differences byte remap (the legacy-generator / scanner
@@ -756,7 +764,14 @@ def write_differences_pdf(
     emit high-latin-1 garbage instead of the text. Unnamed characters
     stay at their latin-1 bytes (the simple-font default the parser keeps
     for unmapped codes). ``encoding_ref`` puts the encoding dict in its
-    own object (the indirect form)."""
+    own object (the indirect form). ``resources_parent`` moves the
+    /Resources dict up the page tree (ISO 32000 §7.7.3.4 inheritable
+    attributes — the shared-resources shape real generators emit): 0 =
+    on each page (default), 1 = on the /Pages root, 2 = on an
+    intermediate /Pages node of a two-level tree; in both inherited
+    layouts the page dicts carry NO /Resources, so a parser that fails
+    to climb /Parent cannot resolve the /Differences font and must bail
+    (strict-fonts file) instead of emitting high-byte garbage."""
     from .. import spec
 
     rev: dict[str, str] = {}
@@ -790,9 +805,23 @@ def write_differences_pdf(
 
     objs: dict[int, bytes] = {}
     n = len(pages)
-    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(n))
+    res = "/Resources << /Font << /F1 3 0 R >> >> "
+    first_page = 5 + (1 if resources_parent == 2 else 0)
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode("latin-1")
+    if resources_parent == 2:
+        # two-level tree: root -> intermediate (carries /Resources) -> pages
+        objs[2] = b"<< /Type /Pages /Kids [5 0 R] /Count %d >>" % n
+        objs[5] = (
+            f"<< /Type /Pages /Parent 2 0 R {res}"
+            f"/Kids [{kids}] /Count {n} >>"
+        ).encode("latin-1")
+    else:
+        objs[2] = (
+            "<< /Type /Pages "
+            + (res if resources_parent == 1 else "")
+            + f"/Kids [{kids}] /Count {n} >>"
+        ).encode("latin-1")
     enc_body = f"<< /Differences {diff_array()} >>"
     if encoding_ref:
         objs[3] = (
@@ -806,12 +835,13 @@ def write_differences_pdf(
             f"/Encoding {enc_body} >>"
         ).encode("latin-1")
         objs[4] = b"<< /Type /Encoding >>"  # placeholder keeps numbering stable
+    parent = 5 if resources_parent == 2 else 2
     for i, text in enumerate(pages):
-        page_num, cont_num = 5 + 2 * i, 6 + 2 * i
+        page_num, cont_num = first_page + 2 * i, first_page + 1 + 2 * i
         objs[page_num] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
-            f"/Contents {cont_num} 0 R >>"
+            f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] "
+            + (res if resources_parent == 0 else "")
+            + f"/Contents {cont_num} 0 R >>"
         ).encode("latin-1")
         remapped = "\n".join(encode_line(l) for l in text.split("\n"))
         data = _content_stream(remapped, tj_arrays=False)

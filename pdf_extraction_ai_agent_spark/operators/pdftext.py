@@ -400,6 +400,60 @@ def _simple_font_handle(
     raise _UnsupportedFont("unresolvable /Encoding")
 
 
+def _resources_dict(objs: dict[int, bytes], holder_d: bytes) -> bytes:
+    """The holder's effective /Resources dict, climbing the /Parent chain
+    when the holder carries none (ISO 32000 §7.7.3.4 — /Resources is an
+    inheritable page attribute; real generators routinely hoist the
+    shared dict onto a /Pages node). Form XObject dicts carry no /Parent,
+    so for them this is exactly the old own-dict lookup (their legacy
+    inheritance goes through the invoking context instead)."""
+    d = holder_d
+    for _ in range(32):
+        res = _nested_dict_of(d, b"/Resources", objs)
+        if res:
+            return res
+        pm = _REF_RE.search(_value_of(d, b"/Parent"))
+        if not pm:
+            return b""
+        body = objs.get(int(pm.group(1)))
+        if body is None:
+            return b""
+        d = _dict_of(body)
+    return b""
+
+
+def _inherited_value(objs: dict[int, bytes], holder_d: bytes, key: bytes) -> bytes:
+    """Raw value slice for an inheritable page attribute (§7.7.3.4 —
+    /Rotate, /MediaBox, …), climbing the /Parent chain like
+    _resources_dict. Empty bytes when absent everywhere."""
+    d = holder_d
+    for _ in range(32):
+        v = _value_of(d, key)
+        if v.strip():
+            return v
+        pm = _REF_RE.search(_value_of(d, b"/Parent"))
+        if not pm:
+            return b""
+        body = objs.get(int(pm.group(1)))
+        if body is None:
+            return b""
+        d = _dict_of(body)
+    return b""
+
+
+def _rotate_ctm(rot: int, box: tuple[float, float, float, float]) -> tuple:
+    """Initial CTM mapping user space into the DISPLAYED page for a
+    /Rotate of 90/180/270 (clockwise display rotation, §7.7.3.3) — the
+    orientation pdfplumber/fitz extract in (reference extract_text.py
+    reads rotated pages upright via the libraries). Row-vector §8.3.4."""
+    x0, y0, x1, y1 = box
+    if rot == 90:   # displayed (x', y') = (y - y0, x1 - x)
+        return (0.0, -1.0, 1.0, 0.0, -y0, x1)
+    if rot == 180:  # (x1 - x, y1 - y)
+        return (-1.0, 0.0, 0.0, -1.0, x1, y1)
+    return (0.0, 1.0, -1.0, 0.0, y1, -x0)  # 270: (y1 - y, x - x0)
+
+
 def _page_fonts(
     objs: dict[int, bytes], page_d: bytes, enc_key: tuple[bytes, str] | None
 ) -> dict[bytes, tuple[str, dict[int, str]] | None]:
@@ -412,7 +466,7 @@ def _page_fonts(
     outside the modeled Annex D set, or a /Differences array with glyph
     names outside the shared AGL subset."""
     fonts: dict[bytes, tuple[str, dict[int, str]] | None] = {}
-    res_d = _nested_dict_of(page_d, b"/Resources", objs)
+    res_d = _resources_dict(objs, page_d)
     if not res_d:
         return fonts
     font_d = _nested_dict_of(res_d, b"/Font", objs)
@@ -1719,7 +1773,7 @@ def _expand_forms(
                 bt_depth = max(0, bt_depth - 1)
             elif bt_depth:
                 raise _UnsupportedForm("Do inside a BT…ET block")
-    res_d = _nested_dict_of(holder_d, b"/Resources", objs)
+    res_d = _resources_dict(objs, holder_d)  # climbs /Parent for pages
     xo_d = _nested_dict_of(res_d, b"/XObject", objs) if res_d else b""
     if xo_d:
         xo = {m.group(1): int(m.group(2)) for m in _FONT_PAIR_RE.finditer(xo_d)}
@@ -1879,6 +1933,31 @@ def _page_contents_full(data: bytes, passwords: tuple[bytes, ...] = ()):
                     for fname, handle in ffonts.items():
                         if fonts.setdefault(fname, handle) != handle:
                             return None
+        # /Rotate (inheritable, §7.7.3.3): a 90/180/270 display rotation
+        # becomes a synthetic initial `cm` so every walk (runs, rulings)
+        # extracts in the DISPLAYED orientation — the library-chain
+        # behavior. Junk /Rotate values bail; 0/absent costs nothing.
+        rv = _inherited_value(objs, page_d, b"/Rotate").strip()
+        if rv:
+            try:
+                rot = int(rv) % 360
+            except ValueError:
+                return None
+            if rot % 90:
+                return None  # spec: must be a multiple of 90
+            if rot:
+                mv = _inherited_value(objs, page_d, b"/MediaBox")
+                bm = re.match(
+                    rb"\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+                    + _NUM + rb")\s+(" + _NUM + rb")\s*\]", mv,
+                )
+                if not bm:
+                    return None  # rotation needs the page box
+                box = tuple(float(bm.group(k)) for k in (1, 2, 3, 4))
+                m6 = _rotate_ctm(rot, box)
+                content = b" ".join(
+                    _fmt_coord(v) for v in m6
+                ) + b" cm\n" + content
         out.append((content, fonts))
     return out, strict_fonts, objs, page_nums
 

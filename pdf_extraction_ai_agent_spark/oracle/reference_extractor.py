@@ -1622,6 +1622,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
     pages: list[list[tuple[float, float, str]]] = []
     # pass 1 — stream inventory in file order, last version per owner wins
     inventory: dict[object, list] = {}  # owner -> [first_seen, onum, head, raw]
+    body_spans: list[tuple[int, int]] = []  # stream-body extents (r7 /Rotate)
     seq = 0
     pos = 0
     while True:
@@ -1658,6 +1659,7 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 break
             raw = data[body_at:end].rstrip(b"\r\n")
             pos = end
+        body_spans.append((body_at, pos))
         gap_from = pos
         key: object = cur_onum if cur_onum is not None else ("anon", seq)
         slot = inventory.get(key)
@@ -1682,6 +1684,66 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 _oracle_object_aes_key(base_key, onum), raw
             )
         return _oracle_rc4(_oracle_object_key(base_key, onum), raw)
+
+    # /Rotate (r7, §7.7.3.3): this map-free walk cannot associate streams
+    # with page dicts, so display rotation is modeled for the UNIFORM case
+    # only — one distinct /Rotate (and /MediaBox) across the file's
+    # NON-stream bytes (stream bodies blanked: compressed bytes could fake
+    # a "/Rotate n"). Mixed per-page rotations are out of twin scope (the
+    # engine's page-tree walk handles them; raise here). The rotation
+    # becomes the initial CTM of every page walk — the same displayed
+    # orientation the engine's synthetic leading `cm` produces.
+    hole_parts = []
+    prev_end = 0
+    for s0, s1 in body_spans:
+        hole_parts.append(data[prev_end:s0])
+        prev_end = max(prev_end, s1)
+    hole_parts.append(data[prev_end:])
+    holes = b"\n".join(hole_parts)
+    init_ctm: tuple | None = None
+    rot_matches = re.findall(rb"/Rotate\s+(-?\d+)", holes)
+    rot_vals = {int(v) for v in rot_matches}
+    if rot_vals:
+        if len(rot_vals) > 1:
+            raise RuntimeError(
+                "mixed per-page /Rotate — out of twin scope"
+            )
+        rot = rot_vals.pop() % 360
+        if rot % 90:
+            raise RuntimeError(
+                "non-quarter /Rotate — out of twin scope"
+            )
+        # uniformity guard: this walk cannot tell WHICH page a /Rotate
+        # belongs to, so a nonzero rotation on a multi-page file is in
+        # twin scope only when every page carries it explicitly — a
+        # partial (or tree-node) rotation over several pages raises,
+        # while the engine's page-tree walk handles it per page.
+        n_pages = len(re.findall(rb"/Type\s*/Page(?![A-Za-z0-9])", holes))
+        if rot and n_pages > 1 and len(rot_matches) < n_pages:
+            raise RuntimeError(
+                "partial /Rotate coverage on a multi-page file — "
+                "out of twin scope"
+            )
+        if rot:
+            boxes = {
+                re.sub(rb"\s+", b" ", m.group(1)).strip()
+                for m in re.finditer(rb"/MediaBox\s*\[([^\]]*)\]", holes)
+            }
+            if len(boxes) != 1:
+                raise RuntimeError(
+                    "missing or mixed /MediaBox under /Rotate — "
+                    "out of twin scope"
+                )
+            parts = boxes.pop().split()
+            if len(parts) != 4:
+                raise RuntimeError("unparsable /MediaBox — out of twin scope")
+            x0, y0, x1, y1 = (float(p) for p in parts)
+            if rot == 90:
+                init_ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
+            elif rot == 180:
+                init_ctm = (-1.0, 0.0, 0.0, -1.0, x1, y1)
+            else:
+                init_ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
 
     # pass 2a — XObject streams leave the page walk: a /Subtype /Form
     # stream is decoded (+ inline-blanked) into the splice map — a Do may
@@ -1751,15 +1813,17 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         # push/pop; device position = text-space origin through the CTM
         # at show time. Orthogonal-column invertible linear parts only —
         # shear/singular/operand-less cm and unbalanced Q raise.
-        ctm: tuple | None = None
+        ctm: tuple | None = init_ctm  # /Rotate display matrix, if any
         ctm_stack: list[tuple | None] = []
         lin: tuple | None = None  # Tm linear part (r7; None = identity)
         # mirror the engine's C-substring prefilter exactly: with no `cm`
         # bytes in the stream the engine's fast path never looks at q/Q
         # (they are geometric no-ops while the CTM is identity), so the
         # oracle must not either — an unbalanced Q on a cm-free page must
-        # not raise here when the engine walk ignores it
-        track_ctm = b"cm" in raw
+        # not raise here when the engine walk ignores it. A /Rotate page
+        # carries the engine's synthetic leading `cm`, so both sides
+        # track state there.
+        track_ctm = b"cm" in raw or init_ctm is not None
         moved = True
         in_tj_array = False
         cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
