@@ -590,8 +590,9 @@ PINNED_PAYLOAD_BUILDERS["q75_inherited_resources_roundtrip"] = _payload_q75
 # file-level rotation). Four variants (doc_id % 4): no rotation, 90 on
 # the /Pages node with rotated-authored text (reads upright displayed),
 # 180 per-page with upside-down-authored text, 270 per-page with
-# column-authored text — every variant displays the SAME three lines, so
-# the twin is rotation-blind.
+# column-authored text, and 90 over a SHIFTED /MediaBox origin (the
+# cropped-page shape — the rotation formulas carry x0/y0) — every
+# variant displays the SAME three lines, so the twin is rotation-blind.
 # ---------------------------------------------------------------------------
 
 
@@ -606,7 +607,7 @@ def _payload_q76(doc_id: int, text: str) -> bytes:
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    variant = doc_id % 4
+    variant = doc_id % 5
     if variant == 0:  # portrait control
         return write_minimal_pdf(["\n".join((l1, l2, l3))])
     if variant == 1:  # /Rotate 90 inherited; text authored rotated
@@ -623,12 +624,22 @@ def _payload_q76(doc_id: int, text: str) -> bytes:
             ("text", 72, 720, l3),
         ]
         return write_minimal_pdf([page], rotate=180)
-    # /Rotate 270 per page; authored as a column (x carries the pitch)
-    page = [
-        ("text", 300, 400, l1), ("text", 284, 400, l2),
-        ("text", 268, 400, l3),
-    ]
-    return write_minimal_pdf([page], rotate=270)
+    if variant == 3:
+        # /Rotate 270 per page; authored as a column (x carries the pitch)
+        page = [
+            ("text", 300, 400, l1), ("text", 284, 400, l2),
+            ("text", 268, 400, l3),
+        ]
+        return write_minimal_pdf([page], rotate=270)
+    # /Rotate 90 over a SHIFTED /MediaBox [20 30 632 822] — same displayed
+    # lines as variant 1 because author coords shift with the origin:
+    # displayed (x', y') = (y - y0, x1 - x)
+    raw = (
+        f"BT /F1 12 Tf 0 1 -1 0 320 102 Tm ({esc(l1)}) Tj "
+        f"0 -16 Td ({esc(l2)}) Tj 0 -16 Td ({esc(l3)}) Tj ET"
+    )
+    pdf = write_minimal_pdf([[("raw", raw)]], rotate=90, rotate_on_pages=True)
+    return pdf.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [20 30 632 822]")
 
 
 def q76_rotate_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
