@@ -463,9 +463,13 @@ paged AS (
   FROM rawlines
 ),
 runs AS (
+  -- TRY_CAST(NULLIF(…)): the WHERE guards the cast logically, but the
+  -- optimizer may evaluate the projection before the filter (seen at
+  -- sf0.1 inside the larger q46 pipeline: CAST('' AS DOUBLE) threw on
+  -- non-matching lines) — identical values on every surviving row
   SELECT doc_id, page, line_no,
-         CAST(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1) AS DOUBLE) AS x,
-         CAST(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 2) AS DOUBLE) AS y,
+         TRY_CAST(NULLIF(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1), '') AS DOUBLE) AS x,
+         TRY_CAST(NULLIF(regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 2), '') AS DOUBLE) AS y,
          regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 3) AS txt
   FROM paged
   WHERE regexp_extract(line, '^BT ([0-9.]+) ([0-9.]+) Td \((.*)\) Tj ET$', 1) <> ''
@@ -473,10 +477,10 @@ runs AS (
 ),
 rules AS (
   SELECT doc_id, page,
-         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 1) AS DOUBLE) AS x1,
-         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 2) AS DOUBLE) AS y1,
-         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 3) AS DOUBLE) AS x2,
-         CAST(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 4) AS DOUBLE) AS y2
+         TRY_CAST(NULLIF(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 1), '') AS DOUBLE) AS x1,
+         TRY_CAST(NULLIF(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 2), '') AS DOUBLE) AS y1,
+         TRY_CAST(NULLIF(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 3), '') AS DOUBLE) AS x2,
+         TRY_CAST(NULLIF(regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 4), '') AS DOUBLE) AS y2
   FROM paged
   WHERE regexp_extract(line, '^([0-9.]+) ([0-9.]+) m ([0-9.]+) ([0-9.]+) l S$', 1) <> ''
     AND page IS NOT NULL

@@ -1605,115 +1605,11 @@ class _UnsupportedForm(Exception):
 
 
 _DO_RE = re.compile(rb"/([^\s/<>()\[\]{}%]+)\s+Do(?![A-Za-z0-9])")
-_CM_RE = re.compile(rb"(?<![A-Za-z0-9.+\-])cm(?![A-Za-z0-9])")
 _BT_ET_DO_RE = re.compile(rb"(?<![A-Za-z0-9])(BT|ET|Do)(?![A-Za-z0-9])")
-_NUM2_TM_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+Tm(?![A-Za-z0-9]))")
-# full 6-operand Tm, linear part captured — the transform-rewrite guard:
-# a non-identity text matrix inside a scale/rotate form cannot compose
-# through operand rewriting (the e/f rewrite leaves a·d untouched), so
-# such forms bail rather than extract at wrong positions
-_NUM6_TM_RE = re.compile(
-    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM
-    + rb")\s+" + _NUM + rb"\s+" + _NUM + rb"\s+Tm(?![A-Za-z0-9])"
-)
-_NUM2_ML_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+[ml](?![A-Za-z0-9]))")
-_NUM2_TD_RE = re.compile(rb"([-+0-9.]+)\s+([-+0-9.]+)(\s+T[dD](?![A-Za-z0-9]))")
-_NUM1_TL_RE = re.compile(rb"([-+0-9.]+)(\s+TL(?![A-Za-z0-9]))")
-_LEADING_OP_RE = re.compile(rb"(?<![A-Za-z0-9])(?:T\*|TL)(?![A-Za-z0-9])|['\"]")
-_BT_TOKEN_RE = re.compile(rb"(?<![A-Za-z0-9])BT(?![A-Za-z0-9])")
-
-
 def _fmt_coord(v: float) -> bytes:
     """Plain-decimal coordinate (PDF numbers take no exponent syntax)."""
     s = f"{v:.4f}".rstrip("0").rstrip(".")
     return (s or "0").encode("ascii")
-
-
-def _translate_text_ops(content: bytes, tx: float, ty: float) -> bytes:
-    """Apply a translate-only form /Matrix to spliced form bytes: insert
-    `tx ty Td` right after every BT (BT resets the line origin to the
-    form origin, so the synthetic relative move re-anchors it — later
-    Td/TD stay relative, and a TD's leading side-effect is untouched),
-    shift every Tm's absolute e/f operands, and shift ruling `x y m` /
-    `x y l` endpoints for the lattice walk. String bytes are never
-    rewritten (chunked like every other walk)."""
-    td = b"BT " + _fmt_coord(tx) + b" " + _fmt_coord(ty) + b" Td"
-
-    def _shift(m: re.Match) -> bytes:
-        return (
-            _fmt_coord(float(m.group(1)) + tx) + b" "
-            + _fmt_coord(float(m.group(2)) + ty) + m.group(3)
-        )
-
-    out = bytearray()
-    for is_str, c in _content_chunks(content):
-        if not is_str:
-            if _CM_RE.search(c):
-                raise _UnsupportedForm("cm inside a translated form")
-            c = _NUM2_TM_RE.sub(_shift, c)
-            c = _NUM2_ML_RE.sub(_shift, c)
-            c = _BT_TOKEN_RE.sub(td, c)
-        out += c
-    return bytes(out)
-
-
-def _transform_text_ops(
-    content: bytes, a: float, b: float, c: float, d: float,
-    e: float, f: float,
-) -> bytes:
-    """Apply a full affine form /Matrix (scale / rotation — the caller
-    validated column orthogonality; true shear bails there) to spliced
-    form bytes. POSITIONS transform: the BT anchor lands at (e, f), Td/TD
-    deltas map through the linear part, Tm e/f and `x y m`/`x y l` ruling
-    endpoints map through the whole matrix — the (x, y) run model never
-    represents glyph-level rotation/scaling, matching the reference's
-    library chain, which extracts rotated stamps by position
-    (extract_text.py:27-36 via fitz). Leading is a SCALAR in the walks,
-    so `NUM TL` scales by d under pure scale matrices, and any
-    leading-based advance (TL/T*/'/") under a ROTATED matrix bails — its
-    advance direction is unexpressible in rewritten operands."""
-    if (a, b, c, d) == (1.0, 0.0, 0.0, 1.0):
-        return _translate_text_ops(content, e, f)
-    rotated = b != 0.0 or c != 0.0
-    td_anchor = b"BT " + _fmt_coord(e) + b" " + _fmt_coord(f) + b" Td"
-
-    def _abs(m: re.Match) -> bytes:
-        x, y = float(m.group(1)), float(m.group(2))
-        return (_fmt_coord(a * x + c * y + e) + b" "
-                + _fmt_coord(b * x + d * y + f) + m.group(3))
-
-    def _rel(m: re.Match) -> bytes:
-        x, y = float(m.group(1)), float(m.group(2))
-        return (_fmt_coord(a * x + c * y) + b" "
-                + _fmt_coord(b * x + d * y) + m.group(3))
-
-    def _lead(m: re.Match) -> bytes:
-        return _fmt_coord(d * float(m.group(1))) + m.group(2)
-
-    out = bytearray()
-    for is_str, ch in _content_chunks(content):
-        if not is_str:
-            if _CM_RE.search(ch):
-                raise _UnsupportedForm("cm inside a transformed form")
-            if rotated and _LEADING_OP_RE.search(ch):
-                raise _UnsupportedForm(
-                    "leading-based advance inside a rotated form"
-                )
-            for tm6 in _NUM6_TM_RE.finditer(ch):
-                if tuple(float(tm6.group(k)) for k in (1, 2, 3, 4)) != (
-                    1.0, 0.0, 0.0, 1.0,
-                ):
-                    raise _UnsupportedForm(
-                        "non-identity text matrix inside a transformed form"
-                    )
-            ch = _NUM2_TM_RE.sub(_abs, ch)
-            ch = _NUM2_ML_RE.sub(_abs, ch)
-            ch = _NUM2_TD_RE.sub(_rel, ch)
-            if not rotated:
-                ch = _NUM1_TL_RE.sub(_lead, ch)
-            ch = _BT_TOKEN_RE.sub(td_anchor, ch)
-        out += ch
-    return bytes(out)
 
 
 def _expand_forms(
@@ -1730,18 +1626,19 @@ def _expand_forms(
     the downstream walks see one flat token sequence per page. Modeled
     subset (anything else raises _UnsupportedForm → rung bail):
 
-    - /Subtype /Form with an absent/identity /Matrix (form space == page
-      space), a translate-only one (byte splice + re-anchor), or a
-      scale/rotation matrix with orthogonal columns (full 2×3 coordinate
-      transform of Td/Tm/ruling operands — _transform_text_ops); true
-      SHEAR or singular matrices bail, and leading-based advance
-      (TL/T*/'/") under a rotated matrix bails;
+    - /Subtype /Form with an absent/identity /Matrix, or any matrix whose
+      linear part has orthogonal columns and a nonzero determinant —
+      the matrix is emitted as a `cm` INSIDE the splice's isolation
+      wrapper (§8.10.1: form space maps through /Matrix then CTM), so the
+      page walks' state tracking composes it exactly, including leading
+      advance and nested Tm under rotation (the r7-early operand-rewrite
+      path and its bails are gone); true SHEAR or singular matrices bail;
     - top-level `cm` alongside Do is MODELED (r7): each spliced form is
       isolated in a synthetic `q … Q` (ISO 32000 §8.10.2 — Do saves and
       restores graphics state around the form), and the page walks'
-      CTM tracking then positions the spliced ops in device space; an
-      identity-matrix form's own internal cm is contained by the same
-      wrapper instead of leaking past the Do;
+      CTM tracking then positions the spliced ops in device space; a
+      form's own internal cm is contained by the same wrapper instead of
+      leaking past the Do;
     - Do at nesting depth ≤ 8, outside BT…ET blocks, with the name
       resolvable through the holder's /Resources /XObject map (a form
       without its own /Resources inherits the invoking context's map —
@@ -1829,7 +1726,12 @@ def _expand_forms(
                 inherited_xo=xo, depth=depth + 1,
             )
             if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
-                sub = _transform_text_ops(sub, *mat)
+                # the form /Matrix IS a cm inside the isolation wrapper
+                # (§8.10.1: form space maps through /Matrix then CTM) —
+                # the walks' state tracking composes it exactly, so the
+                # old operand-rewrite path (and its leading/Tm-under-
+                # rotation bails) is gone (r7 late).
+                sub = b" ".join(_fmt_coord(v) for v in mat) + b" cm\n" + sub
             # synthetic state isolation (§8.10.2): Do saves/restores the
             # graphics state, so a cm inside the form (or a page CTM
             # around the Do) composes exactly as a real renderer would.

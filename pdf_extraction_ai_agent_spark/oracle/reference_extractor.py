@@ -1240,255 +1240,6 @@ def _oracle_fmt_coord(v: float) -> bytes:
     return (s or "0").encode("ascii")
 
 
-_ORACLE_NUM_RE = re.compile(rb"[-+]?[0-9][0-9.]*|[-+]?\.[0-9]+")
-
-
-def _oracle_translate_text(raw: bytes, tx: float, ty: float) -> bytes:
-    """Apply a translate-only form /Matrix to spliced bytes — the
-    oracle's own cursor scan (the engine rewrites via chunked regexes):
-    a synthetic `tx ty Td` re-anchors the line origin after every BT,
-    every Tm's trailing e/f operands shift, and `x y m` / `x y l`
-    ruling endpoints shift. Number-token SPANS are tracked in the
-    output buffer so the last two can be rewritten in place when their
-    consuming operator arrives."""
-    out = bytearray()
-    spans: list[tuple[int, int]] = []  # output spans of recent number tokens
-    i, n = 0, len(raw)
-
-    def rewrite_last_two() -> None:
-        if len(spans) < 2:
-            # malformed operand run (e.g. a string between the numbers
-            # and their operator): leave it untranslated, exactly like
-            # the engine's adjacency regex not matching — both walks
-            # then consume the same raw operands
-            return
-        (s1, e1), (s2, e2) = spans[-2], spans[-1]
-        # replace the LAST span first so the earlier span's offsets hold
-        out[s2:e2] = _oracle_fmt_coord(float(bytes(out[s2:e2])) + ty)
-        out[s1:e1] = _oracle_fmt_coord(float(bytes(out[s1:e1])) + tx)
-
-    while i < n:
-        c = raw[i]
-        if c == 0x28:  # literal string — copy with escape/nesting tracking
-            spans.clear()
-            depth, j = 1, i + 1
-            while j < n and depth:
-                if raw[j] == 0x5C:
-                    j += 2
-                    continue
-                if raw[j] == 0x28:
-                    depth += 1
-                elif raw[j] == 0x29:
-                    depth -= 1
-                j += 1
-            out += raw[i:j]
-            i = j
-            continue
-        if c == 0x3C:  # <hex> or << dict — copy verbatim
-            spans.clear()
-            if raw[i : i + 2] == b"<<":
-                out += b"<<"
-                i += 2
-                continue
-            gt = raw.find(b">", i)
-            j = n if gt < 0 else gt + 1
-            out += raw[i:j]
-            i = j
-            continue
-        if c in b"+-.0123456789":
-            m = _ORACLE_NUM_RE.match(raw, i)
-            if m:
-                start = len(out)
-                out += m.group(0)
-                spans.append((start, len(out)))
-                if len(spans) > 8:
-                    del spans[0]
-                i = m.end()
-                continue
-        boundary = i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]"
-        if boundary and raw[i : i + 2] == b"BT" and (
-            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
-        ):
-            out += b"BT " + _oracle_fmt_coord(tx) + b" " \
-                + _oracle_fmt_coord(ty) + b" Td"
-            spans.clear()
-            i += 2
-            continue
-        if boundary and raw[i : i + 2] == b"cm" and (
-            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
-        ):
-            raise RuntimeError(
-                "cm inside a translated form — out of twin scope"
-            )
-        if boundary and raw[i : i + 2] == b"Tm" and (
-            i + 2 >= n or raw[i + 2] in _ORACLE_DELIM
-        ):
-            rewrite_last_two()
-            out += b"Tm"
-            spans.clear()
-            i += 2
-            continue
-        if boundary and c in b"ml" and (
-            i + 1 >= n or raw[i + 1] in _ORACLE_DELIM
-        ):
-            rewrite_last_two()
-            out.append(c)
-            spans.clear()
-            i += 1
-            continue
-        if c not in _ORACLE_WS:
-            spans.clear()  # any other token breaks the operand run
-        out.append(c)
-        i += 1
-    return bytes(out)
-
-
-def _oracle_transform_text(
-    raw: bytes, a: float, b: float, c: float, d: float, e: float, f: float
-) -> bytes:
-    """Apply a scale/rotation form /Matrix to spliced bytes — the general
-    sibling of _oracle_translate_text (which keeps the translate-only
-    fast path byte-identical): the BT anchor lands at (e, f), Td/TD
-    deltas map through the linear part, Tm e/f and `m`/`l` endpoints map
-    through the whole matrix, `NUM TL` scales by d under pure scale, and
-    any leading-based advance (TL/T*/'/") under a ROTATED matrix raises
-    (its direction is unexpressible in rewritten operands)."""
-    if (a, b, c, d) == (1.0, 0.0, 0.0, 1.0):
-        return _oracle_translate_text(raw, e, f)
-    rotated = b != 0.0 or c != 0.0
-    out = bytearray()
-    spans: list[tuple[int, int]] = []
-    i, n = 0, len(raw)
-
-    def rewrite_pair(absolute: bool) -> None:
-        if len(spans) < 2:
-            return  # malformed operand run — both walks keep raw operands
-        (s1, e1), (s2, e2) = spans[-2], spans[-1]
-        x, y = float(bytes(out[s1:e1])), float(bytes(out[s2:e2]))
-        nx = a * x + c * y + (e if absolute else 0.0)
-        ny = b * x + d * y + (f if absolute else 0.0)
-        out[s2:e2] = _oracle_fmt_coord(ny)
-        out[s1:e1] = _oracle_fmt_coord(nx)
-
-    def rewrite_lead() -> None:
-        if spans:
-            s1, e1 = spans[-1]
-            out[s1:e1] = _oracle_fmt_coord(d * float(bytes(out[s1:e1])))
-
-    while i < n:
-        ch = raw[i]
-        if ch == 0x28:  # literal string — copy with escape/nesting tracking
-            spans.clear()
-            depth, j = 1, i + 1
-            while j < n and depth:
-                if raw[j] == 0x5C:
-                    j += 2
-                    continue
-                if raw[j] == 0x28:
-                    depth += 1
-                elif raw[j] == 0x29:
-                    depth -= 1
-                j += 1
-            out += raw[i:j]
-            i = j
-            continue
-        if ch == 0x3C:  # <hex> or << dict — copy verbatim
-            spans.clear()
-            if raw[i : i + 2] == b"<<":
-                out += b"<<"
-                i += 2
-                continue
-            gt = raw.find(b">", i)
-            j = n if gt < 0 else gt + 1
-            out += raw[i:j]
-            i = j
-            continue
-        if ch in b"+-.0123456789":
-            m = _ORACLE_NUM_RE.match(raw, i)
-            if m:
-                start = len(out)
-                out += m.group(0)
-                spans.append((start, len(out)))
-                if len(spans) > 8:
-                    del spans[0]
-                i = m.end()
-                continue
-        boundary = i == 0 or raw[i - 1] in _ORACLE_WS or raw[i - 1] in b">)]"
-        two = raw[i : i + 2]
-        two_ok = boundary and (i + 2 >= n or raw[i + 2] in _ORACLE_DELIM)
-        if two_ok and two == b"BT":
-            out += (b"BT " + _oracle_fmt_coord(e) + b" "
-                    + _oracle_fmt_coord(f) + b" Td")
-            spans.clear()
-            i += 2
-            continue
-        if two_ok and two == b"cm":
-            raise RuntimeError(
-                "cm inside a transformed form — out of twin scope"
-            )
-        if two_ok and two == b"Tm":
-            # a non-identity text matrix cannot compose through operand
-            # rewriting (only e/f are rewritten) — bail, mirroring the
-            # engine's _NUM6_TM_RE guard (r7)
-            if len(spans) >= 6:
-                linear = tuple(
-                    float(bytes(out[s:e2])) for s, e2 in spans[-6:-2]
-                )
-                if linear != (1.0, 0.0, 0.0, 1.0):
-                    raise RuntimeError(
-                        "non-identity text matrix inside a transformed "
-                        "form — out of twin scope"
-                    )
-            rewrite_pair(absolute=True)
-            out += two
-            spans.clear()
-            i += 2
-            continue
-        if two_ok and two in (b"Td", b"TD"):
-            rewrite_pair(absolute=False)
-            out += two
-            spans.clear()
-            i += 2
-            continue
-        if two_ok and two in (b"TL", b"T*"):
-            if rotated:
-                raise RuntimeError(
-                    "leading-based advance inside a rotated form — "
-                    "out of twin scope"
-                )
-            if two == b"TL":
-                rewrite_lead()
-            out += two
-            spans.clear()
-            i += 2
-            continue
-        if ch in b"'\"":
-            # any top-level quote char (the engine's regex is equally
-            # position-blind — twin-symmetric strictness)
-            if rotated:
-                raise RuntimeError(
-                    "leading-based advance inside a rotated form — "
-                    "out of twin scope"
-                )
-            out.append(ch)
-            spans.clear()
-            i += 1
-            continue
-        if boundary and ch in b"ml" and (
-            i + 1 >= n or raw[i + 1] in _ORACLE_DELIM
-        ):
-            rewrite_pair(absolute=True)
-            out.append(ch)
-            spans.clear()
-            i += 1
-            continue
-        if ch not in _ORACLE_WS:
-            spans.clear()  # any other token breaks the operand run
-        out.append(ch)
-        i += 1
-    return bytes(out)
-
-
 _ORACLE_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
 _ORACLE_OP2_RE = re.compile(rb"(?:BT|ET|cm|Do)(?![A-Za-z0-9])")
 
@@ -1580,7 +1331,12 @@ def _oracle_splice_forms(
             forms[num], names, forms, images, form_heads, depth + 1
         )
         if mat != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
-            sub = _oracle_transform_text(sub, *mat)
+            # the form /Matrix IS a cm inside the isolation wrapper —
+            # the walk's state tracking composes it (r7 late; replaced
+            # the operand-rewrite path and its bails)
+            sub = b" ".join(
+                _oracle_fmt_coord(v) for v in mat
+            ) + b" cm\n" + sub
         # synthetic §8.10.2 state isolation — mirrors the engine splice
         out += b"\nq\n" + sub + b"\nQ\n"
     out += raw[last:]

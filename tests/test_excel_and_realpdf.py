@@ -1659,12 +1659,10 @@ def test_form_xobject_translate_matrix():
         extract_real_pdf_text,
     )
     from pdf_extraction_ai_agent_spark.operators.pdftext import (
-        _translate_text_ops,
         tokenize_pdf_rulings,
         tokenize_pdf_runs,
     )
     from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
-        _oracle_translate_text,
         extract_real_pdf,
     )
 
@@ -1700,11 +1698,6 @@ def test_form_xobject_translate_matrix():
         "--- PAGE 1 ---\nACME FORM 7\nSTAMP approved\n"
         "Claim C1\nBody sample body\n\nTotal 1.00"
     )
-    # the two independent rewriters agree byte-for-byte on Tm/rulings
-    c = b"BT /F1 12 Tf 1 0 0 1 10 20 Tm (x(T)m 5 6 Tm) Tj ET\n5 6 m 7 8 l S"
-    assert _translate_text_ops(c, 72, 760) == _oracle_translate_text(c, 72, 760)
-    assert b"82 780 Tm" in _translate_text_ops(c, 72, 760)
-    assert b"(x(T)m 5 6 Tm)" in _translate_text_ops(c, 72, 760)  # strings kept
     # rulings inside a translated form shift for the lattice walk
     pdf = write_form_pdf(
         [[("text", 72, 720, "Claim body line here ok")]],
@@ -1721,7 +1714,10 @@ def test_form_xobject_translate_matrix():
     assert tokenize_pdf_runs(shr) is None
     with _pytest.raises(RuntimeError):
         extract_real_pdf(shr.decode("latin-1"))
-    # cm inside a TRANSLATED form bails both twins (same-length overwrite)
+    # cm inside a TRANSLATED form is MODELED since the late-r7 unification
+    # (the form /Matrix is itself a cm in the isolation wrapper, so any
+    # internal cm composes and is contained) — twins stay equal and the
+    # replaced ruling disappears from the lattice walk
     pdf = write_form_pdf(
         [[("text", 72, 720, "Claim body line here ok")]],
         [("text", 0, 0, "HDR"), ("line", 0, -10, 100, -10)],
@@ -1729,30 +1725,28 @@ def test_form_xobject_translate_matrix():
     )
     assert b"0 -10 m 100 -10 l S" in pdf
     cm = pdf.replace(b"0 -10 m 100 -10 l S", b"1 0 0 1 5 4 cm      ")
-    assert tokenize_pdf_runs(cm) is None
-    with _pytest.raises(RuntimeError):
-        extract_real_pdf(cm.decode("latin-1"))
+    etext, eocr = extract_real_pdf_text(cm)
+    assert (etext, eocr) == extract_real_pdf(cm.decode("latin-1"))
+    assert "HDR" in etext and "Claim body line here ok" in etext
+    assert tokenize_pdf_rulings(cm) == [[]]
 
 
 def test_form_xobject_scale_rotate_matrix():
-    """r7 (r6 verdict item 5): scale and rotation form matrices run a real
-    2×3 coordinate transform of Td/Tm/ruling operands on both twins —
-    positions land where the matrix places them; leading ops scale under
-    pure scale and bail under rotation; nested matrices compose."""
-    import pytest as _pytest
-
+    """r7 (r6 verdict item 5; late-r7 unification): scale and rotation
+    form matrices compose through the splice's q…Q + cm wrapper on both
+    twins — positions land where the matrix places them; leading ops map
+    through the matrix (including under rotation — the walk advances in
+    text space, which the old operand rewrite could not express); nested
+    matrices compose."""
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
     from pdf_extraction_ai_agent_spark.operators.extract import (
         extract_real_pdf_text,
     )
     from pdf_extraction_ai_agent_spark.operators.pdftext import (
-        _transform_text_ops,
-        _UnsupportedForm,
         tokenize_pdf_rulings,
         tokenize_pdf_runs,
     )
     from pdf_extraction_ai_agent_spark.oracle.reference_extractor import (
-        _oracle_transform_text,
         extract_real_pdf,
     )
 
@@ -1799,16 +1793,25 @@ def test_form_xobject_scale_rotate_matrix():
         pdf.decode("latin-1")
     )
     assert (100.0, 384.0, "STAMP approved") in tokenize_pdf_runs(pdf)[0]
-    # leading ops: scaled under pure scale (both rewriters, byte-equal) …
-    c = b"BT /F1 12 Tf 16 TL 10 20 Td (x) Tj T* (y) Tj ET\n5 6 m 7 8 l S"
-    a = _transform_text_ops(c, 2, 0, 0, 2, 100, 50)
-    assert a == _oracle_transform_text(c, 2, 0, 0, 2, 100, 50)
-    assert b"32 TL" in a and b"20 40 Td" in a and b"110 62 m 114 66 l" in a
-    # … and a bail under rotation (both twins)
-    with _pytest.raises(_UnsupportedForm):
-        _transform_text_ops(c, 0, 1, -1, 0, 5, 5)
-    with _pytest.raises(RuntimeError):
-        _oracle_transform_text(c, 0, 1, -1, 0, 5, 5)
+    # leading ops under a scale matrix: T* advances by leading × d
+    lead_hdr = [("raw", "BT /F1 12 Tf 16 TL 10 20 Td (LdA) Tj T* (LdB) Tj ET")]
+    pdf = write_form_pdf([page], lead_hdr, translate=(2, 0, 0, 2, 100, 50))
+    assert extract_real_pdf_text(pdf) == extract_real_pdf(
+        pdf.decode("latin-1")
+    )
+    runs = tokenize_pdf_runs(pdf)[0]
+    assert (120.0, 90.0, "LdA") in runs      # local (10,20) × 2 + (100,50)
+    assert (120.0, 58.0, "LdB") in runs      # T* 16 × d=2 below
+    # leading under a ROTATED matrix (the old rewrite's bail — now exact:
+    # the advance happens in text space before the matrix applies)
+    rot_hdr = [("raw", "BT /F1 12 Tf 16 TL 0 0 Td (RotA) Tj T* (RotB) Tj ET")]
+    pdf = write_form_pdf([page], rot_hdr, translate=(0, 1, -1, 0, 400, 100))
+    assert extract_real_pdf_text(pdf) == extract_real_pdf(
+        pdf.decode("latin-1")
+    )
+    runs = tokenize_pdf_runs(pdf)[0]
+    assert (400.0, 100.0, "RotA") in runs
+    assert (416.0, 100.0, "RotB") in runs    # (0,-16) rotated → (+16, 0)
 
 
 def test_encrypted_objstm_pdf_matrix():

@@ -68,18 +68,20 @@ def test_sheared_tm_bails_both_twins():
     assert eng == "BAIL" and orc == "BAIL"
 
 
-def test_nonidentity_tm_inside_transformed_form_bails():
-    """The form operand-rewrite cannot compose linear parts — a scaled
-    form whose content sets a scaled Tm bails on both twins (guarded by
-    _NUM6_TM_RE / the oracle span check); under a translate-only matrix
-    the same content is fine (translation composes additively)."""
+def test_nonidentity_tm_inside_transformed_form_composes():
+    """Late-r7 unification: the form /Matrix is a cm in the splice's
+    isolation wrapper, so a scaled form whose content sets a scaled Tm
+    COMPOSES (device = matrix(Tm origin)) instead of bailing — the old
+    operand-rewrite limitation is gone. Translate matrices compose too."""
     from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_form_pdf
 
     page = [("text", 72, 700, "Body line")]
     hdr = [("raw", "BT /F1 12 Tf 2 0 0 2 36 370 Tm (Stamp) Tj ET")]
     scaled = write_form_pdf([page], hdr, translate=(1.5, 0, 0, 1.5, 0, 0))
+    runs = pdftext.tokenize_pdf_runs(scaled)[0]
+    assert (54.0, 555.0, "Stamp") in runs  # (36, 370) × 1.5
     eng, orc = _twins(scaled)
-    assert eng == "BAIL" and orc == "BAIL"
+    assert eng == orc != "BAIL"
     translated = write_form_pdf([page], hdr, translate=(0, 20))
     eng, orc = _twins(translated)
     assert eng == orc != "BAIL"
