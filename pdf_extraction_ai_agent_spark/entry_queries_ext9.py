@@ -669,3 +669,96 @@ FROM parts
 EXT9_QUERIES["q76_rotate_pdf_roundtrip"] = q76_rotate_pdf_roundtrip
 _EXT9_ORACLES["q76_rotate_pdf_roundtrip"] = _Q76_SQL
 PINNED_PAYLOAD_BUILDERS["q76_rotate_pdf_roundtrip"] = _payload_q76
+
+
+# ---------------------------------------------------------------------------
+# q77 — /ActualText marked-content replacement under the ORACLE GATE
+# (r7, ISO 32000 §14.9.4): generators emit `/Span <</ActualText (…)>>
+# BDC … EMC` to fix hyphenation, ligatures and dropcaps for extraction —
+# the shown bytes are presentation, the ActualText is the content. Six
+# variants (doc_id % 6): straight replacement over garbage shows, a
+# ligature splice merging into the surrounding run, a UTF-16BE (BOM)
+# hex-string value, an EMPTY sequence (no shows — the replacement still
+# represents content, recorded at the sequence end), a nested plain BMC
+# sequence swallowed inside the span, and hyphenation across a line
+# advance (replacement records at the FIRST enclosed show's origin).
+# Every variant renders the same three lines, so the DuckDB twin is
+# ActualText-blind. Nested /ActualText, unbalanced sequences and
+# undecodable values bail to the library rungs on both twins (pinned in
+# tests/test_actualtext.py, not here).
+# ---------------------------------------------------------------------------
+
+
+def _payload_q77(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    l1, l2, l3 = (
+        f"Act A{doc_id}", f"Text {norm30}", f"Sum {doc_id % 67}.40"
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    variant = doc_id % 6
+    if variant == 0:  # straight replacement of garbage shows
+        mid = (
+            f"/Span <</ActualText ({esc(l2)})>> BDC "
+            f"(zzz-) Tj (gap) Tj EMC"
+        )
+    elif variant == 1:  # ligature splice merges into the surrounding run
+        head, tail = l2[:5], l2[5:]  # 'Text ' + norm30
+        mid = (
+            f"({esc(head)}) Tj /Span <</ActualText ({esc(tail)})>> BDC "
+            f"(\\014) Tj EMC"
+        )
+    elif variant == 2:  # UTF-16BE hex-string value (BOM FE FF)
+        hx = "FEFF" + l2.encode("utf-16-be").hex().upper()
+        mid = f"/Span <</ActualText <{hx}>>> BDC (ligature soup) Tj EMC"
+    elif variant == 3:  # empty sequence — no enclosed shows
+        mid = f"/Span <</ActualText ({esc(l2)})>> BDC EMC"
+    elif variant == 4:  # nested plain BMC swallowed inside the span
+        mid = (
+            f"/Span <</ActualText ({esc(l2)})>> BDC "
+            f"/Junk BMC (aaa) Tj EMC (bbb) Tj EMC"
+        )
+    else:  # hyphenation across a line advance; first-show origin wins
+        mid = (
+            f"/Span <</ActualText ({esc(l2)})>> BDC (hyphen-) Tj "
+            f"0 -8 Td (ated) Tj EMC"
+        )
+    drop = 8 if variant == 5 else 16  # line 3 lands at y=688 in all variants
+    raw = (
+        f"BT /F1 12 Tf 72 720 Td ({esc(l1)}) Tj 0 -16 Td {mid} "
+        f"0 -{drop} Td ({esc(l3)}) Tj ET"
+    )
+    return write_minimal_pdf([[("raw", raw)]])
+
+
+def q77_actualtext_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q77), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q77_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Act A' || CAST(doc_id AS VARCHAR) AS l1,
+         'Text ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Sum ' || CAST(doc_id % 67 AS VARCHAR) || '.40' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q77_actualtext_pdf_roundtrip"] = q77_actualtext_pdf_roundtrip
+_EXT9_ORACLES["q77_actualtext_pdf_roundtrip"] = _Q77_SQL
+PINNED_PAYLOAD_BUILDERS["q77_actualtext_pdf_roundtrip"] = _payload_q77

@@ -1991,6 +1991,87 @@ def _top_level_segments_ctm(
     return segs
 
 
+def _dict_span(body: bytes, i: int) -> int:
+    """Byte length of the inline dict at ``body[i:]`` (``<< … >>``),
+    STRING-AWARE: literal and hex strings inside the dict are hopped
+    opaque, so a value like ``(a >> b)`` cannot truncate the hop (the
+    plain ``_dict_of`` brace walk stays on string-free paths). 0 →
+    unbalanced. Needed by the /ActualText rung, whose property-list
+    values are text strings."""
+    depth = 0
+    j, n = i, len(body)
+    while j < n:
+        c = body[j]
+        if c == 0x28:  # literal string — escape/nesting-aware hop
+            j = _string_end(body, j)
+            continue
+        if c == 0x3C:
+            if body[j : j + 2] == b"<<":
+                depth += 1
+                j += 2
+                continue
+            e = body.find(b">", j + 1)  # <hex> — opaque
+            if e < 0:
+                return 0
+            j = e + 1
+            continue
+        if c == 0x3E and body[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return j - i
+            continue
+        j += 1
+    return 0
+
+
+def _pdf_text_string(raw: bytes) -> str | None:
+    """A PDF *text string* (ISO 32000 §7.9.2.2) → str: UTF-16BE when the
+    bytes open with the FE FF BOM (None on a malformed payload — never
+    guess), else treated as latin-1 (the twins' byte-string default;
+    PDFDocEncoding's control-row remaps are out of modeled scope)."""
+    if raw.startswith(b"\xfe\xff"):
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    return raw.decode("latin-1")
+
+
+_AT_KEY_RE = re.compile(rb"/ActualText(?![A-Za-z0-9])\s*")
+
+
+def _actualtext_value(d: bytes) -> str | None:
+    """The /ActualText value of an inline BDC property list: a literal or
+    hex *text string* (§14.9.4). None when absent, indirect, a non-string
+    value, or undecodable — callers bail rather than extract the shown
+    (replaced) bytes."""
+    m = _AT_KEY_RE.search(d)
+    if not m:
+        return None
+    j = m.end()
+    if j < len(d) and d[j] == 0x28:
+        raw, _ = _literal_bytes(d, j)
+        return _pdf_text_string(raw)
+    if j < len(d) and d[j] == 0x3C and d[j : j + 2] != b"<<":
+        e = d.find(b">", j + 1)
+        if e < 0:
+            return None
+        hx = re.sub(rb"\s", b"", d[j + 1 : e])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+        return _pdf_text_string(raw)
+    return None
+
+
+_BDC_AFTER_RE = re.compile(rb"\s*BDC(?![A-Za-z0-9])")
+_MC_TOKEN_RE = re.compile(rb"(?:BDC|BMC)(?![A-Za-z0-9])")
+
+
 def tokenize_pdf_runs(
     data: bytes, passwords: tuple[bytes, ...] = ()
 ) -> list[list[tuple[float, float, str]]] | None:
@@ -2017,6 +2098,18 @@ def tokenize_pdf_runs(
     leading/T* exact even under rotation — the advance happens in text
     space). The modeled linear part matches the form-/Matrix rule:
     orthogonal columns, invertible.
+
+    /ActualText replacement is modeled (round 7, ISO 32000 §14.9.4): a
+    marked-content sequence whose inline BDC property list carries
+    /ActualText shows the REPLACEMENT text instead of its enclosed
+    shows — one run, recorded at the first enclosed show's origin (at
+    the sequence end when it encloses no show); position/state ops
+    inside the sequence still apply. The page pays only a C-substring
+    prefilter when the byte pattern is absent. Out of scope → bail:
+    nested /ActualText sequences, an unbalanced sequence at page end,
+    and indirect/undecodable values. Named (indirect) property lists
+    stay transparent as before — they cannot be resolved without the
+    resource dict, and the libraries' plain-text walks skip them too.
 
     Non-translation Tm is modeled too (round 7): an orthogonal-column
     invertible linear part becomes the tracked text matrix — Td/TD
@@ -2048,6 +2141,9 @@ def tokenize_pdf_runs(
         ctm: tuple | None = None  # None = identity (the overwhelming case)
         ctm_stack: list[tuple | None] = []
         lin: tuple | None = None  # text-matrix linear part (None=identity)
+        in_actual = False  # inside a /ActualText marked-content sequence
+        actual: str | None = None  # its replacement, until the first show
+        mc_depth = 0  # BDC/BMC nested inside the open sequence
         cur_map: tuple[str, dict[int, str]] | None = None
         # strip geometry segments so their numbers can't confuse the walk —
         # but ONLY from top-level gaps: a raw-bytes `_SEG_RE.sub` would also
@@ -2066,6 +2162,10 @@ def tokenize_pdf_runs(
         # mis-parse — the walk hops strings before matching operators.)
         has_cm = b"cm" in body
         move_re = _MOVE_CTM_RE if has_cm else _MOVE_RE
+        # same prefilter idiom for /ActualText (§14.9.4): absent the byte
+        # pattern, the dict branch keeps the plain brace hop and the
+        # in-sequence token checks never run
+        has_at = b"/ActualText" in body
         i, n = 0, len(body)
 
         def record(txt: str):
@@ -2163,24 +2263,64 @@ def tokenize_pdf_runs(
                 i = sm.end()
                 continue
             ch = body[i]
+            if in_actual and ch == 0x45 and (em := _EMC_RE.match(body, i)):
+                if mc_depth:
+                    mc_depth -= 1
+                else:
+                    in_actual = False
+                    if actual is not None:  # sequence enclosed no show:
+                        record(actual)  # the replacement still represents
+                        actual = None  # content — emit at current origin
+                i = em.end()
+                continue
+            if in_actual and ch == 0x42 and (mt := _MC_TOKEN_RE.match(body, i)):
+                mc_depth += 1  # nested plain/named sequence — transparent
+                i = mt.end()
+                continue
             if ch == 0x28:  # literal string
                 raw_s, end = _literal_bytes(body, i)
                 txt = _decode_shown(raw_s, cur_map)
                 if txt is None:
                     return None
                 end = quote_advance(end)
-                record(txt)
+                if not in_actual:
+                    record(txt)
+                elif actual is not None:  # first show inside the sequence
+                    record(actual)
+                    actual = None
                 i = end
                 continue
             if ch == 0x3C and body[i : i + 2] == b"<<":
                 # dict operand (a BDC property list like `<</MCID 0>>`):
                 # skip it balanced — its SECOND `<` must never misparse as
                 # a hex-string opener (marked-content ops are transparent
-                # to the geometric walk)
-                d = _dict_of(body[i:])
-                if not d:
-                    return None  # unbalanced << — can't scan past it
-                i += len(d)
+                # to the geometric walk, except an /ActualText BDC)
+                if not has_at:
+                    d = _dict_of(body[i:])
+                    if not d:
+                        return None  # unbalanced << — can't scan past it
+                    i += len(d)
+                    continue
+                dl = _dict_span(body, i)  # string-aware: the /ActualText
+                if not dl:  # value may contain `>>` / `<<`
+                    return None
+                d = body[i : i + dl]
+                j = i + dl
+                bm = _BDC_AFTER_RE.match(body, j)
+                if bm and b"/ActualText" in d:
+                    if in_actual:
+                        return None  # nested /ActualText — never guess
+                    val = _actualtext_value(d)
+                    if val is None:
+                        return None  # indirect/undecodable value — bail
+                    in_actual, actual = True, val
+                    i = bm.end()
+                    continue
+                if bm and in_actual:
+                    mc_depth += 1  # nested dict-props sequence
+                    i = bm.end()
+                    continue
+                i = j
                 continue
             if ch == 0x3C:  # <hex> show
                 end = body.find(b">", i)
@@ -2197,7 +2337,11 @@ def tokenize_pdf_runs(
                 if txt is None:
                     return None
                 end = quote_advance(end + 1)
-                record(txt)
+                if not in_actual:
+                    record(txt)
+                elif actual is not None:  # first show inside the sequence
+                    record(actual)
+                    actual = None
                 i = end
                 continue
             if ch == 0x2F:  # /Name — font selection via Tf
@@ -2219,6 +2363,8 @@ def tokenize_pdf_runs(
             elif ch in (0x27, 0x22) and not in_tj_array:
                 return None  # ' / " shows imply leading-based line advance
             i += 1
+        if in_actual:
+            return None  # /ActualText sequence unbalanced at page end
         if not runs and (b"Tj" in body or b"TJ" in body):
             return None  # text is shown but the walk captured none of it
         out.append(runs)
@@ -2448,7 +2594,13 @@ def _tagged_frags(
     the flat walk's semantics (only after that tag has shown text; a
     quote-show's advance lands before its own string). None → out of twin
     scope: indirect BDC property lists, BDC with no property dict,
-    unbalanced BDC/EMC, nested MCIDs, or an undecodable string."""
+    unbalanced BDC/EMC, nested MCIDs, or an undecodable string — and any
+    page carrying /ActualText (§14.9.4): the logical walk does not model
+    text replacement, so the caller's geometric fallback (which does,
+    tokenize_pdf_runs) handles those files instead of this rung emitting
+    the replaced bytes (wrong text never beats no text)."""
+    if b"/ActualText" in content:
+        return None
     frags: list[tuple[object, str]] = []
     stack: list[object] = []  # one entry per open BDC/BMC
     pending_newline = False

@@ -1582,6 +1582,13 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         track_ctm = b"cm" in raw or init_ctm is not None
         moved = True
         in_tj_array = False
+        # /ActualText marked-content replacement (r7, §14.9.4 — mirrors
+        # the engine walk): inside such a sequence the FIRST show shows
+        # the replacement and later shows are swallowed; a sequence that
+        # closes without showing emits the replacement at the EMC origin.
+        in_actual = False
+        actual_pending: str | None = None
+        mc_depth = 0  # BDC/BMC nested inside the open sequence
         cur_map = None  # active font handle (None / ('cid', m) / ('diff', m))
         # Tf operand tracking mirrors the engine's `/Name NUM Tf` regex
         # adjacency (round-6 advice finding): the name is live only until
@@ -1593,11 +1600,18 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         i, n = 0, len(raw)
 
         def show():
-            nonlocal moved
+            nonlocal moved, actual_pending
             if not strings:
                 return
-            txt = "".join(strings)
-            strings.clear()
+            if in_actual:
+                strings.clear()  # enclosed bytes never show (§14.9.4)
+                if actual_pending is None:
+                    return  # later show inside the sequence — swallowed
+                txt = actual_pending
+                actual_pending = None
+            else:
+                txt = "".join(strings)
+                strings.clear()
             if runs and not moved:
                 px, py, pt = runs[-1]
                 runs[-1] = (px, py, pt + txt)
@@ -1651,13 +1665,34 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             if ch == 0x3C and raw[i : i + 2] == b"<<":
                 # dict operand (a BDC property list like `<</MCID 0>>`):
                 # hop it balanced so its second `<` never misreads as a
-                # hex opener — mirrors the engine walk's dict skip
+                # hex opener — mirrors the engine walk's dict skip. An
+                # /ActualText property list followed by BDC opens a
+                # replacement sequence instead (r7, §14.9.4).
                 d = _oracle_dict_at(raw, i)
                 if d is None:
                     raise RuntimeError(
                         "unbalanced << in content — out of twin scope"
                     )
-                i += len(d)
+                j = i + len(d)
+                bm = re.match(rb"\s*BDC(?![A-Za-z0-9])", raw[j:])
+                if bm and b"/ActualText" in d:
+                    if in_actual:
+                        raise RuntimeError(
+                            "nested /ActualText — out of twin scope"
+                        )
+                    in_actual = True
+                    actual_pending = _oracle_actualtext(d)
+                    last_name = None
+                    nums.clear()
+                    i = j + bm.end()
+                    continue
+                if bm and in_actual:
+                    mc_depth += 1  # nested dict-props sequence — opaque
+                    last_name = None
+                    nums.clear()
+                    i = j + bm.end()
+                    continue
+                i = j
                 continue
             if ch == 0x3C:  # <hex>
                 end = raw.find(b">", i)
@@ -1690,6 +1725,35 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 if last_name is not None:
                     name_nums += 1
                 i += m_num.end()
+                continue
+            if in_actual and raw[i : i + 3] in (b"EMC", b"BDC", b"BMC") and (
+                i + 3 == n or not (
+                    0x30 <= raw[i + 3] <= 0x39
+                    or 0x41 <= raw[i + 3] <= 0x5A
+                    or 0x61 <= raw[i + 3] <= 0x7A
+                )
+            ):
+                # marked-content ops only matter WHILE a replacement
+                # sequence is open (outside one they stay transparent,
+                # as before — mirrors the engine walk's prefilter)
+                if raw[i] == 0x45:  # EMC
+                    if mc_depth:
+                        mc_depth -= 1
+                    else:
+                        in_actual = False
+                        strings.clear()  # enclosed bytes never show
+                        if actual_pending is not None:
+                            # sequence closed with no show operator: the
+                            # replacement still represents content — it
+                            # shows at the sequence-end origin
+                            strings.append(actual_pending)
+                            actual_pending = None
+                            show()
+                else:  # nested BDC with named props / BMC — opaque
+                    mc_depth += 1
+                nums.clear()
+                last_name = None
+                i += 3
                 continue
             if raw[i : i + 2] in (b"Tj", b"TJ"):
                 show(); last_name = None; i += 2
@@ -1872,21 +1936,112 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 nums.clear()  # any other operator consumes its operands
                 last_name = None
                 i += 1
+        if in_actual:
+            raise RuntimeError(
+                "/ActualText sequence unbalanced at stream end — out of twin scope"
+            )
         pages.append(runs)
     if not pages:
         raise RuntimeError("no parseable content streams in real-PDF payload")
     return _assemble_layout([(i + 1, runs) for i, runs in enumerate(pages)])
 
 
+def _oracle_actualtext(d: bytes) -> str:
+    """/ActualText value of a BDC property list → its replacement text
+    (ISO 32000 §14.9.4 / §7.9.2.2 text string: UTF-16BE under a FE FF
+    BOM, else byte text). Oracle's own cursor parse — raises on a
+    missing/indirect/undecodable value (out of twin scope; the engine
+    rung bails there too)."""
+    m = re.search(rb"/ActualText(?![A-Za-z0-9])", d)
+    if not m:
+        raise RuntimeError("/ActualText key vanished from property list")
+    j = m.end()
+    n = len(d)
+    while j < n and d[j] in b"\x00\t\n\x0c\r ":
+        j += 1
+    bs: bytearray | bytes
+    if j < n and d[j] == 0x28:  # (literal) — escape-aware cursor scan
+        buf = bytearray()
+        depth = 1
+        j += 1
+        while j < n and depth:
+            c = d[j]
+            if c == 0x5C and j + 1 < n:
+                nx = d[j + 1]
+                table = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                         0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if nx in table:
+                    buf.append(table[nx]); j += 2
+                elif 0x30 <= nx <= 0x37:
+                    k, o = j + 1, ""
+                    while k < n and len(o) < 3 and 0x30 <= d[k] <= 0x37:
+                        o += chr(d[k]); k += 1
+                    buf.append(int(o, 8) & 0xFF); j = k
+                elif nx in (0x0A, 0x0D):
+                    j += 2
+                    if nx == 0x0D and j < n and d[j] == 0x0A:
+                        j += 1
+                else:
+                    buf.append(nx); j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if not depth:
+                    break
+            buf.append(c); j += 1
+        bs = bytes(buf)
+    elif j < n and d[j] == 0x3C and d[j : j + 2] != b"<<":  # <hex>
+        e = d.find(b">", j + 1)
+        if e < 0:
+            raise RuntimeError("unterminated /ActualText hex string")
+        hx = re.sub(rb"\s", b"", d[j + 1 : e])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            bs = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            raise RuntimeError("malformed /ActualText hex string") from None
+    else:
+        raise RuntimeError(
+            "indirect or non-string /ActualText — out of twin scope"
+        )
+    if bs.startswith(b"\xfe\xff"):
+        try:
+            return bs[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            raise RuntimeError(
+                "undecodable UTF-16 /ActualText — out of twin scope"
+            ) from None
+    return bs.decode("latin-1")
+
+
 def _oracle_dict_at(buf: bytes, start: int) -> bytes | None:
     """Balanced `<< … >>` starting at ``start`` (oracle's own cursor scan;
-    the engine has its own brace walk). None when unterminated."""
+    the engine has its own brace walk). STRING-AWARE (r7 /ActualText:
+    property-list values are text strings whose bytes may contain `>>` or
+    `<<` — they must not move the brace balance). None when unterminated."""
     if buf[start : start + 2] != b"<<":
         return None
     depth = 0
     i = start
     n = len(buf)
-    while i < n - 1:
+    while i < n:
+        c = buf[i]
+        if c == 0x28:  # ( literal — escape/nesting-aware opaque skip
+            pd = 1
+            i += 1
+            while i < n and pd:
+                if buf[i] == 0x5C:
+                    i += 2
+                    continue
+                if buf[i] == 0x28:
+                    pd += 1
+                elif buf[i] == 0x29:
+                    pd -= 1
+                i += 1
+            continue
         two = buf[i : i + 2]
         if two == b"<<":
             depth += 1
@@ -1896,6 +2051,11 @@ def _oracle_dict_at(buf: bytes, start: int) -> bytes | None:
             i += 2
             if depth == 0:
                 return buf[start:i]
+        elif c == 0x3C:  # <hex> — opaque
+            e = buf.find(b">", i + 1)
+            if e < 0:
+                return None
+            i = e + 1
         else:
             i += 1
     return None
@@ -2110,6 +2270,12 @@ def extract_tagged_pdf(payload: str) -> tuple[str, bool]:
         if raw is None:
             return extract_real_pdf(payload)
         raw = _oracle_strip_inline(raw)
+        if b"/ActualText" in raw:
+            # replaced text (§14.9.4) is a geometric-walk capability on
+            # both twins — the logical walk must not emit the replaced
+            # bytes (wrong text never beats no text), so fall back.
+            # Post-inline-strip, like the engine's page contents.
+            return extract_real_pdf(payload)
         # cursor scan: marked-content stack + per-MCID text accumulation
         texts: dict[int, list[str]] = {}
         stack: list[object] = []  # int MCID | 'artifact' | None per open BDC/BMC
