@@ -762,3 +762,143 @@ FROM parts
 EXT9_QUERIES["q77_actualtext_pdf_roundtrip"] = q77_actualtext_pdf_roundtrip
 _EXT9_ORACLES["q77_actualtext_pdf_roundtrip"] = _Q77_SQL
 PINNED_PAYLOAD_BUILDERS["q77_actualtext_pdf_roundtrip"] = _payload_q77
+
+
+# ---------------------------------------------------------------------------
+# q78 — TJ word-break synthesis under the ORACLE GATE (r7, §9.4.3 +
+# spec.TJ_SPACE_KERN): generators that kern word gaps inside TJ arrays
+# instead of showing space glyphs (`[(Hello) -250 (world)] TJ`) must not
+# extract as run-on words — the reference's library chain derives the
+# break from glyph geometry; the dependency-free rung models it as a
+# fixed displacement threshold, identically on both twins. Six variants
+# (doc_id % 6): a plain word-gap kern, intra-word kerning that stays
+# joined (-120, below threshold), mixed gaps in one array, the exact
+# threshold boundary (-180 breaks, -179.9 joins), hex-string shows with
+# a kern, and a trailing displacement that shows nothing across arrays.
+# Every variant renders the same three lines, so the DuckDB twin is
+# kern-blind.
+# ---------------------------------------------------------------------------
+
+
+def _payload_q78(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    l1, l2, l3 = (
+        f"Kern K{doc_id}", f"Text {norm30}", f"Net {doc_id % 59}.60"
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def hx(s: str) -> str:
+        return s.encode("latin-1").hex().upper()
+
+    variant = doc_id % 6
+    if variant == 0:  # plain word-gap kern synthesizes the space
+        mid = f"[({esc('Text')}) -250 ({esc(norm30)})] TJ"
+    elif variant == 1:  # intra-word kern stays joined (below threshold)
+        mid = f"[({esc('Text ')}) -120 ({esc(norm30)})] TJ"
+    elif variant == 2:  # mixed gaps in one array
+        mid = f"[(Te) -50 (xt) -300 ({esc(norm30)})] TJ"
+    elif variant == 3:  # threshold boundary: -180 breaks, -179.9 joins
+        mid = f"[({esc('Text')}) -180 ({esc(norm30[:4])}) -179.9 ({esc(norm30[4:])})] TJ"
+    elif variant == 4:  # hex-string shows with a word-gap kern
+        mid = f"[<{hx('Text')}> -400.5 <{hx(norm30)}>] TJ"
+    else:  # trailing displacement shows nothing, even across arrays
+        mid = f"[({esc('Text ')}) -500] TJ [({esc(norm30)})] TJ"
+    raw = (
+        f"BT /F1 12 Tf 72 720 Td ({esc(l1)}) Tj 0 -16 Td {mid} "
+        f"0 -16 Td ({esc(l3)}) Tj ET"
+    )
+    return write_minimal_pdf([[("raw", raw)]])
+
+
+def q78_tj_kern_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q78), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q78_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Kern K' || CAST(doc_id AS VARCHAR) AS l1,
+         'Text ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Net ' || CAST(doc_id % 59 AS VARCHAR) || '.60' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+
+EXT9_QUERIES["q78_tj_kern_pdf_roundtrip"] = q78_tj_kern_pdf_roundtrip
+_EXT9_ORACLES["q78_tj_kern_pdf_roundtrip"] = _Q78_SQL
+PINNED_PAYLOAD_BUILDERS["q78_tj_kern_pdf_roundtrip"] = _payload_q78
+
+
+# ---------------------------------------------------------------------------
+# q79 — Gopher-style repetition counters (Rae et al. 2021 §A1.1), the
+# training-data quality signal that drops boilerplate-heavy documents:
+# duplicate-line counts/characters and the most-frequent word-bigram
+# share, as exact BIGINT counters per document (fractions are a trivial
+# downstream divide; integers hash-compare exactly). Scale shape: two
+# two-stage aggregations keyed (doc_id, line)/(doc_id, bigram) → doc_id,
+# partial aggregation throughout, doc_id-keyed join of aggregated sides.
+# ---------------------------------------------------------------------------
+
+
+def q79_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_Q79_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(line)
+  WHERE line <> ''
+), lg AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line
+), lstats AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_lines,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+         SUM(len(line) * cnt) AS line_chars,
+         SUM(CASE WHEN cnt > 1 THEN len(line) * cnt ELSE 0 END) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+), words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM words, unnest(range(1, len(w))) AS t(i)
+), bgg AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+), bstats AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_count, SUM(cnt) AS n_bigrams
+  FROM bgg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(l.dup_lines, 0) AS BIGINT) AS dup_lines,
+       CAST(coalesce(l.line_chars, 0) AS BIGINT) AS line_chars,
+       CAST(coalesce(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+       CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d
+LEFT JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+EXT9_QUERIES["q79_repetition_scores"] = q79_repetition_scores
+_EXT9_ORACLES["q79_repetition_scores"] = _Q79_SQL

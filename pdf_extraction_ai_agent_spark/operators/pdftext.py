@@ -56,6 +56,8 @@ from __future__ import annotations
 import re
 import zlib
 
+from .. import spec
+
 _OBJ_START_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 # direct /Length only — an indirect length (`/Length 7 0 R`) is out of this
@@ -1485,6 +1487,7 @@ def _tokenize_content(
 
 
 _NUM = rb"-?[0-9]+(?:\.[0-9]+)?"
+_NUM_RE = re.compile(_NUM)
 _SEG_RE = re.compile(
     rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+m\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+l\s+S"
 )
@@ -2099,6 +2102,13 @@ def tokenize_pdf_runs(
     space). The modeled linear part matches the form-/Matrix rule:
     orthogonal columns, invertible.
 
+    TJ word-break synthesis is modeled (round 7, §9.4.3): a displacement
+    v <= -spec.TJ_SPACE_KERN inside a TJ array prefixes ONE space to the
+    array's next show — generators that kern word gaps instead of showing
+    space glyphs must not read as run-on words (the library chain derives
+    the same break from glyph geometry). Intra-word kerning stays joined;
+    a trailing displacement shows nothing.
+
     /ActualText replacement is modeled (round 7, ISO 32000 §14.9.4): a
     marked-content sequence whose inline BDC property list carries
     /ActualText shows the REPLACEMENT text instead of its enclosed
@@ -2138,6 +2148,7 @@ def tokenize_pdf_runs(
         leading = 0.0
         moved = True
         in_tj_array = False
+        pending_space = False  # a word-gap TJ kern awaits the next show
         ctm: tuple | None = None  # None = identity (the overwhelming case)
         ctm_stack: list[tuple | None] = []
         lin: tuple | None = None  # text-matrix linear part (None=identity)
@@ -2277,11 +2288,21 @@ def tokenize_pdf_runs(
                 mc_depth += 1  # nested plain/named sequence — transparent
                 i = mt.end()
                 continue
+            if in_tj_array and (ch == 0x2D or 0x30 <= ch <= 0x39):
+                nm = _NUM_RE.match(body, i)
+                if nm:  # TJ displacement — a word gap synthesizes a space
+                    if float(nm.group(0)) <= -spec.TJ_SPACE_KERN:
+                        pending_space = True
+                    i = nm.end()
+                    continue
             if ch == 0x28:  # literal string
                 raw_s, end = _literal_bytes(body, i)
                 txt = _decode_shown(raw_s, cur_map)
                 if txt is None:
                     return None
+                if pending_space:
+                    txt = " " + txt
+                    pending_space = False
                 end = quote_advance(end)
                 if not in_actual:
                     record(txt)
@@ -2336,6 +2357,9 @@ def tokenize_pdf_runs(
                 txt = _decode_shown(raw_s, cur_map)
                 if txt is None:
                     return None
+                if pending_space:
+                    txt = " " + txt
+                    pending_space = False
                 end = quote_advance(end + 1)
                 if not in_actual:
                     record(txt)
@@ -2358,8 +2382,10 @@ def tokenize_pdf_runs(
                     continue
             if ch == 0x5B:
                 in_tj_array = True
+                pending_space = False
             elif ch == 0x5D:
                 in_tj_array = False
+                pending_space = False  # a trailing kern shows nothing
             elif ch in (0x27, 0x22) and not in_tj_array:
                 return None  # ' / " shows imply leading-based line advance
             i += 1

@@ -107,3 +107,81 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         md5_long_col(norm).alias("content_hash"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition counters per document (Rae et al. 2021,
+    §A1.1 "repetitious" filters) — the training-data quality signal that
+    drops boilerplate-heavy pages: duplicate-LINE counts/characters and
+    the most-frequent word-BIGRAM share. Emits exact BIGINT counters
+    (fractions are a trivial downstream divide; integers hash-compare
+    exactly against the DuckDB twin).
+
+    Scale shape: both legs are two-stage aggregations keyed on
+    (doc_id, line) / (doc_id, bigram) then doc_id — partial (map-side)
+    aggregation applies throughout, no window over the corpus, and the
+    final join is doc_id-keyed between two already-aggregated sides.
+    Bigrams come from zip_with over the split word array (one light
+    concat per word — interpreted HOF, but far below the Arrow-kernel
+    threshold measured for minhash), so the whole operator stays in one
+    explode + groupBy pipeline per leg.
+    """
+    text = F.col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), text.alias("_t"))
+
+    lines = base.select(
+        "doc_id", F.explode(F.split("_t", "\n")).alias("line")
+    ).where(F.col("line") != "")
+    line_groups = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt")
+    )
+    lstats = line_groups.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+         .alias("dup_lines"),
+        F.sum(F.length("line") * F.col("cnt")).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt"))
+               .otherwise(0)).alias("dup_line_chars"),
+    )
+
+    words = base.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("_t"), r"\s+", " ")), " "
+        ).alias("w"),
+    )
+    n1 = F.greatest(F.size(F.col("w")) - 1, F.lit(0))
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, n1),
+                F.slice(F.col("w"), 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    bigram_groups = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    bstats = bigram_groups.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_count"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+
+    zero = F.lit(0).cast("long")
+    return (
+        base.select("doc_id")
+        .join(lstats, "doc_id", "left")
+        .join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            F.coalesce("dup_lines", zero).alias("dup_lines"),
+            F.coalesce("line_chars", zero).alias("line_chars"),
+            F.coalesce("dup_line_chars", zero).alias("dup_line_chars"),
+            F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+        )
+    )

@@ -1582,6 +1582,10 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
         track_ctm = b"cm" in raw or init_ctm is not None
         moved = True
         in_tj_array = False
+        # TJ word-break synthesis (r7, spec.TJ_SPACE_KERN): a displacement
+        # <= -threshold inside a TJ array prefixes ONE space to the next
+        # show in that array; never crosses array boundaries
+        pending_space = False
         # /ActualText marked-content replacement (r7, §14.9.4 — mirrors
         # the engine walk): inside such a sequence the FIRST show shows
         # the replacement and later shows are swallowed; a sequence that
@@ -1659,6 +1663,9 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 txt = "".join(buf)
                 if cur_map is not None:
                     txt = _oracle_decode_shown(txt.encode("latin-1"), cur_map)
+                if pending_space:
+                    txt = " " + txt
+                    pending_space = False
                 strings.append(txt)
                 last_name = None
                 continue
@@ -1706,7 +1713,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 except ValueError:
                     i = end + 1
                     continue
-                strings.append(_oracle_decode_shown(bs, cur_map))
+                htxt = _oracle_decode_shown(bs, cur_map)
+                if pending_space:
+                    htxt = " " + htxt
+                    pending_space = False
+                strings.append(htxt)
                 last_name = None
                 i = end + 1
                 continue
@@ -1720,6 +1731,8 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
             m_num = re.match(rb"-?[0-9]+(?:\.[0-9]+)?", raw[i:])
             if m_num and (ch == 0x2D or 0x30 <= ch <= 0x39):
                 nums.append(float(m_num.group(0)))
+                if in_tj_array and nums[-1] <= -spec.TJ_SPACE_KERN:
+                    pending_space = True  # word-gap kern → one space
                 if len(nums) > 6:
                     nums.pop(0)
                 if last_name is not None:
@@ -1774,9 +1787,11 @@ def extract_real_pdf(payload: str) -> tuple[str, bool]:
                 nums.clear()
                 i += 2
             elif ch == 0x5B:
-                in_tj_array = True; nums.clear(); last_name = None; i += 1
+                in_tj_array = True; pending_space = False
+                nums.clear(); last_name = None; i += 1
             elif ch == 0x5D:
-                in_tj_array = False; nums.clear(); last_name = None; i += 1
+                in_tj_array = False; pending_space = False  # trailing kern
+                nums.clear(); last_name = None; i += 1
             elif ch in (0x27, 0x22) and in_tj_array:
                 i += 1  # stray quote between array strings — engine skips too
             elif ch in (0x27, 0x22):

@@ -101,6 +101,15 @@ PDF_Y_TOL = 2.0
 # contract of regex_extractor.py:19. Generator uses leading 16 / gap 32.
 PDF_PARA_GAP = 28.0
 PDF_LEADING = 16.0
+# TJ word-break synthesis (r7): a displacement v inside a TJ array with
+# v <= -TJ_SPACE_KERN (thousandths of a text-space em, §9.4.3) inserts
+# ONE space between the adjacent shows — the deterministic model of the
+# word-break heuristic the reference's library chain applies from glyph
+# geometry (pdfminer word_margin, fitz space detection): generators that
+# kern word gaps instead of showing space glyphs must not read as run-on
+# words. Intra-word kerning (|v| small, fixture uses 120) stays joined;
+# displacement never crosses array/show-op boundaries.
+TJ_SPACE_KERN = 180.0
 
 # ---------------------------------------------------------------------------
 # LOB classification keyword tables
