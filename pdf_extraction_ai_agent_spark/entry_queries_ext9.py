@@ -902,3 +902,75 @@ LEFT JOIN bstats b USING (doc_id)
 
 EXT9_QUERIES["q79_repetition_scores"] = q79_repetition_scores
 _EXT9_ORACLES["q79_repetition_scores"] = _Q79_SQL
+
+
+# ---------------------------------------------------------------------------
+# q80 — deterministic PII scrubbing under the ORACLE GATE: the
+# training-data privacy pass (mask SSN/email/phone, count each class).
+# The corpus text is augmented with synthesized PII derived from doc_id
+# (identically on both sides) so the masking is genuinely exercised on
+# every row; patterns/masks/order are spec data (spec.PII_*), scrubbing
+# is sequential with counts on the progressively scrubbed text, and the
+# whole operator is map-only Catalyst expressions (regexp_extract_all +
+# regexp_replace in whole-stage codegen).
+# ---------------------------------------------------------------------------
+
+
+def q80_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    area = (F.col("doc_id") % 900 + 100).cast("string")
+    last4 = (F.col("doc_id") % 9000 + 1000).cast("string")
+    mid2 = (F.col("doc_id") % 90 + 10).cast("string")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nContact: u"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com ph ("), area, F.lit(") 555-"), last4,
+            F.lit(" ssn "), area, F.lit("-"), mid2, F.lit("-"), last4,
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+_Q80_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'Contact: u' || CAST(doc_id AS VARCHAR)
+           || '@mail' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example.com ph (' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || ') 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+           || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssns,
+         regexp_replace(t0, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_ssns,
+         len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_ssns, n_emails,
+         len(regexp_extract_all(t2, '\([0-9]{3}\) [0-9]{3}-[0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+         regexp_replace(t2, '\([0-9]{3}\) [0-9]{3}-[0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id,
+       t3 AS scrubbed_text,
+       CAST(n_ssns AS BIGINT) AS n_ssns,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones
+FROM s3
+"""
+
+
+EXT9_QUERIES["q80_pii_scrub"] = q80_pii_scrub
+_EXT9_ORACLES["q80_pii_scrub"] = _Q80_SQL

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import spec
 from ..functions.hashing import md5_long_col
 from .dedup import norm_text_col, words_col
 
@@ -184,4 +185,30 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
             F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
             F.coalesce("n_bigrams", zero).alias("n_bigrams"),
         )
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PII scrubbing pass (training-data privacy): masks
+    SSN-like, email and phone tokens with fixed placeholders and counts
+    each class. Patterns/masks/order are spec data (spec.PII_*) in the
+    Java-regex ∩ RE2 subset; scrubbing applies sequentially in
+    spec.PII_ORDER with each class counted on the text as already
+    scrubbed by earlier classes, so an earlier mask can never
+    double-count inside a later pattern. Pure Catalyst expressions —
+    regexp_extract_all + regexp_replace stay in whole-stage codegen,
+    map-only at any scale."""
+    cur = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for key in spec.PII_ORDER:
+        pat = spec.PII_PATTERNS[key]
+        counts[key] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        cur = F.regexp_replace(cur, pat, spec.PII_MASKS[key])
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cur.alias("scrubbed_text"),
+        counts["ssn"].alias("n_ssns"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
     )

@@ -371,3 +371,19 @@ OCR_SCAN_CELL_W = 6
 OCR_SCAN_LINE_PITCH = 10
 OCR_SCAN_MARGIN = 4
 OCR_NEAREST_MAX_D = 2
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data privacy pass)
+# ---------------------------------------------------------------------------
+# Patterns stay inside the Java-regex ∩ RE2 ∩ Python-re subset (no
+# lookaround), masks are fixed tokens, and scrubbing applies in PII_ORDER
+# sequentially — counts are taken on the progressively scrubbed text, so
+# an earlier mask can never double-count inside a later pattern. Both the
+# Spark operator and the DuckDB twin consume these as data.
+PII_PATTERNS = {
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+PII_MASKS = {"ssn": "<SSN>", "email": "<EMAIL>", "phone": "<PHONE>"}
+PII_ORDER = ["ssn", "email", "phone"]
