@@ -97,6 +97,17 @@ HEADLINE = [
     # display rotation)
     "q75_inherited_resources_roundtrip",
     "q76_rotate_pdf_roundtrip",
+    # late round-7 carriers: /ActualText replacement, TJ word-break kerns
+    "q77_actualtext_pdf_roundtrip",
+    "q78_tj_kern_pdf_roundtrip",
+    # late round-7 training-data families: Gopher repetition counters
+    # (two-stage aggs), PII scrubbing and C4 boilerplate filtering (both
+    # map-only codegen)
+    "q79_repetition_scores",
+    "q80_pii_scrub",
+    "q81_boilerplate_filter",
+    # two-phase global prefix sum (bucketed window, no SinglePartition)
+    "q82_pack_sequences",
 ]
 
 

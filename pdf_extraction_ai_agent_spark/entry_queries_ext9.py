@@ -974,3 +974,135 @@ FROM s3
 
 EXT9_QUERIES["q80_pii_scrub"] = q80_pii_scrub
 _EXT9_ORACLES["q80_pii_scrub"] = _Q80_SQL
+
+
+# ---------------------------------------------------------------------------
+# q81 — C4-style line-level boilerplate filtering under the ORACLE GATE
+# (Raffel et al. 2020 §2.2): the classic web-corpus cleaning pass. The
+# corpus text (single-line by construction) is augmented into a
+# deterministic multi-line document derived from doc_id — identically on
+# both sides — so every rule is exercised on every row: a passing content
+# line, a too-short line, a no-terminal-punctuation line, a javascript
+# boilerplate line, a conditional lorem-ipsum / brace line (doc-level
+# drops), a conditional extra passing line (varies n_kept), and a
+# punctuated tail slice. Rules are spec data (spec.C4_*); the operator is
+# map-only (array HOF filter — no shuffle; see boilerplate_filter's
+# docstring for the posexplode tradeoff).
+# ---------------------------------------------------------------------------
+
+
+def q81_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import boilerplate_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    line_a = F.concat(F.trim(F.substring("text", 1, 80)), F.lit("."))
+    line_e = F.when((F.col("doc_id") % 3) == 0,
+                    F.lit("Lorem ipsum dolor sit amet.")) \
+              .otherwise(F.lit("Classical filler text stays absent here today."))
+    line_f = F.when((F.col("doc_id") % 5) == 0,
+                    F.lit("function() { return void 0; }")) \
+              .otherwise(F.lit("Braces are nowhere to be found."))
+    line_h = F.when((F.col("doc_id") % 2) == 0,
+                    F.lit("Data pipelines need careful cleaning at scale.")) \
+              .otherwise(F.lit("no terminal punctuation so this line drops"))
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            line_a,
+            F.lit("short line."),
+            F.lit("this line has enough words but no full stop"),
+            F.lit("Please enable JavaScript to view this page."),
+            line_e,
+            line_f,
+            F.concat(F.trim(F.substring("text", 81, 60)), F.lit("!")),
+            line_h,
+        ).alias("text"),
+    )
+    return boilerplate_filter(aug)
+
+
+_Q81_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         trim(substr(text, 1, 80)) || '.'
+           || chr(10) || 'short line.'
+           || chr(10) || 'this line has enough words but no full stop'
+           || chr(10) || 'Please enable JavaScript to view this page.'
+           || chr(10) || CASE WHEN doc_id % 3 = 0
+                THEN 'Lorem ipsum dolor sit amet.'
+                ELSE 'Classical filler text stays absent here today.' END
+           || chr(10) || CASE WHEN doc_id % 5 = 0
+                THEN 'function() { return void 0; }'
+                ELSE 'Braces are nowhere to be found.' END
+           || chr(10) || trim(substr(text, 81, 60)) || '!'
+           || chr(10) || CASE WHEN doc_id % 2 = 0
+                THEN 'Data pipelines need careful cleaning at scale.'
+                ELSE 'no terminal punctuation so this line drops' END
+           AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM aug
+), filt AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         list_filter(lines, x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(regexp_extract_all(x, '\S+')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM split
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS cleaned_text,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (len(kept) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(lower(text), '{')) AS doc_kept
+FROM filt
+"""
+
+
+EXT9_QUERIES["q81_boilerplate_filter"] = q81_boilerplate_filter
+_EXT9_ORACLES["q81_boilerplate_filter"] = _Q81_SQL
+
+
+# ---------------------------------------------------------------------------
+# q82 — sequence packing under the ORACLE GATE: concat-and-chunk global
+# token offsets (the GPT-style training prep step). The DuckDB twin is
+# the naive single-node global running sum; the Spark side is the
+# two-phase scalable shape (contiguous doc_id buckets → bounded
+# per-bucket totals collected and prefix-summed on the driver →
+# broadcast join + per-bucket window cumsum — no SinglePartition
+# exchange; see operators/packing.py). Equality across the two shapes
+# IS the point of the gate here.
+# ---------------------------------------------------------------------------
+
+
+def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_Q82_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+       CAST((start_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
+         AS last_seq
+FROM s
+"""
+
+
+EXT9_QUERIES["q82_pack_sequences"] = q82_pack_sequences
+_EXT9_ORACLES["q82_pack_sequences"] = _Q82_SQL

@@ -212,3 +212,49 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         counts["email"].alias("n_emails"),
         counts["phone"].alias("n_phones"),
     )
+
+
+def boilerplate_filter(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level boilerplate filtering (Raffel et al. 2020
+    §2.2), the classic web-corpus cleaning pass. A line survives when its
+    rtrim'd form ends in terminal punctuation, it has ≥
+    spec.C4_MIN_WORDS_PER_LINE whitespace-delimited tokens, and it does
+    not mention spec.C4_BAD_LINE_SUBSTR (lowercased). A document is kept
+    when ≥ spec.C4_MIN_KEPT_LINES lines survive and the ORIGINAL text
+    contains none of spec.C4_BAD_DOC_SUBSTRS. Returns one row per input
+    document (kept and dropped — the boolean lets the caller filter, the
+    counters feed audits).
+
+    Scale shape: map-only. The per-line loop is an array higher-order
+    filter — interpreted per element, but the alternative (posexplode →
+    filter → re-aggregate) costs a full shuffle per document line set,
+    which loses at 100 TB; lines-per-document is bounded while documents
+    are not, so the HOF sits on the right side of the tradeoff (same
+    reasoning as lang_score_col above).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _keep(line: Column) -> Column:
+        n_words = F.size(F.regexp_extract_all(line, F.lit(r"\S+"), 0))
+        return (
+            F.rtrim(line).rlike(spec.C4_TERMINAL_PUNCT_PAT)
+            & (n_words >= F.lit(spec.C4_MIN_WORDS_PER_LINE))
+            & ~F.lower(line).contains(spec.C4_BAD_LINE_SUBSTR)
+        )
+
+    kept = F.filter(lines, _keep)
+    # all bad-doc substrings are lowercase, so one lowercased probe
+    # implements both the case-insensitive and the literal match
+    bad_doc = F.lit(False)
+    for sub in spec.C4_BAD_DOC_SUBSTRS:
+        bad_doc = bad_doc | F.lower(text).contains(sub)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        ((F.size(kept) >= F.lit(spec.C4_MIN_KEPT_LINES)) & ~bad_doc)
+        .alias("doc_kept"),
+    )

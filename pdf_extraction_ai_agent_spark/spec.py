@@ -387,3 +387,19 @@ PII_PATTERNS = {
 }
 PII_MASKS = {"ssn": "<SSN>", "email": "<EMAIL>", "phone": "<PHONE>"}
 PII_ORDER = ["ssn", "email", "phone"]
+
+# ---------------------------------------------------------------------------
+# C4-style line-level boilerplate filtering (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+# Line keep rules: the rtrim'd line ends in terminal punctuation, has at
+# least C4_MIN_WORDS_PER_LINE whitespace-delimited tokens, and does not
+# mention 'javascript' (case-insensitive). Document keep rules: at least
+# C4_MIN_KEPT_LINES surviving lines and none of C4_BAD_DOC_SUBSTRS in the
+# ORIGINAL text (matched case-insensitively). Both the
+# Spark operator and the DuckDB twin consume these as data; the terminal-
+# punctuation pattern stays in the Java ∩ RE2 ∩ Python regex subset.
+C4_TERMINAL_PUNCT_PAT = r'[.!?"]$'
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_BAD_LINE_SUBSTR = "javascript"          # matched on the lowercased line
+C4_BAD_DOC_SUBSTRS = ["lorem ipsum", "{"]  # matched on the lowercased text
