@@ -108,6 +108,8 @@ HEADLINE = [
     "q81_boilerplate_filter",
     # two-phase global prefix sum (bucketed window, no SinglePartition)
     "q82_pack_sequences",
+    # Gopher quality composite (map-only HOF ratios)
+    "q83_gopher_flags",
 ]
 
 

@@ -1106,3 +1106,98 @@ FROM s
 
 EXT9_QUERIES["q82_pack_sequences"] = q82_pack_sequences
 _EXT9_ORACLES["q82_pack_sequences"] = _Q82_SQL
+
+
+# ---------------------------------------------------------------------------
+# q83 — Gopher quality-filter composite under the ORACLE GATE (Rae et
+# al. 2021 Table A1): word-count and mean-word-length bounds, symbol /
+# bullet-line / ellipsis-line ratios, alphabetic-word ratio, required-
+# stopword presence, and the AND of all rules. The single-line corpus is
+# augmented deterministically from doc_id — identically on both sides —
+# so every rule branch fires somewhere: a 40-word filler (crosses the
+# 50-word bound both ways), bullet lines, an ellipsis trailer, a
+# hash-symbol line, and a numeric non-alpha line. Thresholds are data on
+# the operator (textstats.GOPHER_*); ratios are 6dp-rounded and the pass
+# flag is computed FROM the rounded values on both engines.
+# ---------------------------------------------------------------------------
+
+_Q83_FILLER = ("the data be moved to the store of record and that each part "
+               "have sync with the rest so the whole of it can be read and "
+               "that no part be lost with time")
+_Q83_BULLETS = "- first bullet item here\n- second bullet item there"
+_Q83_ELLIPSIS = "this line just trails off..."
+_Q83_HASHES = "### hash ### marks ### everywhere ###"
+_Q83_DIGITS = "12345 67890 11111 22222 33333 44444"
+
+
+def q83_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import gopher_quality_flags
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    parts = [
+        F.col("text"),
+        F.when((F.col("doc_id") % 2) == 0, F.lit(_Q83_FILLER)),
+        F.when((F.col("doc_id") % 4) == 0, F.lit(_Q83_BULLETS)),
+        F.when((F.col("doc_id") % 3) == 0, F.lit(_Q83_ELLIPSIS)),
+        F.when((F.col("doc_id") % 5) == 0, F.lit(_Q83_HASHES)),
+        F.when((F.col("doc_id") % 7) == 0, F.lit(_Q83_DIGITS)),
+    ]
+    # concat_ws skips NULLs, so absent branches add no separator line
+    aug = d.select("doc_id", F.concat_ws("\n", *parts).alias("text"))
+    return gopher_quality_flags(aug)
+
+
+def _q83_sql() -> str:
+    from .entry_queries_ext import _WORDS_SQL
+    from .operators import textstats as ts
+
+    req = ", ".join(f"'{s}'" for s in ts.GOPHER_REQ_STOPWORDS)
+    lo_w, hi_w = ts.GOPHER_WORD_COUNT
+    lo_m, hi_m = ts.GOPHER_MEAN_WORD_LEN
+    nw = _WORDS_SQL.format(v="t")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 2 = 0 THEN '{_Q83_FILLER}' END,
+           CASE WHEN doc_id % 4 = 0 THEN '{_Q83_BULLETS.replace(chr(10), "' || chr(10) || '")}' END,
+           CASE WHEN doc_id % 3 = 0 THEN '{_Q83_ELLIPSIS}' END,
+           CASE WHEN doc_id % 5 = 0 THEN '{_Q83_HASHES}' END,
+           CASE WHEN doc_id % 7 = 0 THEN '{_Q83_DIGITS}' END) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x != '') AS w,
+         string_split(t, chr(10)) AS lines
+  FROM aug
+), stats AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         ROUND(CAST(coalesce(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0) AS DOUBLE)
+               / GREATEST(len(w), 1), 6) AS mean_word_len,
+         ROUND(CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS DOUBLE)
+               / GREATEST(len(w), 1), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-•*]'))) AS DOUBLE)
+               / GREATEST(len(lines), 1), 6) AS bullet_ratio,
+         ROUND(CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+               / GREATEST(len(lines), 1), 6) AS ellipsis_ratio,
+         ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / GREATEST(len(w), 1), 6) AS alpha_word_ratio,
+         CAST(len(list_filter([{req}], s -> list_contains({nw}, s))) AS BIGINT) AS n_req_stop
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_word_ratio, n_req_stop,
+       (n_words BETWEEN {lo_w} AND {hi_w}
+        AND mean_word_len BETWEEN {lo_m} AND {hi_m}
+        AND symbol_ratio <= {ts.GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_ratio <= {ts.GOPHER_MAX_BULLET_RATIO}
+        AND ellipsis_ratio <= {ts.GOPHER_MAX_ELLIPSIS_RATIO}
+        AND alpha_word_ratio >= {ts.GOPHER_MIN_ALPHA_WORD_RATIO}
+        AND n_req_stop >= {ts.GOPHER_MIN_REQ_STOPWORDS}) AS gopher_pass
+FROM stats
+"""
+
+
+EXT9_QUERIES["q83_gopher_flags"] = q83_gopher_flags
+_EXT9_ORACLES["q83_gopher_flags"] = _q83_sql()

@@ -214,6 +214,79 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+# Gopher filtering heuristics (Rae et al. 2021, Table A1). Deterministic
+# data consumed by both the Spark operator and the DuckDB twin.
+GOPHER_WORD_COUNT = (50, 100_000)
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1          # '#' and '...' per word
+GOPHER_MAX_BULLET_RATIO = 0.9          # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3        # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8      # words containing [A-Za-z]
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_REQ_STOPWORDS = 2
+GOPHER_SYMBOL_PAT = r"#|\.\.\."        # leftmost non-overlapping on both engines
+GOPHER_BULLET_PAT = r"^\s*[-•*]"
+GOPHER_ELLIPSIS_PAT = r"(\.\.\.|…)\s*$"
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher quality-filter composite (Rae et al. 2021 Table A1): word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    bullet-line and ellipsis-line ratios, alphabetic-word ratio, and the
+    required-stopword presence count, plus the AND of all rules. Ratios
+    are 6dp-rounded doubles (portability precedent: quality_scores) and
+    the pass flag is computed FROM the rounded values so both engines
+    decide boundary cases identically. Pure map-only expressions: array
+    HOFs over whitespace words / lines (bounded per document) — no
+    shuffle at any scale."""
+    text = F.col(text_col)
+    raw_words = F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+    n_words = F.size(raw_words).cast("long")
+    nz_words = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        raw_words, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"))
+    mean_word_len = F.round(word_chars.cast("double") / nz_words, 6)
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(GOPHER_SYMBOL_PAT), 0))
+    symbol_ratio = F.round(n_symbols.cast("double") / nz_words, 6)
+    lines = F.split(text, "\n")
+    nz_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_PAT)))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_PAT)))
+    bullet_ratio = F.round(n_bullet.cast("double") / nz_lines, 6)
+    ellipsis_ratio = F.round(n_ellipsis.cast("double") / nz_lines, 6)
+    n_alpha_words = F.size(F.filter(raw_words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(n_alpha_words.cast("double") / nz_words, 6)
+    norm_words = words_col(text)
+    req = F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS])
+    n_req_stop = F.size(
+        F.filter(req, lambda s: F.array_contains(norm_words, s))).cast("long")
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_req_stop.alias("n_req_stop"),
+    )
+    lo_w, hi_w = GOPHER_WORD_COUNT
+    lo_m, hi_m = GOPHER_MEAN_WORD_LEN
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(lo_w, hi_w)
+        & F.col("mean_word_len").between(lo_m, hi_m)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO)
+        & (F.col("ellipsis_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (F.col("n_req_stop") >= GOPHER_MIN_REQ_STOPWORDS),
+    )
+
+
 def boilerplate_filter(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """C4-style line-level boilerplate filtering (Raffel et al. 2020
