@@ -110,6 +110,8 @@ HEADLINE = [
     "q82_pack_sequences",
     # Gopher quality composite (map-only HOF ratios)
     "q83_gopher_flags",
+    # IVF probe-pruned ANN search (one fit → assign + probe + re-rank)
+    "q84_ivf_probe_topk",
 ]
 
 

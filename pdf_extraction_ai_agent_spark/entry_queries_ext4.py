@@ -61,7 +61,13 @@ def q37_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assignments(_t(spark, sf_dir, "embeddings"), n_centroids=16)
 
 
-def _q37_sql(n_centroids: int = 16) -> str:
+def ivf_fit_ctes(n_centroids: int = 16) -> tuple[str, str, str]:
+    """DuckDB twin of similarity._ivf_fit_centroids + ivf_assignments as
+    reusable CTEs: md5-strided seeds, IVF_ITERS unrolled Lloyd rounds in
+    exact integer arithmetic, final max-cosine assignment. Returns
+    (ctes_sql, final_centroids_cte, final_assignment_cte) — the
+    assignment CTE carries (vid, q, centroid_id, cosine). Shared by the
+    q37 (assignments) and q84 (probe search) oracles."""
     dim = similarity.EMB_DIM
 
     def assign(cents: str, name: str, final: bool = False) -> str:
@@ -94,10 +100,10 @@ def _q37_sql(n_centroids: int = 16) -> str:
     for i in range(similarity.IVF_ITERS):
         iters.append(assign(f"cents{i}", f"a{i}"))
         iters.append(update(f"a{i}", f"cents{i}", f"cents{i + 1}"))
-    final = assign(f"cents{similarity.IVF_ITERS}", "afinal", final=True)
+    cents_final = f"cents{similarity.IVF_ITERS}"
+    final = assign(cents_final, "afinal", final=True)
     iters_sql = ",\n".join(iters)
-    return f"""
-WITH base AS (
+    ctes = f"""base AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {similarity.QUANT}) AS BIGINT)) AS q
   FROM embeddings
@@ -105,8 +111,69 @@ WITH base AS (
 cents0 AS (SELECT vid AS centroid_id, q AS cq FROM base
            ORDER BY {_md5l("'seed:' || vid")}, vid LIMIT {n_centroids}),
 {iters_sql},
-{final}
-SELECT vid AS vec_id, centroid_id, cosine AS centroid_cosine FROM afinal
+{final}"""
+    return ctes, cents_final, "afinal"
+
+
+def _q37_sql(n_centroids: int = 16) -> str:
+    ctes, _cents, assigned = ivf_fit_ctes(n_centroids)
+    return f"""
+WITH {ctes}
+SELECT vid AS vec_id, centroid_id, cosine AS centroid_cosine FROM {assigned}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — IVF probe-pruned ANN search (the scale-path query on top of q37)
+# ---------------------------------------------------------------------------
+
+_IVF_QUERY_IDS = [0, 1, 2, 3, 4]
+_IVF_NPROBE = 4
+
+
+def q84_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN top-k (similarity.cosine_topk_ivf): one seeded
+    integer k-means fit threaded through assignment AND probe selection,
+    candidates limited to each query's nprobe closest centroids'
+    partitions, exact integer-cosine re-rank via the two-stage
+    WindowGroupLimit top-k. The DuckDB twin replays the unrolled Lloyd
+    fit (ivf_fit_ctes) plus the same probe/prune/re-rank in exact
+    arithmetic — so the PRUNING itself is oracle-checked, not just the
+    final neighbor set."""
+    return similarity.cosine_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), query_ids=_IVF_QUERY_IDS, k=10,
+        n_centroids=16, nprobe=_IVF_NPROBE,
+    )
+
+
+def _q84_sql(n_centroids: int = 16, nprobe: int = _IVF_NPROBE, k: int = 10) -> str:
+    ctes, cents_final, assigned = ivf_fit_ctes(n_centroids)
+    qcos = _COS_SQL.format(a="qs.qv", b="c.cq")
+    vcos = _COS_SQL.format(a="cand.qv", b="cand.q")
+    ids = ", ".join(map(str, _IVF_QUERY_IDS))
+    return f"""
+WITH {ctes},
+qs AS (SELECT vid AS query_id, q AS qv FROM base WHERE vid IN ({ids})),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT qs.query_id, qs.qv, c.centroid_id, {qcos} AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                              ORDER BY {qcos} DESC, c.centroid_id ASC) AS rnk
+    FROM qs CROSS JOIN {cents_final} c
+  ) WHERE rnk <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, v.vid, v.q
+  FROM {assigned} v JOIN probes p USING (centroid_id)
+  WHERE v.vid != p.query_id
+),
+ranked AS (
+  SELECT query_id, vid AS neighbor_id, {vcos} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {vcos} DESC, vid ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
@@ -157,6 +224,7 @@ EXT4_QUERIES = {
     "q36_embedding_near_dups": q36_embedding_near_dups,
     "q37_ivf_assignments": q37_ivf_assignments,
     "q38_sessionize": q38_sessionize,
+    "q84_ivf_probe_topk": q84_ivf_probe_topk,
 }
 
 
@@ -165,4 +233,5 @@ def ext4_oracles() -> dict[str, str]:
         "q36_embedding_near_dups": _q36_sql(),
         "q37_ivf_assignments": _q37_sql(),
         "q38_sessionize": _Q38_SQL,
+        "q84_ivf_probe_topk": _q84_sql(),
     }
