@@ -267,3 +267,58 @@ def contaminated_spans(
         kernel,
         schema="doc_id long, start_word long, end_word long, total_words long",
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tsamp",
+) -> DataFrame:
+    """Temperature-flattened stratified sampling (the multilingual-mix
+    recipe from mBERT/XLM-R: sample stratum s with p_s ∝ n_s^α) at α=1/2,
+    with REPRODUCIBLE membership.  Per-stratum keep-rate:
+
+        w_s      = floor(sqrt(n_s) · 10^6)            (exact BIGINT)
+        rate_ppm = min(10^6, floor((w_s·10^6/W) · N / n_s))
+        keep     ⇔ md5_long('tsamp:<salt>:'||id) % 10^6 < rate_ppm
+
+    α is pinned to 1/2 on purpose: IEEE-754 sqrt / * / / are correctly
+    rounded in every engine, so with integer inputs (w_s, W, N, n_s) and a
+    fixed evaluation order the rate is BIT-IDENTICAL in Spark, DuckDB and
+    numpy — no pow()/libm drift, the DuckDB oracle stays a hard gate.
+    (General-α temperature needs exp/log, whose last-ulp behavior is
+    engine-specific; at α=1/2 the flattening is the classic sqrt mix.)
+
+    Scale shape: the strata table is one partial-aggregated groupBy of the
+    stratum column (bounded cardinality) broadcast back onto the corpus —
+    the corpus itself is filtered map-only, no corpus-wide shuffle.
+
+    Returns kept rows + (n_stratum, rate_ppm) so the mix is auditable.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    w = F.floor(F.sqrt(F.col("n_stratum").cast("double")) * 1e6).cast("long")
+    weighted = counts.select(strata_col, "n_stratum", w.alias("w_s"))
+    totals = weighted.agg(
+        F.sum("w_s").alias("W"), F.sum("n_stratum").alias("N")
+    )
+    rate = F.least(
+        F.lit(1000000).cast("long"),
+        F.floor(
+            F.col("w_s").cast("double")
+            * 1e6
+            / F.col("W").cast("double")
+            * F.col("N").cast("double")
+            / F.col("n_stratum").cast("double")
+        ).cast("long"),
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        strata_col, "n_stratum", rate.alias("rate_ppm")
+    )
+    bucket = md5_long_col(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 1000000
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.col("rate_ppm"))
+    )

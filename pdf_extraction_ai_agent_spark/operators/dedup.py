@@ -666,3 +666,86 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# fixed-window exact-substring dedup (corpus-wide, Lee et al. 2021 style)
+# ---------------------------------------------------------------------------
+
+
+def window_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 12,
+) -> DataFrame:
+    """Corpus-wide exact-substring deduplication at fixed word-window
+    granularity — the scalable approximation of Lee et al. 2021's
+    ExactSubstr pass (suffix arrays don't distribute; fixed windows do):
+    each document is cut into non-overlapping ``window_words``-word chunks,
+    and every chunk whose text already appeared anywhere earlier in the
+    corpus (earlier = smaller (doc_id, chunk_pos)) is dropped; the
+    document is re-assembled from its surviving chunks.
+
+    Scale shape: chunking is a narrow map (split + slice); the only
+    corpus-wide shuffle keys on the chunk's 60-bit digest — ~24 bytes per
+    shuffle row, never the chunk text.  First-occurrence is an algebraic
+    ``min(struct(doc_id, pos))`` (map-side partials), re-assembly shuffles
+    once more on doc_id.  No window over a global order, no collect.
+
+    Returns (id_col, clean_text, n_chunks, n_kept, n_dropped) for every
+    input document (all-duplicate documents survive with clean_text='').
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    n_chunks = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * window_words + 1, window_words)
+        ),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    hashed = ex.select(
+        id_col, "pos", "chunk", md5_long_col(F.col("chunk")).alias("h")
+    )
+    first = hashed.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("f")
+    )
+    kept = (
+        hashed.join(first, "h")
+        .where(
+            (F.col(id_col) == F.col("f.d")) & (F.col("pos") == F.col("f.p"))
+        )
+        .select(id_col, "pos", "chunk")
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("chunk")))
+                ),
+                lambda s: s.chunk,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        totals.join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -563,3 +563,73 @@ def cosine_topk_ivf(
     )
     scored = cand.select("query_id", F.col("vid").alias("neighbor_id"), cos.alias("cosine")).distinct()
     return _rank_topk(scored, k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = IVF_ITERS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    IVF coarse quantizer, then drop every vector that has a MORE SENIOR
+    (smaller id) neighbor above ``threshold`` cosine INSIDE ITS CLUSTER.
+    Cross-cluster near-dups are out of contract — that locality is the
+    point: clustering bounds the pair search, so the only quadratic term
+    is per-cluster (k chosen so n/k is small; the paper's k=50k clusters
+    over LAION).  Complements embedding_near_dup_pairs: LSH bands catch
+    global near-dups pair-by-pair; SemDeDup prunes dense semantic regions
+    wholesale.
+
+    Scale shape: one seeded integer k-means fit (pass ``centroids`` to
+    reuse a cached_ivf_centroids table), assignment is a broadcast join +
+    per-vid max (no corpus shuffle beyond the groupBy), and the pair step
+    self-equi-joins ON centroid_id only — both legs derive from the
+    assignment with per-leg renames (the .alias() self-join trap), so the
+    shuffle is keyed and bounded by cluster sizes, never all-pairs.
+    Exact integer cosine on candidate pairs only.
+
+    Returns (vec_id, centroid_id, is_kept, dup_of): dropped rows carry
+    their smallest-id above-threshold cluster neighbor in ``dup_of``.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q")
+    )
+    assigned = ivf_assignments(
+        emb, n_centroids, id_col, vec_col, n_iters, centroids=centroids
+    ).select(F.col("vec_id").alias("vid"), "centroid_id")
+    withq = assigned.join(base, "vid")
+    left = withq.select(
+        F.col("vid").alias("vid_a"), F.col("q").alias("q_a"), "centroid_id"
+    )
+    right = withq.select(
+        F.col("vid").alias("vid_b"), F.col("q").alias("q_b"), "centroid_id"
+    )
+    cos = _cosine_from_ints(
+        dot_int_col(F.col("q_a"), F.col("q_b")),
+        norm2_int_col(F.col("q_a")),
+        norm2_int_col(F.col("q_b")),
+    )
+    dup_pairs = (
+        left.join(right, "centroid_id")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .select("vid_a", "vid_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    # for each dropped vector: its smallest-id senior above-threshold
+    # neighbor (deterministic witness; algebraic min → map-side partials)
+    dropped = dup_pairs.groupBy(F.col("vid_b").alias("vid")).agg(
+        F.min("vid_a").alias("dup_of")
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )

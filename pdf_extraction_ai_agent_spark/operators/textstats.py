@@ -331,3 +331,123 @@ def boilerplate_filter(df: DataFrame, text_col: str = "text",
         ((F.size(kept) >= F.lit(spec.C4_MIN_KEPT_LINES)) & ~bad_doc)
         .alias("doc_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character n-gram LM quality scoring (CCNet/KenLM-style, integer ppm)
+# ---------------------------------------------------------------------------
+
+
+def trigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fluency score from a char-trigram LM fit on the corpus
+    itself — the shape of CCNet's KenLM perplexity filter (Wenzek et al.
+    2020), with the floats made exact: the conditional probability of each
+    position, p(c3|c1c2) = C3(tri)/C2(prefix-bigram), is stored as the
+    INTEGER floor(10^6·C3/C2) (ppm), so the per-document sum/mean are
+    BIGINT-exact and the DuckDB twin hash-matches bit-for-bit (no libm
+    log/pow anywhere; a downstream consumer converts mean_ppm to a
+    perplexity-like score with whatever log base it likes).
+
+    Scale shape: positions explode map-only; the trigram count table is
+    bounded by charset³ (⋘ corpus) and partial-aggregates before its one
+    shuffle; scoring re-joins counts onto positions BY TRIGRAM — at 100 TB
+    broadcast the counts table (bounded) so the per-position join is
+    map-side; the final per-doc rollup shuffles on doc_id with partial
+    sums.  Both legs re-derive trigrams from the base rather than sharing
+    an .alias() plan (the self-join mis-resolution trap).
+
+    Returns (doc_id, n_trigrams, sum_ppm, mean_ppm); documents shorter
+    than 3 chars score (0, 0, 0).
+    """
+    norm = norm_text_col(F.col(text_col))
+
+    def _positions(d: DataFrame) -> DataFrame:
+        t = norm.alias("t")
+        base = d.select(F.col(id_col), t)
+        # sequence(1, 0) is DESCENDING in Spark (not empty) — guard <3 chars
+        tris = F.when(
+            F.length("t") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.substring(F.col("t"), i, 3),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(id_col, F.explode(tris).alias("tri"))
+
+    pos = _positions(df)
+    tri_counts = (
+        _positions(df)
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .withColumn("big", F.substring("tri", 1, 2))
+    )
+    big_counts = tri_counts.groupBy("big").agg(F.sum("c3").alias("c2"))
+    counts = tri_counts.join(F.broadcast(big_counts), "big").select(
+        "tri", "c3", "c2"
+    )
+    scored = pos.join(F.broadcast(counts), "tri").select(
+        id_col,
+        F.expr("c3 * 1000000 DIV c2").alias("ppm"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("ppm").alias("sum_ppm"),
+    )
+    ids = df.select(id_col)
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce(F.col("sum_ppm"), F.lit(0)).cast("long").alias("sum_ppm"),
+        F.coalesce(
+            F.expr("sum_ppm DIV n_trigrams"), F.lit(0)
+        ).cast("long").alias("mean_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary report (top-k word frequencies)
+# ---------------------------------------------------------------------------
+
+
+def vocab_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-level vocabulary frequency report: the ``top_n`` words by
+    total occurrences with document frequency and rank — the standard
+    first look at a crawled corpus (tokenizer coverage, stopword sanity,
+    boilerplate tokens that dominate).
+
+    Scale shape: words explode map-only; occurrence counts partial-agg
+    into one shuffle keyed on the word; the doc-frequency leg counts
+    DISTINCT (word, doc) pairs via a pre-distinct (two-stage, no expand);
+    the global top-k filter is the literal row_number()<=k adjacent to its
+    window, so Catalyst plans the map-side WindowGroupLimit (no single
+    partition sees more than k rows per upstream task).
+    """
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+    occ = w.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    docf = (
+        w.select("word", id_col)
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    merged = occ.join(docf, "word")
+    win = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

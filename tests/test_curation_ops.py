@@ -1,0 +1,277 @@
+"""Unit tests for the round-7 curation operators (q85-q90 family):
+window exact dedup, URL canonicalization, temperature sampling,
+trigram-LM scoring, vocabulary report, semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# window_exact_dedup
+# ---------------------------------------------------------------------------
+
+
+def _wd(spark, rows, window_words=3):
+    from pdf_extraction_ai_agent_spark.operators.dedup import window_exact_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = window_exact_dedup(df, window_words=window_words)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_window_dedup_drops_repeat_across_docs(spark):
+    got = _wd(spark, [
+        (1, "a b c x y z"),          # both chunks first occurrences
+        (2, "a b c q r s"),          # first chunk is doc1's chunk0 → dropped
+    ])
+    assert got[1]["clean_text"] == "a b c x y z"
+    assert got[1]["n_kept"] == 2 and got[1]["n_dropped"] == 0
+    assert got[2]["clean_text"] == "q r s"
+    assert got[2]["n_kept"] == 1 and got[2]["n_dropped"] == 1
+
+
+def test_window_dedup_within_doc_and_all_dup(spark):
+    got = _wd(spark, [
+        (1, "a b c a b c"),          # chunk repeats within the doc
+        (2, "a b c"),                # fully duplicate doc survives empty
+    ])
+    assert got[1]["clean_text"] == "a b c"
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "" and got[2]["n_kept"] == 0
+
+
+def test_window_dedup_first_occurrence_is_positional(spark):
+    # same chunk at pos 0 of doc 5 and pos 1 of doc 1: doc 1 pos 1 wins
+    # because (doc_id, pos) orders doc-first
+    got = _wd(spark, [
+        (1, "x y z k e y"),
+        (5, "k e y m n o"),
+    ])
+    assert got[1]["clean_text"] == "x y z k e y"
+    assert got[5]["clean_text"] == "m n o"
+
+
+def test_window_dedup_whitespace_normalized_ragged_tail(spark):
+    got = _wd(spark, [(1, "  a   b\tc  d ")], window_words=3)
+    # collapse → 'a b c d' → chunks 'a b c' + ragged 'd'
+    assert got[1]["clean_text"] == "a b c d"
+    assert got[1]["n_chunks"] == 2
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+CANON_CASES = [
+    # mixed-case prefix, www, default port, tracking-everywhere, fragment
+    ("HTTP://WWW.Foo.Example.COM:80/Path/?utm_source=x&id=7&utm_campaign=y#f",
+     "http://foo.example.com/Path?id=7"),
+    # https default port + fbclid-only query + index.html path kept
+    ("https://foo.example.com:443/a/index.html?fbclid=abc",
+     "https://foo.example.com/a/index.html"),
+    # tracking param mid-query, trailing slash before query
+    ("https://cdn1.example.net/a/b2/?x=1&utm_medium=email",
+     "https://cdn1.example.net/a/b2?x=1"),
+    # non-default port is kept; path case preserved
+    ("http://Host.example.com:8080/CaseKept", "http://host.example.com:8080/CaseKept"),
+    # root path slash is kept (only non-root trailing slashes fold)
+    ("https://example.com/", "https://example.com/"),
+    # gclid dropped, '&&' re-glued
+    ("https://example.com/p?a=1&gclid=g&b=2", "https://example.com/p?a=1&b=2"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_canonical_url_spark(spark, raw, want):
+    from pdf_extraction_ai_agent_spark.operators.weburls import canonical_url_col
+
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(canonical_url_col(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_canonical_url_duckdb_twin(raw, want):
+    import duckdb
+
+    from pdf_extraction_ai_agent_spark.operators.weburls import canonical_url_sql
+
+    sql = canonical_url_sql("url")
+    got = duckdb.sql(
+        f"SELECT {sql} AS c FROM (SELECT '{raw}' AS url)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_host_extraction(spark):
+    from pdf_extraction_ai_agent_spark.operators.weburls import (
+        canonicalize_urls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, "http://a.example.com:8080/x"), (1, 1, "https://WWW.B.org/")],
+        "doc_id long, pos int, url string",
+    )
+    got = {r["url"]: r["host"] for r in canonicalize_urls(df).collect()}
+    assert got["http://a.example.com:8080/x"] == "a.example.com"
+    assert got["https://WWW.B.org/"] == "b.org"
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    from pdf_extraction_ai_agent_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df).select("doc_id", "lang", "rate_ppm")
+    got = out.collect()
+    rates = {r["lang"]: r["rate_ppm"] for r in got}
+    # α=1/2 flattening: the small stratum is upsampled relative to its
+    # share, the big one downsampled; rates stay ≤ 1e6
+    assert rates["small"] > rates["big"]
+    assert all(0 < r <= 1_000_000 for r in rates.values())
+    # the small stratum keep-rate (in expectation its rate) exceeds its
+    # natural 10% share by ~3x: sqrt flattening
+    assert rates["small"] > 200_000
+    # reproducible membership: a second run selects the same rows
+    again = {r["doc_id"] for r in temperature_sample(df).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in got}
+
+
+def test_temperature_sample_uniform_strata_keep_everything(spark):
+    from pdf_extraction_ai_agent_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [(i, f"l{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df)
+    # equal strata → rate_ppm == 1e6 for every stratum → nothing dropped
+    assert out.count() == 400
+
+
+def test_temperature_rates_join_is_broadcast(spark):
+    from pdf_extraction_ai_agent_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, lang string")
+    plan = temperature_sample(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# trigram LM scores
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_lm_hand_computed(spark):
+    from pdf_extraction_ai_agent_spark.operators.textstats import (
+        trigram_lm_scores,
+    )
+
+    # corpus: 'abab' ×2 and 'abac'. normalized texts are themselves.
+    # trigram starts: aba,bab | aba,bab | aba,bac
+    # C3: aba=3, bab=2, bac=1 ; C2(prefix): ab=3+... prefixes: ab(aba)=3,
+    # ba(bab,bac)=2+1=3 → p(aba)=3/3, p(bab)=2/3, p(bac)=1/3
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "abab"), (3, "abac")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in trigram_lm_scores(df).collect()}
+    assert got[1]["n_trigrams"] == 2
+    assert got[1]["sum_ppm"] == 1_000_000 + 666_666
+    assert got[1]["mean_ppm"] == (1_000_000 + 666_666) // 2
+    assert got[3]["sum_ppm"] == 1_000_000 + 333_333
+    # short doc scores zeros, keeps its row
+    df2 = spark.createDataFrame([(1, "ab"), (2, "abcd")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r.asDict() for r in trigram_lm_scores(df2).collect()}
+    assert got2[1] == {"doc_id": 1, "n_trigrams": 0, "sum_ppm": 0, "mean_ppm": 0}
+    assert got2[2]["n_trigrams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# vocabulary report
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_report_ranks_and_docfreq(spark):
+    from pdf_extraction_ai_agent_spark.operators.textstats import vocab_report
+
+    df = spark.createDataFrame(
+        [(1, "red red blue"), (2, "red blue green"), (3, "Red!")],
+        "doc_id long, text string",
+    )
+    got = vocab_report(df, top_n=2).collect()
+    assert [(r["rank"], r["word"], r["n_occurrences"], r["n_docs"]) for r in got] == [
+        (1, "red", 4, 3),   # normalization folds 'Red!' into red
+        (2, "blue", 2, 2),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keep_rule_matches_bruteforce(spark):
+    import itertools
+
+    import numpy as np
+
+    from pdf_extraction_ai_agent_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 64).astype("float32")
+    # plant near-dup pairs (senior id wins)
+    vecs[41] = vecs[7] + 0.01 * rng.randn(64).astype("float32")
+    vecs[55] = vecs[7] + 0.01 * rng.randn(64).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r.asDict()
+           for r in semantic_dedup(df, threshold=0.9, n_centroids=4).collect()}
+    assert len(out) == 60
+    # independent brute-force check inside each assigned cluster
+    centroid = {v: out[v]["centroid_id"] for v in out}
+    q = np.round(vecs.astype("float64") * 1_000_000)
+
+    def cos(a, b):
+        return round(float(q[a] @ q[b]) / (np.sqrt(q[a] @ q[a]) * np.sqrt(q[b] @ q[b])), 6)
+
+    for v in out:
+        seniors = [u for u in out
+                   if u < v and centroid[u] == centroid[v] and cos(u, v) >= 0.9]
+        if seniors:
+            assert out[v]["is_kept"] is False
+            assert out[v]["dup_of"] == min(seniors)
+        else:
+            assert out[v]["is_kept"] is True and out[v]["dup_of"] is None
+    # the planted dups are actually exercised (same cluster as their senior)
+    assert not out[41]["is_kept"] or centroid[41] != centroid[7]
+    assert sum(1 for v in out if not out[v]["is_kept"]) >= 1
+
+
+def test_semantic_dedup_plan_joins_on_centroid_only(spark):
+    import numpy as np
+
+    from pdf_extraction_ai_agent_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = semantic_dedup(df, threshold=0.9, n_centroids=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
