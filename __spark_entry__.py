@@ -103,10 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext8 import EXT8_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext9 import EXT9_QUERIES
     from pdf_extraction_ai_agent_spark.entry_queries_ext10 import EXT10_QUERIES
+    from pdf_extraction_ai_agent_spark.entry_queries_ext11 import EXT11_QUERIES
 
     merged = {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES,
               **EXT4_QUERIES, **EXT5_QUERIES, **EXT6_QUERIES, **EXT7_QUERIES,
-              **EXT8_QUERIES, **EXT9_QUERIES, **EXT10_QUERIES}
+              **EXT8_QUERIES, **EXT9_QUERIES, **EXT10_QUERIES, **EXT11_QUERIES}
     return {name: _release_then(merged[name]) for name in _rotate(sorted(merged))}
 
 
@@ -122,10 +123,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ai_agent_spark.entry_queries_ext8 import ext8_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext9 import ext9_oracles
     from pdf_extraction_ai_agent_spark.entry_queries_ext10 import ext10_oracles
+    from pdf_extraction_ai_agent_spark.entry_queries_ext11 import ext11_oracles
 
     merged = {**core_oracles(), **ext_oracles(), **ext2_oracles(), **ext3_oracles(),
               **ext4_oracles(), **ext5_oracles(), **ext6_oracles(), **ext7_oracles(),
-              **ext8_oracles(), **ext9_oracles(), **ext10_oracles()}
+              **ext8_oracles(), **ext9_oracles(), **ext10_oracles(), **ext11_oracles()}
     # mirror queries()'s rotation so side-by-side iteration pairs up
     return {name: merged[name] for name in _rotate(sorted(merged))}
 

@@ -1,0 +1,248 @@
+"""Entry queries, extension pack 11 (round 7): HTML-realism slice of the
+north-star boilerplate-strip stage, under the ORACLE GATE.
+
+The reference's HTML handling is the north_star's Readability/Boilerpipe
+scoring; two classic realism rules were missing from the modeled grammar
+until this pack (both twins extended together, spec-data driven):
+
+- q91 spec.HTML_SKIP_TAGS: <script>/<style>/<noscript>/<template> subtree
+  text is never content, even when long and link-free — the engine removes
+  well-formed spans before line scoring (C-prefiltered dotall regex), the
+  oracle drops the text at the DOM level;
+- q92 spec.HTML_CELL_SEP: <table> blocks linearize to pipe-separated cell
+  text (td/th + tr boundaries → ' | '), the same flattening as the
+  sheet→pipe-text sink (S9) — multi-line tables collapse onto one scoring
+  unit on both sides;
+- q93 href inventory: anchor URLs harvested from HTML payloads and pushed
+  through the q86 canonicalizer — the transcripts × URL-curation
+  composition (outlink graph seeding, per-host fetch budgeting).
+
+q91/q92 run the REAL extraction operator (with_extraction pandas-UDF path,
+span-pruned) over payloads synthesized from (doc_id, source, text)
+identically on both sides; the DuckDB twins predict the extracted text
+from the table alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries_ext import _docs
+from .operators import weburls
+from .operators.extract import with_extraction
+
+EXT11_QUERIES: dict = {}
+_EXT11_ORACLES: dict = {}
+
+
+def ext11_oracles() -> dict[str, str]:
+    return dict(_EXT11_ORACLES)
+
+
+def _norm30(col):
+    return F.trim(F.regexp_replace(F.substring(col, 1, 30), r"\s+", " "))
+
+
+_NORM30_SQL = r"trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g'))"
+
+
+def _run_html(df: DataFrame) -> DataFrame:
+    """payload → the real extraction UDF (span-pruned) → gate columns."""
+    ext = with_extraction(
+        df.select("doc_id", F.col("payload").alias("text"),
+                  F.lit(None).cast("string").alias("tool")),
+        with_spans=False,
+    )
+    return ext.select("doc_id", "extracted_text", "payload_kind", "needs_ocr")
+
+
+# ---------------------------------------------------------------------------
+# q91 — HTML_SKIP_TAGS: script/style/noscript/template subtree drop
+# ---------------------------------------------------------------------------
+# four variants (doc_id % 4), every one long + link-free (would be KEPT by
+# the length/density rules alone — the skip rule is load-bearing):
+# inline one-line <script>, MULTI-LINE <style> (the dotall/pre-split-merge
+# path), <noscript> prose, <template> containing a nested <p> block.
+
+
+def q91_html_skip_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    content = F.concat(
+        F.lit("Claim record "), _norm30(F.col("text")),
+        F.lit(" reviewed in full."),
+    )
+    v = F.col("doc_id") % 4
+    skipline = (
+        F.when(v == 0, F.lit(
+            '<script>var cfg = {rows: [1,2,3], msg: "PLEASE ENABLE '
+            'COOKIES TO CONTINUE"};</script>'))
+        .when(v == 1, F.lit(
+            "<style>\n.nav { width: 200px; }\n.side { color: #888; }\n"
+            "</style>"))
+        .when(v == 2, F.lit(
+            "<noscript>This portal requires JavaScript to display loss "
+            "run tables.</noscript>"))
+        .otherwise(F.lit(
+            "<template><p>Hidden draft template row with long placeholder "
+            "body text.</p></template>"))
+    )
+    payload = F.concat(
+        F.lit('<html>\n<body>\n<nav><a href="/s0">Home</a> '
+              '<a href="/s1">Claims</a></nav>\n'),
+        skipline,
+        F.lit("\n<p>"), content,
+        F.lit('</p>\n<footer><a href="/tos">Terms of service</a> '
+              '<a href="/priv">Privacy</a></footer>\n</body>\n</html>'),
+    )
+    return _run_html(d.select("doc_id", payload.alias("payload")))
+
+
+# nav text 'Home Claims' (11) and footer 'Terms of service Privacy' (24)
+# fall below HTML_MIN_TEXT_LEN=25 — only the content <p> survives
+_Q91_SQL = f"""
+SELECT doc_id,
+       'Claim record ' || {_NORM30_SQL} || ' reviewed in full.'
+         AS extracted_text,
+       'html' AS payload_kind,
+       false AS needs_ocr
+FROM documents
+"""
+
+EXT11_QUERIES["q91_html_skip_tags"] = q91_html_skip_tags
+_EXT11_ORACLES["q91_html_skip_tags"] = _Q91_SQL
+
+
+# ---------------------------------------------------------------------------
+# q92 — HTML table → pipe-text linearization
+# ---------------------------------------------------------------------------
+# five variants (doc_id % 5): single-line th/td table, MULTI-LINE rows
+# (one <tr> per line — the pre-split collapse path), empty trailing cell,
+# inline <b> markup inside a cell, three-row td-only table.
+
+
+def q92_html_table_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    amt = F.concat((F.col("doc_id") % 97).cast("string"), F.lit(".50"))
+    w = _norm30(F.col("text"))
+    v = F.col("doc_id") % 5
+    table = (
+        F.when(v == 0, F.concat(
+            F.lit("<table><tr><th>Claim number</th><th>Amount paid</th>"
+                  "</tr><tr><td>C-"), i, F.lit("</td><td>$"), amt,
+            F.lit("</td></tr></table>")))
+        .when(v == 1, F.concat(
+            F.lit("<table>\n<tr><th>Claim number</th><th>Status note</th>"
+                  "</tr>\n<tr><td>C-"), i, F.lit("</td><td>"), w,
+            F.lit("</td></tr>\n</table>")))
+        .when(v == 2, F.concat(
+            F.lit("<table><tr><td>Open claim C-"), i,
+            F.lit(" pending review</td><td></td></tr></table>")))
+        .when(v == 3, F.concat(
+            F.lit("<table><tr><td>Cell with <b>bold</b> claim C-"), i,
+            F.lit(" markup</td><td>flagged for audit</td></tr></table>")))
+        .otherwise(F.concat(
+            F.lit("<table><tr><td>Row one for claim C-"), i,
+            F.lit("</td></tr><tr><td>row two amount $"), amt,
+            F.lit("</td></tr><tr><td>row three closing note</td></tr>"
+                  "</table>")))
+    )
+    payload = F.concat(
+        F.lit('<html>\n<body>\n<nav><a href="/s0">Home</a> '
+              '<a href="/s1">Claims</a></nav>\n'),
+        table,
+        F.lit("\n</body>\n</html>"),
+    )
+    return _run_html(d.select("doc_id", payload.alias("payload")))
+
+
+_Q92_SQL = f"""
+WITH parts AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS i,
+         CAST(doc_id % 97 AS VARCHAR) || '.50' AS amt,
+         {_NORM30_SQL} AS w,
+         doc_id % 5 AS v
+  FROM documents
+)
+SELECT doc_id,
+       CASE v
+         WHEN 0 THEN 'Claim number | Amount paid | C-' || i || ' | $' || amt
+         WHEN 1 THEN 'Claim number | Status note | C-' || i || ' | ' || w
+         WHEN 2 THEN 'Open claim C-' || i || ' pending review |'
+         WHEN 3 THEN 'Cell with bold claim C-' || i
+                       || ' markup | flagged for audit'
+         ELSE 'Row one for claim C-' || i || ' | row two amount $' || amt
+                || ' | row three closing note'
+       END AS extracted_text,
+       'html' AS payload_kind,
+       false AS needs_ocr
+FROM parts
+"""
+
+EXT11_QUERIES["q92_html_table_pipe"] = q92_html_table_pipe
+_EXT11_ORACLES["q92_html_table_pipe"] = _Q92_SQL
+
+
+# ---------------------------------------------------------------------------
+# q93 — href inventory from HTML payloads → canonical URL + host
+# ---------------------------------------------------------------------------
+
+_HREF_PAT = r'<a href="([^"]+)"'
+
+
+def q93_html_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    i = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit('<html>\n<body>\n<p>See <a href="HTTP://WWW.'),
+        F.col("source"), F.lit(".Example.COM:80/Path"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/?utm_source=mail&x="), i,
+        F.lit('#top">the portal</a> and <a href="https://cdn'),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".example.net/a"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('/?utm_campaign=z">assets</a>.</p>\n</body>\n</html>'),
+    )
+    hrefs = F.expr(f"regexp_extract_all(payload, '{_HREF_PAT}', 1)")
+    ex = d.select("doc_id", payload.alias("payload")).select(
+        "doc_id", F.posexplode(hrefs).alias("url_pos", "url")
+    )
+    out = weburls.canonicalize_urls(ex)
+    return out.select("doc_id", "url_pos", "canon_url", "host")
+
+
+def _q93_sql() -> str:
+    canon = weburls.canonical_url_sql("url")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html>' || chr(10) || '<body>' || chr(10)
+           || '<p>See <a href="HTTP://WWW.' || source || '.Example.COM:80/Path'
+           || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=mail&x='
+           || CAST(doc_id AS VARCHAR)
+           || '#top">the portal</a> and <a href="https://cdn'
+           || CAST(doc_id % 3 AS VARCHAR) || '.example.net/a'
+           || CAST(doc_id % 7 AS VARCHAR)
+           || '/?utm_campaign=z">assets</a>.</p>' || chr(10)
+           || '</body>' || chr(10) || '</html>' AS payload
+  FROM documents
+), hrefs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           regexp_extract_all(payload, '{_HREF_PAT}', 1),
+           (x, j) -> {{'url_pos': j - 1, 'url': x}}), recursive := true)
+  FROM aug
+), canon AS (
+  SELECT doc_id, CAST(url_pos AS INT) AS url_pos, {canon} AS canon_url
+  FROM hrefs
+)
+SELECT doc_id, url_pos, canon_url,
+       regexp_extract(canon_url, '{weburls.HOST_PAT}', 1) AS host
+FROM canon
+"""
+
+
+EXT11_QUERIES["q93_html_link_hosts"] = q93_html_link_hosts
+_EXT11_ORACLES["q93_html_link_hosts"] = _q93_sql()

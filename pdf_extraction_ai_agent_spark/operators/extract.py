@@ -70,6 +70,17 @@ EXTRACT_RESULT_TYPE_NOSPANS = StructType(
 
 _TAG_RE = r"<[^>]+>"
 _LINK_RE = r"<a\s[^>]*>(.*?)</a>"
+# spec.HTML_SKIP_TAGS subtree removal (Readability rule): whole well-formed
+# spans, dotall so multi-line <style>/<script> bodies vanish BEFORE the
+# line split (their removal leaves blank lines → zero-length → dropped).
+_SKIP_SPAN_RE = (
+    r"(?is)<(" + "|".join(spec.HTML_SKIP_TAGS) + r")\b[^>]*>.*?</\1\s*>"
+)
+# Table linearization (spec.HTML_CELL_SEP): td/th and tr boundaries become
+# the pipe separator. Applied on the raw payload, so a table whose rows sit
+# on separate lines collapses onto ONE line — the same one-block view the
+# oracle's DOM takes of the whole <table>.
+_CELL_BOUND_RE = r"(?is)</t[dh]\s*>\s*<t[dh][^>]*>|</tr\s*>\s*<tr[^>]*>"
 
 
 def _extract_html_batch(s: pd.Series) -> pd.Series:
@@ -78,6 +89,23 @@ def _extract_html_batch(s: pd.Series) -> pd.Series:
     scoring on that grammar)."""
     if s.empty:
         return pd.Series([], dtype=object)
+    # C-substring prefilters before the (slow, dotall) realism regexes —
+    # corpora without script/style/table markup pay ~nothing (same
+    # discipline as pdftext's /ObjStm prefilter)
+    skip_mask = pd.Series(False, index=s.index)
+    for t in spec.HTML_SKIP_TAGS:
+        skip_mask |= s.str.contains("<" + t, regex=False, na=False)
+    if skip_mask.any():
+        s = s.copy()
+        s[skip_mask] = s[skip_mask].str.replace(_SKIP_SPAN_RE, "", regex=True)
+    cell_mask = s.str.contains("</td", regex=False, na=False) | s.str.contains(
+        "</th", regex=False, na=False
+    ) | s.str.contains("</tr", regex=False, na=False)
+    if cell_mask.any():
+        s = s.copy()
+        s[cell_mask] = s[cell_mask].str.replace(
+            _CELL_BOUND_RE, spec.HTML_CELL_SEP, regex=True
+        )
     lines = s.str.split("\n").explode()
     # link text chars per line — findall only where "<a" occurs at all
     # (~27% of fixture lines; the regex needs that literal to match, so the

@@ -79,6 +79,11 @@ class _DomBuilder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
+        # spec.HTML_SKIP_TAGS: subtree text of script/style/noscript/
+        # template is never content (Readability rule) — drop at the DOM
+        # level, symmetric with the engine's pre-scoring span removal
+        if any(n.tag in spec.HTML_SKIP_TAGS for n in self.stack):
+            return
         self.stack[-1].content.append(data)
         if self._in_a:
             self.stack[-1].link_chars += len(data)
@@ -96,6 +101,31 @@ def _collect(node: _Node) -> tuple[str, int]:
             parts.append(t)
             links += l
     return "".join(parts), links
+
+
+def _collect_table(node: _Node) -> tuple[str, int]:
+    """Table linearization (spec.HTML_CELL_SEP): the table block's text is
+    its td/th cell texts — each whitespace-collapsed — joined with the pipe
+    separator in document order, all rows flattened (non-nested tables per
+    the spec's modeled domain). Symmetric with the engine's cell/row
+    boundary rewrite."""
+    cells: list[str] = []
+    links = 0
+
+    def walk(n: _Node):
+        nonlocal links
+        if n.tag in ("td", "th"):
+            raw, l = _collect(n)
+            cells.append(" ".join(raw.split()))
+            links += l
+            return
+        links += n.link_chars
+        for item in n.content:
+            if isinstance(item, _Node):
+                walk(item)
+
+    walk(node)
+    return spec.HTML_CELL_SEP.join(cells), links
 
 
 def extract_html_main_content(html: str) -> str:
@@ -124,7 +154,10 @@ def extract_html_main_content(html: str) -> str:
 
     kept: list[str] = []
     for b in outer:
-        raw, link_chars = _collect(b)
+        if b.tag == "table":
+            raw, link_chars = _collect_table(b)
+        else:
+            raw, link_chars = _collect(b)
         text = " ".join(raw.split())  # collapse whitespace runs
         if len(text) < spec.HTML_MIN_TEXT_LEN:
             continue

@@ -75,6 +75,17 @@ HTML_MIN_TEXT_LEN = 25
 HTML_MAX_LINK_DENSITY = 0.35
 # Kept blocks are joined with a blank line (so record-split X1 still works).
 HTML_BLOCK_JOINER = "\n\n"
+# Readability/trafilatura convention (r7): these elements' subtree text is
+# never main content — dropped BEFORE block scoring, even when long and
+# link-free (a text-dense inline <script> must not read as a paragraph).
+# Modeled domain: well-formed spans (an unclosed <script> is out of twin
+# scope — html.parser treats the tail as CDATA, a regex cannot).
+HTML_SKIP_TAGS = ("script", "style", "noscript", "template")
+# HTML tables linearize to pipe-separated cell text: td/th and tr
+# boundaries join with HTML_CELL_SEP — the same flattening the sheet→
+# pipe-text sink (S9, operators/grid.py) uses, so a table block scores
+# and extracts as one content unit. Modeled domain: non-nested tables.
+HTML_CELL_SEP = " | "
 
 # Pseudo-PDF content-stream grammar (deterministic stand-in for a PDF page
 # stream; mirrors the text-box + reading-order model of pdfplumber/fitz):
