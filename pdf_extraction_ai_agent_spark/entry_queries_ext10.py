@@ -129,10 +129,8 @@ def q86_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url_pos", "url", "canon_url", "host")
 
 
-def _q86_sql() -> str:
-    canon = weburls.canonical_url_sql("url")
-    return f"""
-WITH aug AS (
+# the synthesized raw-URL table (shared by the q94 host-budget oracle)
+_Q86_AUG_SQL = """
   SELECT doc_id, 0 AS url_pos,
          'HTTP://WWW.' || source || '.Example.COM:80/Claims'
            || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&id='
@@ -150,6 +148,14 @@ WITH aug AS (
          'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/a/b'
            || CAST(doc_id % 7 AS VARCHAR) || '/?x=1&utm_medium=email' AS url
   FROM documents
+"""
+
+
+def _q86_sql() -> str:
+    canon = weburls.canonical_url_sql("url")
+    return f"""
+WITH aug AS (
+{_Q86_AUG_SQL}
 ), canon AS (
   SELECT doc_id, CAST(url_pos AS INT) AS url_pos, url, {canon} AS canon_url
   FROM aug

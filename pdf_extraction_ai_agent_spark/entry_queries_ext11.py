@@ -246,3 +246,77 @@ FROM canon
 
 EXT11_QUERIES["q93_html_link_hosts"] = q93_html_link_hosts
 _EXT11_ORACLES["q93_html_link_hosts"] = _q93_sql()
+
+
+# ---------------------------------------------------------------------------
+# q94 — per-host URL fetch budget (per-group top-k, WindowGroupLimit)
+# ---------------------------------------------------------------------------
+
+_Q94_K = 5
+
+
+def q94_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext10 import _q86_urls
+
+    urls = weburls.canonicalize_urls(_q86_urls(spark, sf_dir))
+    return weburls.host_budget(urls, k=_Q94_K)
+
+
+def _q94_sql() -> str:
+    from .entry_queries_ext import _md5l
+    from .entry_queries_ext10 import _Q86_AUG_SQL
+
+    canon = weburls.canonical_url_sql("url")
+    return f"""
+WITH aug AS (
+{_Q86_AUG_SQL}
+), canon AS (
+  SELECT {canon} AS canon_url FROM aug
+), frontier AS (
+  SELECT DISTINCT regexp_extract(canon_url, '{weburls.HOST_PAT}', 1) AS host,
+         canon_url
+  FROM canon
+), ranked AS (
+  SELECT host, canon_url,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY {_md5l('canon_url')} ASC,
+                                     canon_url ASC) AS rk
+  FROM frontier
+)
+SELECT host, CAST(rk AS INT) AS rk, canon_url
+FROM ranked WHERE rk <= {_Q94_K}
+"""
+
+
+EXT11_QUERIES["q94_host_budget"] = q94_host_budget
+_EXT11_ORACLES["q94_host_budget"] = _q94_sql()
+
+
+# ---------------------------------------------------------------------------
+# q95 — deterministic global corpus shuffle (two-phase scalable rank)
+# ---------------------------------------------------------------------------
+# The DuckDB twin is the naive global ROW_NUMBER() — the gate proves the
+# bucketed two-phase shape (operators/curation.py corpus_shuffle) equals
+# the single-node semantics, the same discipline as q82's prefix sum.
+
+
+def q95_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir).select("doc_id"))
+
+
+def _q95_sql() -> str:
+    from .entry_queries_ext import _md5l
+
+    key = _md5l("'shuf:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, {key} AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY {key}, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM documents
+"""
+
+
+EXT11_QUERIES["q95_corpus_shuffle"] = q95_corpus_shuffle
+_EXT11_ORACLES["q95_corpus_shuffle"] = _q95_sql()

@@ -322,3 +322,60 @@ def temperature_sample(
         df.join(F.broadcast(rates), strata_col)
         .where(bucket < F.col("rate_ppm"))
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    reproducible pseudo-random position 0..N-1 (the pre-training data
+    order must be shuffled, reproducible, AND computable without a global
+    sort on one reducer).
+
+    shuffle_key = md5_long('shuf:<salt>:'||id); position = rank of that
+    key corpus-wide (tiebreak id).  The naive form is ROW_NUMBER() over a
+    global ORDER BY — a SinglePartition window.  This uses the two-phase
+    pattern (operators/packing.py precedent): the 60-bit key space is cut
+    into ``n_buckets`` contiguous ranges, one bounded aggregation counts
+    per-range rows (≤ n_buckets rows collected, prefix-summed on the
+    driver, broadcast back), then a per-range window ranks in parallel.
+    Bucket count shapes only the physical plan, never the positions; the
+    DuckDB twin is the naive global window, so the oracle gate proves the
+    scalable shape equals the single-node semantics.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long_col(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).alias("shuffle_key"),
+    )
+    span = (1 << 60) // n_buckets + 1
+    bucketed = keyed.withColumn(
+        "bucket", F.expr(f"shuffle_key DIV {span}")
+    )
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in bucketed.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    prefix, acc = [], 0
+    for b in sorted(counts):
+        prefix.append((b, acc))
+        acc += counts[b]
+    offsets = df.sparkSession.createDataFrame(
+        prefix or [(0, 0)], "bucket long, bucket_off long")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", "shuffle_key",
+            (F.col("bucket_off") + F.row_number().over(w) - 1)
+            .cast("long").alias("shuffle_pos"),
+        )
+    )

@@ -98,3 +98,33 @@ def host_rollup(urls: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def host_budget(urls: DataFrame, k: int = 5) -> DataFrame:
+    """Per-host fetch budget: keep at most ``k`` canonical URLs per host,
+    chosen by a deterministic hash priority (CommonCrawl-style politeness
+    budgeting — a mega-host must not dominate the frontier, and the pick
+    must be reproducible across runs, so no rand()).
+
+    Scale shape: the frontier is DISTINCT canonical URLs (two-stage
+    distinct), then the per-group top-k is the literal
+    ``row_number().over(w) <= k`` filter ADJACENT to its window, which
+    Catalyst turns into a map-side ``WindowGroupLimit … Partial`` below
+    the exchange — each upstream task forwards at most k rows per host,
+    so a skewed host never concentrates its full URL set on one reducer
+    (plan pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long_col
+
+    w = Window.partitionBy("host").orderBy(
+        md5_long_col(F.col("canon_url")).asc(), F.col("canon_url").asc()
+    )
+    return (
+        urls.select("host", "canon_url")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("host", F.col("rk").cast("int").alias("rk"), "canon_url")
+    )

@@ -275,3 +275,64 @@ def test_semantic_dedup_plan_joins_on_centroid_only(spark):
     plan = semantic_dedup(df, threshold=0.9, n_centroids=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# host budget
+# ---------------------------------------------------------------------------
+
+
+def test_host_budget_caps_and_is_deterministic(spark):
+    from pdf_extraction_ai_agent_spark.operators.weburls import host_budget
+
+    rows = [(f"h{i % 3}.com", f"https://h{i % 3}.com/p{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "host string, canon_url string")
+    out = host_budget(df, k=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append((r["rk"], r["canon_url"]))
+    assert set(by_host) == {"h0.com", "h1.com", "h2.com"}
+    for host, picks in by_host.items():
+        assert len(picks) == 4
+        assert sorted(rk for rk, _ in picks) == [1, 2, 3, 4]
+    again = {(r["host"], r["rk"], r["canon_url"])
+             for r in host_budget(df, k=4).collect()}
+    assert again == {(r["host"], r["rk"], r["canon_url"]) for r in out}
+
+
+def test_host_budget_plan_has_window_group_limit(spark):
+    from pdf_extraction_ai_agent_spark.operators.weburls import host_budget
+
+    df = spark.createDataFrame(
+        [("h.com", "https://h.com/a")], "host string, canon_url string"
+    )
+    plan = host_budget(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_is_a_permutation_and_bucket_invariant(spark):
+    from pdf_extraction_ai_agent_spark.operators.curation import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df, n_buckets=64).collect()}
+    assert sorted(a.values()) == list(range(300))
+    # not the identity order (it actually shuffles)
+    assert [a[i] for i in range(300)] != list(range(300))
+    # bucket count shapes the plan, never the positions
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df, n_buckets=4).collect()}
+    assert a == b
+
+
+def test_corpus_shuffle_no_single_partition_exchange(spark):
+    from pdf_extraction_ai_agent_spark.operators.curation import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    plan = corpus_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
