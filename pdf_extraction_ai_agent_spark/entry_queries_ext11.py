@@ -320,3 +320,140 @@ FROM documents
 
 EXT11_QUERIES["q95_corpus_shuffle"] = q95_corpus_shuffle
 _EXT11_ORACLES["q95_corpus_shuffle"] = _q95_sql()
+
+
+# ---------------------------------------------------------------------------
+# q96 — near-dup cluster representative selection (quality-aware keep)
+# ---------------------------------------------------------------------------
+# Production dedup keeps the BEST member of each duplicate cluster, not
+# the smallest id (q40's cheap pair rule): here longest-document-wins
+# with id tiebreak over the connected components of the LSH-verified
+# jaccard pair graph (q12's production pair source). The Spark side is
+# pointer-doubled min-label propagation (dedup.duplicate_clusters) + a
+# per-cluster WindowGroupLimit top-1; the DuckDB twin computes the same
+# components with a recursive transitive closure — fine at oracle scale,
+# and exactly the single-node semantics the distributed algorithm must
+# reproduce.
+
+
+def q96_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .entry_queries_ext4 import _t
+    from .operators import dedup
+
+    full = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(full, hash_impl="md5")
+    pairs = dedup.jaccard_pairs(
+        full, pairs=dedup.lsh_candidates(sig), threshold=0.8, unit="shingle"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    docs = full.select("doc_id", "n_chars")
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rnk") == 1).alias("is_rep"),
+        )
+    )
+
+
+def _q96_sql() -> str:
+    from .entry_queries_ext import _q12_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_q12_sql()})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_rep
+FROM labeled
+"""
+
+
+EXT11_QUERIES["q96_cluster_representatives"] = q96_cluster_representatives
+_EXT11_ORACLES["q96_cluster_representatives"] = _q96_sql()
+
+
+# ---------------------------------------------------------------------------
+# q97 — annotation text never leaks into extraction (negative parity pin)
+# ---------------------------------------------------------------------------
+# fitz get_text (the reference's chain, extract_text.py:27-36) does NOT
+# include annotation text in page content. The carrier attaches a
+# /FreeText annotation whose /Contents is crafted to be maximally
+# tempting — it contains claim-number-shaped and money-shaped tokens —
+# and the gate asserts the extracted text is exactly the page text on
+# both twins (the DuckDB twin is annotation-blind by construction).
+
+
+def _payload_q97(doc_id: int, text: str) -> bytes:
+    from .fixtures.minipdf import write_minimal_pdf
+
+    norm30 = " ".join(str(text)[:30].split())
+    page = (
+        f"Annot A{doc_id}\nBody {norm30}\nGross {doc_id % 83}.10"
+    )
+    note = (
+        f"REVIEWER NOTE {doc_id}: claim number X-{doc_id + 90000} "
+        f"amount $9,999.99 (do not extract)"
+    )
+    return write_minimal_pdf([page], annots=[note])
+
+
+def q97_annotations_ignored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext7 import _ROUNDTRIP_SCHEMA, _roundtrip_kernel
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _roundtrip_kernel(_payload_q97), schema=_ROUNDTRIP_SCHEMA
+    )
+
+
+_Q97_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         'Annot A' || CAST(doc_id AS VARCHAR) AS l1,
+         'Body ' || trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g')) AS l2,
+         'Gross ' || CAST(doc_id % 83 AS VARCHAR) || '.10' AS l3
+  FROM documents
+)
+SELECT doc_id,
+       '--- PAGE 1 ---' || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+         AS extracted_text,
+       (len(trim(l1)) + len(trim(l2)) + len(trim(l3))) < 40 AS needs_ocr
+FROM parts
+"""
+
+EXT11_QUERIES["q97_annotations_ignored"] = q97_annotations_ignored
+_EXT11_ORACLES["q97_annotations_ignored"] = _Q97_SQL
+
+
+def _register_pinned():
+    from .entry_queries_ext7 import PINNED_PAYLOAD_BUILDERS
+
+    PINNED_PAYLOAD_BUILDERS["q97_annotations_ignored"] = _payload_q97
+
+
+_register_pinned()

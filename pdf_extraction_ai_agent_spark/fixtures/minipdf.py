@@ -111,7 +111,7 @@ def _content_stream(page, tj_arrays: bool, leading: bool = False) -> bytes:
 def write_minimal_pdf(
     pages: list[str], compress: bool = False, tj_arrays: bool = False,
     leading: bool = False, rotate: int | None = None,
-    rotate_on_pages: bool = False,
+    rotate_on_pages: bool = False, annots: list | None = None,
 ) -> bytes:
     """One PDF with ``len(pages)`` pages; each element is that page's text
     ('\\n'-separated lines). ``compress`` wraps every content stream in
@@ -119,7 +119,11 @@ def write_minimal_pdf(
     ``leading`` uses the TL/quote-show line-advance idiom instead of
     relative Td. ``rotate`` writes a /Rotate display rotation (r7,
     §7.7.3.3) — on every page dict, or on the /Pages node when
-    ``rotate_on_pages`` (the inheritable-attribute shape)."""
+    ``rotate_on_pages`` (the inheritable-attribute shape). ``annots``
+    (optional, one entry per page, None = no annotation) attaches a
+    /FreeText annotation carrying that /Contents text — annotation text
+    is NOT page content (fitz get_text default) and must never leak into
+    extraction."""
     objs: dict[int, bytes] = {}
     n = len(pages)
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -130,10 +134,26 @@ def write_minimal_pdf(
         f"<< /Type /Pages {rot_tree}/Kids [{kids}] /Count {n} >>"
     ).encode("latin-1")
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    next_extra = 4 + 2 * n  # contiguous slots after the page/content pairs
     for i, text in enumerate(pages):
         page_num, cont_num = 4 + 2 * i, 5 + 2 * i
+        annots_ref = ""
+        if annots is not None and annots[i] is not None:
+            a = (
+                str(annots[i])
+                .replace("\\", r"\\")
+                .replace("(", r"\(")
+                .replace(")", r"\)")
+            )
+            objs[next_extra] = (
+                f"<< /Type /Annot /Subtype /FreeText /Rect [400 700 580 760] "
+                f"/Contents ({a}) /DA (/Helv 0 Tf 0 g) >>"
+            ).encode("latin-1")
+            annots_ref = f"/Annots [{next_extra} 0 R] "
+            next_extra += 1
         objs[page_num] = (
-            f"<< /Type /Page /Parent 2 0 R {rot_page}/MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent 2 0 R {rot_page}{annots_ref}"
+            f"/MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 3 0 R >> >> "
             f"/Contents {cont_num} 0 R >>"
         ).encode("latin-1")

@@ -336,3 +336,54 @@ def test_corpus_shuffle_no_single_partition_exchange(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
     plan = corpus_shuffle(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cluster representatives / annotation non-leak
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_longest_wins(spark):
+    from pdf_extraction_ai_agent_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 40), (3, 40), (7, 5), (8, 9), (9, 100)],
+        "doc_id long, n_chars long",
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    reps = {
+        r["doc_id"]: r["rnk"] == 1
+        for r in labeled.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 40 chars → smaller id 2 wins
+    assert reps == {1: False, 2: True, 3: False, 7: False, 8: True, 9: True}
+
+
+def test_annotation_text_never_leaks():
+    from pdf_extraction_ai_agent_spark.fixtures.minipdf import write_minimal_pdf
+    from pdf_extraction_ai_agent_spark.operators.extract import (
+        extract_real_pdf_text,
+    )
+    from pdf_extraction_ai_agent_spark.oracle import reference_extractor as o
+
+    pdf = write_minimal_pdf(
+        ["Claim C77 filed by the insured party\nTotal paid 812.00"],
+        annots=["note with (parens) and \\backslash and $1,234.56 inside"],
+    ).decode("latin-1")
+    eng, _ = extract_real_pdf_text(pdf)
+    ora, _ = o.extract_real_pdf(pdf)
+    assert eng == ora
+    assert "parens" not in eng and "1,234.56" not in eng
+    assert "Claim C77" in eng
