@@ -673,6 +673,31 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def chunk_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 12,
+) -> DataFrame:
+    """(id, pos, chunk, h): non-overlapping ``window_words``-word chunks of
+    the whitespace-normalized text with their portable 60-bit digest —
+    the shared map stage of the batch and streaming window-dedup paths."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    n_chunks = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * window_words + 1, window_words)
+        ),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    return ex.select(
+        id_col, "pos", "chunk", md5_long_col(F.col("chunk")).alias("h")
+    )
+
+
 def window_exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -696,20 +721,7 @@ def window_exact_dedup(
     Returns (id_col, clean_text, n_chunks, n_kept, n_dropped) for every
     input document (all-duplicate documents survive with clean_text='').
     """
-    words = F.split(
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-    )
-    n_chunks = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * window_words + 1, window_words)
-        ),
-    )
-    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
-    hashed = ex.select(
-        id_col, "pos", "chunk", md5_long_col(F.col("chunk")).alias("h")
-    )
+    hashed = chunk_hashes(df, text_col, id_col, window_words)
     first = hashed.groupBy("h").agg(
         F.min(
             F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))

@@ -136,3 +136,66 @@ def streaming_embedding_lsh_candidates(
         F.col("vid").alias("doc_id"), "band_idx", "band_key"
     )
     return _stateful_bucket_pairs(bands, max_bucket)
+
+
+def streaming_window_dedup_chunks(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 12,
+) -> DataFrame:
+    """Streaming twin of ``dedup.window_exact_dedup``'s keep decision: as
+    documents arrive, each word-window chunk is checked against the
+    PER-DIGEST state of previously seen chunks and only first occurrences
+    are emitted — the incremental ExactSubstr pass (new crawl snapshots
+    dedup against everything already ingested without a full-corpus
+    rescan).
+
+    Shape: stream → chunk_hashes (map-only, the shared batch kernel) →
+    groupBy(h) → applyInPandasWithState (state = the first (doc_id, pos)
+    ever seen for this digest). Within a microbatch the group winner is
+    min(doc_id, pos) — identical to the batch rule; across microbatches
+    the stored first wins.
+
+    Contract (pinned in tests): when triggers arrive in ascending doc_id
+    order — the lineage/resume ingestion order — the union of emitted
+    chunks over all microbatches equals the batch keep set for the same
+    corpus, for any trigger split. Inherent append-mode caveat: if a
+    LATER trigger carries a smaller (doc_id, pos) than an already-emitted
+    chunk, the earlier emission cannot be retracted (the batch form would
+    have kept only the smaller one); doc-ordered ingestion makes that
+    impossible.
+    """
+    import pandas as pd
+
+    from ..operators.dedup import chunk_hashes
+
+    hashed = chunk_hashes(stream_df, text_col, id_col, window_words)
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        best = rows.iloc[0]
+        if state.exists:
+            return  # digest already represented by an earlier trigger
+        state.update((int(best["doc_id"]), int(best["pos"])))
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(best["doc_id"])],
+                "pos": [int(best["pos"])],
+                "chunk": [best["chunk"]],
+            }
+        )
+
+    return (
+        hashed.groupBy("h")
+        .applyInPandasWithState(
+            update,
+            outputStructType="doc_id long, pos int, chunk string",
+            stateStructType="d long, p int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -304,3 +304,69 @@ def test_contaminated_spans_merge_semantics(spark):
         (2, 1, 3, 9),
         (2, 7, 9, 9),
     ], rows
+
+
+def test_streaming_window_dedup_matches_batch(spark, tmp_path_factory):
+    """Stateful streaming window-dedup: the union of kept chunks over TWO
+    doc-ordered microbatches equals the batch window_exact_dedup keep set
+    on the same corpus — a digest first seen in trigger 1 must suppress
+    its re-occurrences arriving in trigger 2 (cross-batch state)."""
+    from pdf_extraction_ai_agent_spark.operators import dedup
+    from pdf_extraction_ai_agent_spark.streaming.dedup_stream import (
+        streaming_window_dedup_chunks,
+    )
+
+    rows1 = [
+        (1, "a b c x y z"),
+        (2, "a b c q r s"),          # chunk 'a b c' already in doc 1
+    ]
+    rows2 = [
+        (3, "q r s a b c"),          # both chunks are earlier docs'
+        (4, "m n o m n o"),          # within-doc duplicate in one trigger
+    ]
+    base = tmp_path_factory.mktemp("win_dedup_stream")
+    src = str(base / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: set = set()
+
+    def sink(batch_df, _bid):
+        got.update((r.doc_id, r.pos, r.chunk) for r in batch_df.collect())
+
+    q = (
+        streaming_window_dedup_chunks(stream, window_words=3)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_docs = spark.createDataFrame(rows1 + rows2, schema)
+    batch_out = dedup.window_exact_dedup(batch_docs, window_words=3)
+    # independent expectation, computed in python
+    import hashlib
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    seen = {}
+    for doc_id, text in sorted(rows1 + rows2):
+        words = " ".join(text.split()).split(" ")
+        for pos in range((len(words) + 2) // 3):
+            chunk = " ".join(words[pos * 3:pos * 3 + 3])
+            h = md5l(chunk)
+            if h not in seen:
+                seen[h] = (doc_id, pos, chunk)
+    want = set(seen.values())
+    assert got == want
+    # and the batch operator's clean_text agrees with the same keep set
+    batch_clean = {r["doc_id"]: r["clean_text"] for r in batch_out.collect()}
+    assert batch_clean[3] == "" and batch_clean[4] == "m n o"
