@@ -112,6 +112,15 @@ HEADLINE = [
     "q83_gopher_flags",
     # IVF probe-pruned ANN search (one fit → assign + probe + re-rank)
     "q84_ivf_probe_topk",
+    # round-7 curation pack representatives (the A/B base arm predates
+    # them and reports null): corpus-wide window dedup (digest-keyed
+    # shuffle), trigram-LM scoring (explode + broadcast counts join),
+    # HTML skip-tag realism through the real extraction UDF, and the
+    # two-phase global shuffle rank
+    "q85_window_dedup",
+    "q88_trigram_lm_scores",
+    "q91_html_skip_tags",
+    "q95_corpus_shuffle",
 ]
 
 

@@ -457,3 +457,65 @@ def _register_pinned():
 
 
 _register_pinned()
+
+
+# ---------------------------------------------------------------------------
+# q98 — distributed BPE merge training (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+# The gate compares every word's FINAL segmentation, so the learned merge
+# sequence is verified implicitly (one wrong argmax changes many rows).
+# The DuckDB twin unrolls the same three rounds as CTEs — pair counting,
+# (count desc, pair asc) argmax, boundary-padded replace — in exact
+# arithmetic; see operators/bpe.py for the shared determinism contract.
+
+_Q98_MERGES = 3
+
+
+def q98_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_merges
+
+    vocab, _merges = bpe_merges(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_merges=_Q98_MERGES
+    )
+    return vocab
+
+
+def _q98_sql(n_merges: int = _Q98_MERGES) -> str:
+    from .entry_queries_ext import _WORDS_SQL
+
+    words = _WORDS_SQL.format(v="text")
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, SUM(n_occ) AS w
+  FROM (SELECT n_occ, string_split(trim(sym), ' ') AS s FROM v{r}),
+       LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT a, b FROM p{r} ORDER BY w DESC, a ASC, b ASC LIMIT 1
+), v{r + 1} AS (
+  SELECT word, n_occ,
+         replace(sym, ' ' || m.a || ' ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS sym
+  FROM v{r}, m{r} m
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS n_occ
+  FROM documents, unnest({words}) AS t(word)
+  WHERE word <> ''
+  GROUP BY word
+), v0 AS (
+  SELECT word, n_occ,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS sym
+  FROM wf
+),
+{rounds_sql}
+SELECT word, CAST(n_occ AS BIGINT) AS n_occ, trim(sym) AS bpe_tokens
+FROM v{n_merges}
+"""
+
+
+EXT11_QUERIES["q98_bpe_merges"] = q98_bpe_merges
+_EXT11_ORACLES["q98_bpe_merges"] = _q98_sql()

@@ -98,6 +98,12 @@ def _extract_html_batch(s: pd.Series) -> pd.Series:
     if skip_mask.any():
         s = s.copy()
         s[skip_mask] = s[skip_mask].str.replace(_SKIP_SPAN_RE, "", regex=True)
+    br_mask = s.str.contains("<br", regex=False, na=False)
+    if br_mask.any():
+        s = s.copy()
+        s[br_mask] = s[br_mask].str.replace(
+            r"(?i)<br\s*/?\s*>", " ", regex=True
+        )
     cell_mask = s.str.contains("</td", regex=False, na=False) | s.str.contains(
         "</th", regex=False, na=False
     ) | s.str.contains("</tr", regex=False, na=False)

@@ -59,6 +59,11 @@ class _DomBuilder(HTMLParser):
         self._in_a = 0
 
     def handle_starttag(self, tag, attrs):
+        if tag == "br" and spec.HTML_BR_IS_SPACE:
+            # void element, IS whitespace: one space, never a tree node
+            # (the matching synthetic endtag finds nothing to pop)
+            self.handle_data(" ")
+            return
         node = _Node(tag)
         self.stack[-1].content.append(node)
         self.stack.append(node)

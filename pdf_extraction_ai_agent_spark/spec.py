@@ -86,6 +86,10 @@ HTML_SKIP_TAGS = ("script", "style", "noscript", "template")
 # pipe-text sink (S9, operators/grid.py) uses, so a table block scores
 # and extracts as one content unit. Modeled domain: non-nested tables.
 HTML_CELL_SEP = " | "
+# <br> IS whitespace (every real extractor agrees): it reads as one space
+# on both twins. Other inline tags still concatenate without a separator
+# (the bs4/fitz get_text default — 'in<i>l</i>ine' stays 'inline').
+HTML_BR_IS_SPACE = True
 
 # Pseudo-PDF content-stream grammar (deterministic stand-in for a PDF page
 # stream; mirrors the text-box + reading-order model of pdfplumber/fitz):

@@ -387,3 +387,45 @@ def test_annotation_text_never_leaks():
     assert eng == ora
     assert "parens" not in eng and "1,234.56" not in eng
     assert "Claim C77" in eng
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_hand_computed(spark):
+    from pdf_extraction_ai_agent_spark.operators.bpe import bpe_merges
+
+    # the classic Sennrich corpus: low×5 lower×2 newest×6 widest×3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab, merges = bpe_merges(df, n_merges=3)
+    # round 0: (e,s)/(s,t)/(t,</w>) tie at 9 → pair-ascending picks (e,s);
+    # round 1: (es,t) vs (t,</w>) tie at 9 → (es,t); round 2: (est,</w>)
+    assert merges == [(0, "e", "s", 9), (1, "es", "t", 9), (2, "est", "</w>", 9)]
+    got = {r["word"]: (r["n_occ"], r["bpe_tokens"]) for r in vocab.collect()}
+    assert got == {
+        "low": (5, "l o w </w>"),
+        "lower": (2, "l o w e r </w>"),
+        "newest": (6, "n e w est</w>"),
+        "widest": (3, "w i d est</w>"),
+    }
+
+
+def test_bpe_merge_replace_is_boundary_safe(spark):
+    from pdf_extraction_ai_agent_spark.operators.bpe import bpe_merges
+
+    # the learned pair merges only at SYMBOL boundaries: 'b c' in word
+    # 'bc' must stay untouched when (a,b) merges — the space padding is
+    # the boundary. pair weights: (a,b)=5 > (b,</w>)=4 > (b,c)=2
+    df = spark.createDataFrame(
+        [(1, "ab ab ab abc cab bc")], "doc_id long, text string"
+    )
+    vocab, merges = bpe_merges(df, n_merges=1)
+    assert merges == [(0, "a", "b", 5)]
+    got = {r["word"]: r["bpe_tokens"] for r in vocab.collect()}
+    assert got["ab"] == "ab </w>"
+    assert got["abc"] == "ab c </w>"
+    assert got["cab"] == "c ab </w>"
+    assert got["bc"] == "b c </w>"  # untouched: b here is not after a

@@ -109,3 +109,32 @@ def test_generator_grammar_unaffected():
     for p in payloads:
         eng, ora = _both(p)
         assert eng == ora
+
+
+BR_CASES = [
+    # <br> is whitespace — words must not run together
+    "<html>\n<body>\n<p>first claim line<br>second claim line of the "
+    "record</p>\n</body>\n</html>",
+    # XHTML self-closing + spaced forms
+    "<html>\n<body>\n<p>alpha<br/>beta<br />gamma words to pass the "
+    "length rule</p>\n</body>\n</html>",
+    # br inside a link: the space counts as link text on both sides
+    '<html>\n<body>\n<p>prefix words long enough here <a href="/x">tap'
+    "<br>here</a> suffix tail</p>\n</body>\n</html>",
+    # other inline tags still concatenate WITHOUT a separator
+    "<html>\n<body>\n<p>in<i>l</i>ine stays joined with enough words to "
+    "keep the block</p>\n</body>\n</html>",
+]
+
+
+@pytest.mark.parametrize("html", BR_CASES)
+def test_br_is_space_twins_agree(html):
+    eng, ora = _both(html)
+    assert eng == ora
+
+
+def test_br_semantics():
+    eng, _ = _both(BR_CASES[0])
+    assert "line second" in eng
+    eng3, _ = _both(BR_CASES[3])
+    assert "inline stays joined" in eng3
