@@ -519,3 +519,72 @@ FROM v{n_merges}
 
 EXT11_QUERIES["q98_bpe_merges"] = q98_bpe_merges
 _EXT11_ORACLES["q98_bpe_merges"] = _q98_sql()
+
+
+# ---------------------------------------------------------------------------
+# q99 — tokenizer application: per-document BPE fertility
+# ---------------------------------------------------------------------------
+# Using the q98-trained tokenizer: fertility (BPE tokens per word, ppm —
+# integer-exact) is THE signal for whether a tokenizer fits a corpus /
+# language mix. The segmentation table is bounded (distinct words) and
+# broadcast; the corpus-side work is explode + map-side join + one
+# doc-keyed rollup.
+
+
+def q99_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_merges
+    from .operators.dedup import words_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    vocab, _merges = bpe_merges(docs, n_merges=_Q98_MERGES)
+    seg = vocab.select(
+        "word", F.size(F.split("bpe_tokens", " ")).alias("n_sym")
+    )
+    w = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    per_doc = w.join(F.broadcast(seg), "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        F.coalesce(
+            F.expr("n_bpe_tokens * 1000000 DIV n_words"), F.lit(0)
+        ).cast("long").alias("fertility_ppm"),
+    )
+
+
+def _q99_sql() -> str:
+    from .entry_queries_ext import _WORDS_SQL
+
+    base = _q98_sql(_Q98_MERGES).strip().rstrip()
+    # reuse the q98 statement as a derived table: its final SELECT yields
+    # (word, n_occ, bpe_tokens)
+    words = _WORDS_SQL.format(v="text")
+    return f"""
+WITH seg AS (
+  SELECT word, len(string_split(bpe_tokens, ' ')) AS n_sym
+  FROM ({base})
+), w AS (
+  SELECT doc_id, word
+  FROM documents, unnest({words}) AS t(word)
+  WHERE word <> ''
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(n_sym) AS n_bpe_tokens
+  FROM w JOIN seg USING (word)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(coalesce(p.n_bpe_tokens * 1000000 // p.n_words, 0) AS BIGINT)
+         AS fertility_ppm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXT11_QUERIES["q99_bpe_fertility"] = q99_bpe_fertility
+_EXT11_ORACLES["q99_bpe_fertility"] = _q99_sql()

@@ -595,13 +595,18 @@ def semantic_dedup(
     Returns (vec_id, centroid_id, is_kept, dup_of): dropped rows carry
     their smallest-id above-threshold cluster neighbor in ``dup_of``.
     """
+    from ..plans.cache import tracked_persist
+
     base = emb.select(
         F.col(id_col).alias("vid"), quantize_col(F.col(vec_col)).alias("q")
     )
     assigned = ivf_assignments(
         emb, n_centroids, id_col, vec_col, n_iters, centroids=centroids
     ).select(F.col("vec_id").alias("vid"), "centroid_id")
-    withq = assigned.join(base, "vid")
+    # persisted: the assignment subtree (centroid broadcast + per-vid
+    # top-1) feeds BOTH pair legs and the output join — without this the
+    # plan re-scans the corpus three times (caught in the r7 plan audit)
+    withq = tracked_persist(assigned.join(base, "vid"))
     left = withq.select(
         F.col("vid").alias("vid_a"), F.col("q").alias("q_a"), "centroid_id"
     )
@@ -625,7 +630,8 @@ def semantic_dedup(
         F.min("vid_a").alias("dup_of")
     )
     return (
-        assigned.join(dropped, "vid", "left")
+        withq.select("vid", "centroid_id")
+        .join(dropped, "vid", "left")
         .select(
             F.col("vid").alias("vec_id"),
             "centroid_id",
