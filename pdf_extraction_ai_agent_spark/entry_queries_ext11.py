@@ -588,3 +588,92 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 
 EXT11_QUERIES["q99_bpe_fertility"] = q99_bpe_fertility
 _EXT11_ORACLES["q99_bpe_fertility"] = _q99_sql()
+
+
+# ---------------------------------------------------------------------------
+# q100 — fuzzy eval-set decontamination (MinHash LSH, train × eval)
+# ---------------------------------------------------------------------------
+# q48/q53 catch EXACT n-gram contamination; this is the fuzzy complement
+# (GPT-3 appendix-C style): train documents NEAR-duplicating an eval/test
+# document must be flagged even when no 13-gram matches verbatim. The
+# eval side is the q47 deterministic test split, so the whole query is
+# reproducible from the table alone. Scale shape: one signature pass
+# over the corpus; the eval band table is small by construction and
+# BROADCAST, so the train side never shuffles for candidate generation;
+# exact shingle-jaccard verification runs on candidates only.
+
+
+def q100_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries_ext4 import _t
+    from .operators import curation, dedup
+
+    full = _t(spark, sf_dir, "documents")
+    split = curation.deterministic_split(full)
+    sig = dedup.minhash_signatures(full, hash_impl="md5")  # oracle replays md5
+    bands = dedup.lsh_bands(sig)
+    is_eval = F.col("split") == "test"
+    eval_ids = split.where(is_eval).select("doc_id")
+    train_ids = split.where(~is_eval).select("doc_id")
+    bl = bands.join(train_ids, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    br = bands.join(F.broadcast(eval_ids), "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    cand = (
+        bl.join(F.broadcast(br), ["band_idx", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = dedup.jaccard_pairs(full, pairs=cand, threshold=0.8, unit="shingle")
+    return out.select(
+        F.col("doc_a").alias("train_doc"),
+        F.col("doc_b").alias("eval_doc"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q100_sql() -> str:
+    from .entry_queries_ext import (
+        _SHINGLES_SQL, _WORDS_SQL, _band_rows_sql, _md5l, _q13_sql,
+    )
+
+    bucket = _md5l("'split:split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH sig AS ({_q13_sql()}),
+bands AS (
+  SELECT doc_id, u.b['band_idx'] AS band_idx, u.b['band_key'] AS band_key
+  FROM sig, LATERAL (SELECT unnest([{_band_rows_sql()}]) AS b) u
+),
+sp AS (
+  SELECT doc_id, ({bucket}) >= 95 AS is_eval FROM documents
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN sp spl ON l.doc_id = spl.doc_id AND NOT spl.is_eval
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  JOIN sp spr ON r.doc_id = spr.doc_id AND spr.is_eval
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(list_filter({_SHINGLES_SQL}, x -> x != ''))) AS word
+  FROM (SELECT doc_id, {_WORDS_SQL.format(v='text')} AS w FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN w l ON l.doc_id = c.doc_a
+  JOIN w r ON r.doc_id = c.doc_b AND r.word = l.word
+  GROUP BY 1, 2
+)
+SELECT doc_a AS train_doc, doc_b AS eval_doc,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
+"""
+
+
+EXT11_QUERIES["q100_fuzzy_decontamination"] = q100_fuzzy_decontamination
+_EXT11_ORACLES["q100_fuzzy_decontamination"] = _q100_sql()

@@ -429,3 +429,21 @@ def test_bpe_merge_replace_is_boundary_safe(spark):
     assert got["abc"] == "ab c </w>"
     assert got["cab"] == "c ab </w>"
     assert got["bc"] == "b c </w>"  # untouched: b here is not after a
+
+
+def test_fuzzy_decontamination_flags_cross_split_dups(spark):
+    """Planted near-dups that straddle the train/test split must be
+    flagged; the candidate join is train-bands × broadcast eval-bands
+    (no train-side shuffle for candidates, no cartesian)."""
+    import __spark_entry__ as entry
+
+    from pdf_extraction_ai_agent_spark.entry_queries_ext11 import (
+        q100_fuzzy_decontamination,
+    )
+
+    out = q100_fuzzy_decontamination(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
