@@ -38,8 +38,11 @@ LINEAGE_SCHEMA = (
 )
 
 
-def with_part_id(df: DataFrame, n_buckets: int = 64) -> DataFrame:
-    return df.withColumn("part_id", F.pmod(F.hash("conv_id"), F.lit(n_buckets)).cast("int"))
+def with_part_id(df: DataFrame, n_buckets: int = 64,
+                 key_col: str = "conv_id") -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.hash(key_col), F.lit(n_buckets)).cast("int")
+    )
 
 
 class LineageStore:
@@ -146,6 +149,7 @@ def run_with_lineage(
     n_buckets: int = 16,
     bucket_group_size: int = 4,
     fmt: str = "parquet",
+    key_col: str = "conv_id",
 ) -> dict:
     """Execute ``build_plan(df) -> df`` over the input with per-partition
     lineage + idempotent resume. Returns run metrics.
@@ -158,7 +162,7 @@ def run_with_lineage(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     store = LineageStore(spark, lineage_path, fmt=fmt)
-    df = with_part_id(transcripts, n_buckets=n_buckets)
+    df = with_part_id(transcripts, n_buckets=n_buckets, key_col=key_col)
 
     done = store.completed_part_ids(run_group)
     done_ids = {r.part_id for r in done.collect()}  # ≤ n_buckets rows — tiny
@@ -172,8 +176,8 @@ def run_with_lineage(
         plan = build_plan(part)
         if "part_id" not in plan.columns:
             # plans are free to drop bookkeeping columns; part_id is a pure
-            # function of conv_id so re-derive it for the partitioned write
-            plan = with_part_id(plan, n_buckets=n_buckets)
+            # function of the bucket key so re-derive it for the write
+            plan = with_part_id(plan, n_buckets=n_buckets, key_col=key_col)
         (
             plan
             .write.format(fmt)
