@@ -81,13 +81,22 @@ def _rotate(names: list[str]) -> list[str]:
     order only.  Rounds 1-6 registered q01..q68 ascending, so q51-q68 (the
     real-PDF carrier matrix) never received a driver-recorded row — only
     builder/judge selfcheck evidence (VERDICT r6, next-round item 1).
-    Rotate: newest families first, then the mid pack, then the core pack
-    (driver-green in every previous round).  Every family lands in the
-    driver's first 50 at least once across two consecutive rounds.
+    Rotate: newest families first (NUMERIC query number, descending — a
+    lexicographic compare would file q100+ under the core pack and push
+    the newest work out of the gate), then the mid pack, then the core
+    pack (driver-green in every previous round).  Every family lands in
+    the driver's first 50 at least once across two consecutive rounds.
     """
-    newest = [n for n in names if n >= "q51"]          # r5/r6 carrier matrix
-    mid = [n for n in names if "q33" <= n < "q51"]     # r3/r4 pack
-    core = [n for n in names if n < "q33"]             # r1/r2 pack
+    import re
+
+    def qnum(n: str) -> int:
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else 0
+
+    newest = sorted([n for n in names if qnum(n) >= 51],
+                    key=qnum, reverse=True)            # r5+ packs, newest first
+    mid = sorted([n for n in names if 33 <= qnum(n) < 51], key=qnum)
+    core = sorted([n for n in names if qnum(n) < 33], key=qnum)
     return newest + mid + core
 
 

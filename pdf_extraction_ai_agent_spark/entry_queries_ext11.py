@@ -677,3 +677,110 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.8
 
 EXT11_QUERIES["q100_fuzzy_decontamination"] = q100_fuzzy_decontamination
 _EXT11_ORACLES["q100_fuzzy_decontamination"] = _q100_sql()
+
+
+# ---------------------------------------------------------------------------
+# q101 — corpus snapshot statistics (the pre-training "data card" row)
+# ---------------------------------------------------------------------------
+# One row summarizing the corpus: document/token/char volume, vocabulary
+# size, exact-duplicate volume, language mix entropy inputs (per-lang
+# counts would explode the row — the dominant language + its share ppm
+# stand in), BPE-ish token total. Every figure is an exact integer (the
+# one ratio is ppm). Scale shape: one pass over (text, lang) with
+# partial aggregation; the distinct-word and dup-group counts are
+# digest-keyed two-stage aggregations.
+
+
+def q101_corpus_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import norm_text_col, words_col
+    from .operators.textstats import BPE_ISH_PAT
+    from .functions.hashing import md5_long_col as _md5c
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PAT), 0))
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+    vocab = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("w").alias("n_distinct_words"),
+        )
+    )
+    dups = (
+        d.select(_md5c(norm_text_col(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_contents"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_exact_dup_docs"),
+        )
+    )
+    lang = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.col("n").cast("long").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.crossJoin(vocab).crossJoin(dups).crossJoin(F.broadcast(lang))
+        .withColumn(
+            "top_lang_share_ppm",
+            F.expr("top_lang_docs * 1000000 DIV n_docs"),
+        )
+        .select(
+            "n_docs", "n_chars", "n_bpe_tokens",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+            F.col("n_distinct_contents").cast("long").alias("n_distinct_contents"),
+            "n_exact_dup_docs", "top_lang", "top_lang_docs",
+            F.col("top_lang_share_ppm").cast("long").alias("top_lang_share_ppm"),
+        )
+    )
+
+
+def _q101_sql() -> str:
+    from .entry_queries_ext import _NORM_SQL, _WORDS_SQL, _md5l
+    from .operators.textstats import BPE_ISH_PAT
+
+    words = _WORDS_SQL.format(v="text")
+    norm = _NORM_SQL.format(v="text")
+    return f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PAT}'))) AS BIGINT)
+           AS n_bpe_tokens
+  FROM documents
+), vocab AS (
+  SELECT COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct_words
+  FROM (SELECT unnest({words}) AS w FROM documents) WHERE w <> ''
+), dups AS (
+  SELECT COUNT(*) AS n_distinct_contents,
+         CAST(SUM(n - 1) AS BIGINT) AS n_exact_dup_docs
+  FROM (SELECT {_md5l(norm)} AS h, COUNT(*) AS n FROM documents GROUP BY h)
+), lang AS (
+  SELECT lang AS top_lang, CAST(n AS BIGINT) AS top_lang_docs
+  FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+  ORDER BY n DESC, lang ASC LIMIT 1
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, n_chars, n_bpe_tokens,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(n_distinct_contents AS BIGINT) AS n_distinct_contents,
+       n_exact_dup_docs, top_lang, top_lang_docs,
+       CAST(top_lang_docs * 1000000 // n_docs AS BIGINT) AS top_lang_share_ppm
+FROM base, vocab, dups, lang
+"""
+
+
+EXT11_QUERIES["q101_corpus_snapshot"] = q101_corpus_snapshot
+_EXT11_ORACLES["q101_corpus_snapshot"] = _q101_sql()

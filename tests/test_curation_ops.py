@@ -447,3 +447,19 @@ def test_fuzzy_decontamination_flags_cross_split_dups(spark):
     assert all(r["jaccard"] >= 0.8 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_driver_rotation_is_numeric():
+    """q100+ must sort as NEWEST (numeric), not as core (lexicographic
+    'q100' < 'q33') — the driver records correctness rows for the first
+    50 registered queries only."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert names[0].startswith("q101")
+    assert names[1].startswith("q100")
+    first50 = set(names[:50])
+    # the whole round-7 curation/HTML pack is inside the driver gate
+    for q in ["q85_window_dedup", "q91_html_skip_tags", "q98_bpe_merges",
+              "q100_fuzzy_decontamination", "q101_corpus_snapshot"]:
+        assert q in first50
