@@ -784,3 +784,77 @@ FROM base, vocab, dups, lang
 
 EXT11_QUERIES["q101_corpus_snapshot"] = q101_corpus_snapshot
 _EXT11_ORACLES["q101_corpus_snapshot"] = _q101_sql()
+
+
+# ---------------------------------------------------------------------------
+# q102 — language-ID confusion matrix (operator accuracy rollup)
+# ---------------------------------------------------------------------------
+# The documents table carries a ground-truth ``lang`` label; crossing it
+# with the heuristic's prediction is the standard operator-accuracy
+# report (and the data-card's language-mix sanity check). One
+# partial-aggregated groupBy over two tiny-cardinality keys.
+
+
+def q102_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id_col
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return (
+        d.withColumn("lang_guess", lang_id_col(F.col("text")))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("lang", "lang_guess", F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+def _q102_sql() -> str:
+    from .entry_queries_ext import _q18_sql
+
+    return f"""
+WITH guesses AS ({_q18_sql()})
+SELECT d.lang, g.lang_guess, COUNT(*) AS n_docs
+FROM documents d JOIN guesses g USING (doc_id)
+GROUP BY d.lang, g.lang_guess
+"""
+
+
+EXT11_QUERIES["q102_langid_confusion"] = q102_langid_confusion
+_EXT11_ORACLES["q102_langid_confusion"] = _q102_sql()
+
+
+# ---------------------------------------------------------------------------
+# q103 — document-length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+# The data-card companion plot: document counts and char mass per power-
+# of-two length bucket. bucket = floor(log2(n_chars)) computed WITHOUT
+# libm: length of the binary representation − 1 (bit_length is exact in
+# both engines via integer ops; log2() would be the last-ulp trap).
+
+
+def q103_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(F.length("text").cast("long").alias("n"))
+    # floor(log2(n)) == len(bin(n)) - 1: Spark bin() renders the binary
+    # string; exact for any BIGINT, no floating point anywhere
+    bucket = (F.length(F.bin(F.col("n"))) - 1).cast("int")
+    return (
+        d.where(F.col("n") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_chars"),
+        )
+        .select("log2_bucket", F.col("n_docs").cast("long").alias("n_docs"), "n_chars")
+    )
+
+
+_Q103_SQL = """
+SELECT CAST(len(bin(len(text))) - 1 AS INT) AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars
+FROM documents
+WHERE len(text) > 0
+GROUP BY 1
+"""
+
+EXT11_QUERIES["q103_length_histogram"] = q103_length_histogram
+_EXT11_ORACLES["q103_length_histogram"] = _Q103_SQL

@@ -453,13 +453,24 @@ def test_driver_rotation_is_numeric():
     """q100+ must sort as NEWEST (numeric), not as core (lexicographic
     'q100' < 'q33') — the driver records correctness rows for the first
     50 registered queries only."""
+    import re
+
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    assert names[0].startswith("q101")
-    assert names[1].startswith("q100")
+
+    def qnum(n):
+        return int(re.match(r"q(\d+)", n).group(1))
+
+    nums = [qnum(n) for n in names]
+    # newest first: the head is the highest-numbered query, and the
+    # newest pack (>= q51) is strictly descending
+    assert nums[0] == max(nums)
+    newest = [x for x in nums if x >= 51]
+    assert newest == sorted(newest, reverse=True)
     first50 = set(names[:50])
-    # the whole round-7 curation/HTML pack is inside the driver gate
-    for q in ["q85_window_dedup", "q91_html_skip_tags", "q98_bpe_merges",
-              "q100_fuzzy_decontamination", "q101_corpus_snapshot"]:
+    # the round-7 curation/HTML pack is inside the driver gate
+    for q in ["q91_html_skip_tags", "q98_bpe_merges",
+              "q100_fuzzy_decontamination", "q101_corpus_snapshot",
+              "q102_langid_confusion", "q103_length_histogram"]:
         assert q in first50
