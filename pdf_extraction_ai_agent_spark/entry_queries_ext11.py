@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from .entry_queries_ext import _docs
 from .operators import weburls
-from .operators.extract import with_extraction
 
 EXT11_QUERIES: dict = {}
 _EXT11_ORACLES: dict = {}
@@ -49,6 +48,11 @@ _NORM30_SQL = r"trim(regexp_replace(substr(text, 1, 30), '\s+', ' ', 'g'))"
 
 def _run_html(df: DataFrame) -> DataFrame:
     """payload → the real extraction UDF (span-pruned) → gate columns."""
+    # imported lazily: extract pulls pandas/numpy/pdftext — module-level
+    # would tax EVERY fresh-JVM registry import (the A/B child pays it
+    # per rep) for queries that never touch the UDF
+    from .operators.extract import with_extraction
+
     ext = with_extraction(
         df.select("doc_id", F.col("payload").alias("text"),
                   F.lit(None).cast("string").alias("tool")),
