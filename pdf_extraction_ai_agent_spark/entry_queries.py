@@ -57,6 +57,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-spread a narrow scan across all cores before heavy per-row
+    work. The driver tables ship as ONE parquet row group, so Spark plans
+    ONE input split and every expression pipeline above the scan runs on a
+    single core (the CLAUDE.md small-parquet gotcha; ``_docs`` applies the
+    same fix to the documents table). Keyed repartition avoids the local
+    sort a round-robin ``repartition(n)`` pays (SPARK-23207), and keying on
+    the downstream groupBy/window key means the exchange REPLACES the one
+    the aggregation would plan — no extra shuffle, the heavy projection
+    just moves above it onto all cores. Scale-adaptive: a scan that
+    already has >= defaultParallelism splits (the real-cluster case) is
+    returned untouched."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _sqlq(pattern: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal."""
     return pattern.replace("'", "''")
@@ -120,7 +139,7 @@ FROM orders
 
 
 def q01_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _claim_text_spark(_t(spark, sf_dir, "orders"))
+    docs = _claim_text_spark(_spread(_t(spark, sf_dir, "orders"), "o_orderkey"))
     text = F.col("text")
     return docs.select(
         "doc_key",
@@ -173,7 +192,7 @@ FROM docs
 
 
 def _multi_claim_docs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     # reason keyed by linenumber for variety
     line = F.concat(
         F.lit("Claim# NW-"), F.col("l_orderkey").cast("string"), F.lit("-"),
@@ -269,7 +288,7 @@ def _lob_text_sql() -> str:
 
 
 def q03_classify_lob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _lob_text_spark(_t(spark, sf_dir, "orders"))
+    docs = _lob_text_spark(_spread(_t(spark, sf_dir, "orders"), "o_orderkey"))
     return docs.select("doc_key", classify_lob_c1(F.col("text")).alias("lob"))
 
 

@@ -79,9 +79,13 @@ def q42_detect_text_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prose+table documents built from lineitem; the detector must find
     the embedded whitespace-aligned table and skip the lone tabular line
     (min 2 consecutive rows)."""
+    from .entry_queries import _spread
     from .operators.texttables import detect_text_tables
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3)
+    li = _spread(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3),
+        "l_orderkey",
+    )
     row_line = F.concat(
         F.lit("L"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"),
         F.lit("    "), F.date_format("l_shipdate", "yyyy-MM-dd"),
@@ -386,9 +390,13 @@ _Q45_RULES = "\n".join(
 
 
 def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .entry_queries import _spread
     from .operators.texttables import detect_lattice_tables, pdf_rulings, pdf_runs
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3)
+    li = _spread(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3),
+        "l_orderkey",
+    )
     ln = F.col("l_linenumber")
     y = (250 - ln * 16).cast("string")
     # deterministic per-row x jitter — kills column x-alignment on purpose

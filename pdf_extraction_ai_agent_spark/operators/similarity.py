@@ -153,6 +153,42 @@ def _quantize_np(v):
     return (np.sign(x) * r).astype(np.int64)
 
 
+def _round6_spark_np(x):
+    """Vectorized EXACT replica of Spark's ``round(double, 6)``.
+
+    Spark rounds a double via ``BigDecimal.valueOf(x).setScale(6,
+    HALF_UP)`` — HALF_UP on the double's SHORTEST DECIMAL REPR (Java's
+    Double.toString ≡ Python's repr: both shortest-roundtrip).  Fast path:
+    half-up on the scaled double (floor(|x|·1e6 + 0.5)); its only possible
+    disagreements with the repr-based result live within ~1e-9 of a .5
+    boundary of x·1e6 (double scaling error ~ulp(1e6·x) ≈ 1e-10, repr gap
+    ≤ half an ulp), so every element within 1e-6 of a boundary is re-done
+    exactly with decimal.Decimal(repr(x)).  The suspect band is measured
+    empty on real cosine corpora — the fallback is correctness insurance,
+    not a hot path."""
+    import numpy as np
+
+    a = np.abs(x)
+    scaled = a * 1e6
+    r = np.sign(x) * np.floor(scaled + 0.5) / 1e6
+    frac = scaled - np.floor(scaled)
+    suspect = np.abs(frac - 0.5) < 1e-6
+    if suspect.any():
+        import decimal
+
+        q = decimal.Decimal("0.000001")
+        flat_x = np.asarray(x, dtype=np.float64)
+        out = r.ravel()
+        for i in np.flatnonzero(suspect.ravel()):
+            out[i] = float(
+                decimal.Decimal(repr(float(flat_x.ravel()[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        r = out.reshape(r.shape)
+    return r
+
+
 def rh_signatures_exact(
     emb: DataFrame,
     n_planes: int = N_PLANES,
@@ -375,6 +411,7 @@ def _ivf_fit_centroids(
     (16×64 longs), not data — the standard k-means fit shape on Spark.
     """
     import numpy as np
+    import pandas as pd
 
     seed_key = md5_long_col(F.concat(F.lit("seed:"), F.col("vid").cast("string")))
     seeds = (
@@ -384,29 +421,56 @@ def _ivf_fit_centroids(
         .collect()
     )
     cents = [(int(r.vid), list(map(int, r.q))) for r in seeds]
-    spark = base.sparkSession
+    narrow = base.select("vid", "q")
     for _ in range(n_iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, vec) for cid, vec in cents], "centroid_id long, cq array<long>"
-            )
-        )
-        cos = _cosine_from_ints(
-            dot_int_col(F.col("q"), F.col("cq")),
-            norm2_int_col(F.col("q")),
-            norm2_int_col(F.col("cq")),
-        )
-        w = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("centroid_id").asc())
-        assigned = (
-            base.join(cdf)
-            .select("vid", "q", "centroid_id", cos.alias("c"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-        )
+        # One map-only Arrow pass per Lloyd round (r8: was broadcast-join →
+        # interpreted HOF cosine → window rank → 2M-row posexplode groupBy,
+        # three stages and ~1.2 s/round at sf0.1): each batch computes the
+        # exact int64 dot matrix with one matmul, replays Spark's rounded
+        # cosine bit-for-bit (_round6_spark_np; division/multiplication
+        # order matches _cosine_from_ints), argmaxes over centroids sorted
+        # by centroid_id (ties → lowest id, the window's ordering), and
+        # emits per-PARTITION partial sums — k·dim tiny rows per task, so
+        # the groupBy shuffles kilobytes instead of exploding the corpus.
+        order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+        cids = np.array([cents[i][0] for i in order], dtype=np.int64)
+        C = np.array([cents[i][1] for i in order], dtype=np.int64)
+        nc2 = (C * C).sum(axis=1)
+
+        def kernel(batches, cids=cids, C=C, nc2=nc2):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype(np.int64, copy=False)
+                dots = Q @ C.T
+                na2 = (Q * Q).sum(axis=1)
+                cos = _round6_spark_np(
+                    dots.astype(np.float64)
+                    / (np.sqrt(na2.astype(np.float64))[:, None]
+                       * np.sqrt(nc2.astype(np.float64))[None, :])
+                )
+                best = cos.argmax(axis=1)  # first max = lowest centroid_id
+                onehot = np.zeros((len(Q), len(cids)), dtype=np.int64)
+                onehot[np.arange(len(Q)), best] = 1
+                sums = onehot.T @ Q            # k × dim partial sums
+                counts = onehot.sum(axis=0)    # members per centroid
+                k, dim = sums.shape
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": np.repeat(cids, dim),
+                        "j": np.tile(np.arange(dim, dtype=np.int64), k),
+                        "s": sums.ravel(),
+                        "n": np.repeat(counts, dim),
+                    }
+                )
+
         sums = (
-            assigned.select("centroid_id", F.posexplode("q").alias("j", "v"))
+            narrow.mapInPandas(
+                kernel, schema="centroid_id long, j long, s long, n long"
+            )
+            .filter(F.col("n") > 0)
             .groupBy("centroid_id", "j")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cid: dict[int, dict[int, tuple[int, int]]] = {}
