@@ -745,19 +745,79 @@ def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
     return bytes(s)
 
 
+# Word-table fast path (r8): the writer's own FIPS-197 four-table
+# formulation — LITTLE-endian column words (structurally distinct from the
+# engine's big-endian tables; the two codebases stay independent, equality
+# pinned by tests/test_aes_ttable.py).  SubBytes+ShiftRows+MixColumns per
+# column = 4 lookups + 4 xors; ~8x the per-byte walk above, which stays as
+# the readable reference.
+_TL0 = tuple(
+    _MUL2[s] | (s << 8) | (s << 16) | (_MUL3[s] << 24) for s in _SBOX
+)
+_TL1 = tuple(((t << 8) & 0xFFFFFFFF) | (t >> 24) for t in _TL0)
+_TL2 = tuple(((t << 16) & 0xFFFFFFFF) | (t >> 16) for t in _TL0)
+_TL3 = tuple(((t << 24) & 0xFFFFFFFF) | (t >> 8) for t in _TL0)
+
+
+def _aes_words_le(rks: list[bytes]) -> list[int]:
+    return [
+        int.from_bytes(rk[4 * j : 4 * j + 4], "little")
+        for rk in rks
+        for j in range(4)
+    ]
+
+
+def _aes_encrypt_block_le(rkw: list[int], nr: int, s0: int, s1: int, s2: int, s3: int):
+    """One block over little-endian column words; inputs pre-xored with
+    nothing (round-0 AddRoundKey happens here)."""
+    t0, t1, t2, t3, sb = _TL0, _TL1, _TL2, _TL3, _SBOX
+    s0 ^= rkw[0]
+    s1 ^= rkw[1]
+    s2 ^= rkw[2]
+    s3 ^= rkw[3]
+    i = 4
+    for _ in range(nr - 1):
+        u0 = t0[s0 & 255] ^ t1[(s1 >> 8) & 255] ^ t2[(s2 >> 16) & 255] ^ t3[s3 >> 24] ^ rkw[i]
+        u1 = t0[s1 & 255] ^ t1[(s2 >> 8) & 255] ^ t2[(s3 >> 16) & 255] ^ t3[s0 >> 24] ^ rkw[i + 1]
+        u2 = t0[s2 & 255] ^ t1[(s3 >> 8) & 255] ^ t2[(s0 >> 16) & 255] ^ t3[s1 >> 24] ^ rkw[i + 2]
+        u3 = t0[s3 & 255] ^ t1[(s0 >> 8) & 255] ^ t2[(s1 >> 16) & 255] ^ t3[s2 >> 24] ^ rkw[i + 3]
+        s0, s1, s2, s3 = u0, u1, u2, u3
+        i += 4
+    u0 = (sb[s0 & 255] | sb[(s1 >> 8) & 255] << 8 | sb[(s2 >> 16) & 255] << 16 | sb[s3 >> 24] << 24) ^ rkw[i]
+    u1 = (sb[s1 & 255] | sb[(s2 >> 8) & 255] << 8 | sb[(s3 >> 16) & 255] << 16 | sb[s0 >> 24] << 24) ^ rkw[i + 1]
+    u2 = (sb[s2 & 255] | sb[(s3 >> 8) & 255] << 8 | sb[(s0 >> 16) & 255] << 16 | sb[s1 >> 24] << 24) ^ rkw[i + 2]
+    u3 = (sb[s3 & 255] | sb[(s0 >> 8) & 255] << 8 | sb[(s1 >> 16) & 255] << 16 | sb[s2 >> 24] << 24) ^ rkw[i + 3]
+    return u0, u1, u2, u3
+
+
+def _aes_cbc_core(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC over whole blocks with the LE word cipher (no padding)."""
+    rkw = _aes_words_le(_aes_round_keys(key))
+    nr = len(rkw) // 4 - 1
+    p0 = int.from_bytes(iv[0:4], "little")
+    p1 = int.from_bytes(iv[4:8], "little")
+    p2 = int.from_bytes(iv[8:12], "little")
+    p3 = int.from_bytes(iv[12:16], "little")
+    out = bytearray()
+    for at in range(0, len(data), 16):
+        p0, p1, p2, p3 = _aes_encrypt_block_le(
+            rkw, nr,
+            int.from_bytes(data[at : at + 4], "little") ^ p0,
+            int.from_bytes(data[at + 4 : at + 8], "little") ^ p1,
+            int.from_bytes(data[at + 8 : at + 12], "little") ^ p2,
+            int.from_bytes(data[at + 12 : at + 16], "little") ^ p3,
+        )
+        out += p0.to_bytes(4, "little") + p1.to_bytes(4, "little") \
+            + p2.to_bytes(4, "little") + p3.to_bytes(4, "little")
+    return bytes(out)
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """IV-prefixed AES-CBC (128 or 256 by key length) with PKCS#7
     padding — the AESV2/AESV3 stream payload layout."""
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
-    rks = _aes_round_keys(key)
-    out = bytearray(iv)
-    prev = iv
-    for at in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
-        prev = _aes_encrypt_block(rks, block)
-        out += prev
-    return bytes(out)
+    return iv + _aes_cbc_core(key, iv, data)
 
 
 def object_aes_key(base_key: bytes, num: int, gen: int = 0) -> bytes:
@@ -893,14 +953,7 @@ def write_differences_pdf(
 
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Unpadded CBC — Algorithm 2.B state and the /UE key wrap."""
-    rks = _aes_round_keys(key)
-    prev = iv
-    out = bytearray()
-    for at in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
-        prev = _aes_encrypt_block(rks, blk)
-        out += prev
-    return bytes(out)
+    return _aes_cbc_core(key, iv, data)
 
 
 # driver-precomputed Algorithm 2.B entries (kdf_warm_entries), seeded into

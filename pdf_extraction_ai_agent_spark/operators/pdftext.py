@@ -687,25 +687,130 @@ def _aes_encrypt_block(w: list[bytes], block: bytes) -> bytes:
     return bytes(s)
 
 
+# --- 32-bit T-table AES (r8 fast path) --------------------------------------
+# FIPS-197 expressed as the classic four-table formulation: per round each
+# state COLUMN is one big-endian u32 and SubBytes+ShiftRows+MixColumns
+# collapse into 4 table lookups + 4 xors per column.  Profiled ~8-10x the
+# per-byte table walk above on Algorithm 2.B (64+ rounds x ~128 CBC blocks
+# per KDF call) and on the AESV2/AESV3 stream paths.  The byte-state
+# functions above stay as the readable reference; equality between the two
+# is pinned by tests/test_aes_ttable.py.
+
+_TE0 = tuple(
+    (_M2[s] << 24) | (s << 16) | (s << 8) | _M3[s] for s in _AES_SBOX
+)
+_TE1 = tuple(((t >> 8) | ((t & 0xFF) << 24)) for t in _TE0)
+_TE2 = tuple(((t >> 16) | ((t & 0xFFFF) << 16)) for t in _TE0)
+_TE3 = tuple(((t >> 24) | ((t & 0xFFFFFF) << 8)) for t in _TE0)
+_TD0 = tuple(
+    (_M14[s] << 24) | (_M9[s] << 16) | (_M13[s] << 8) | _M11[s]
+    for s in _AES_INV_SBOX
+)
+_TD1 = tuple(((t >> 8) | ((t & 0xFF) << 24)) for t in _TD0)
+_TD2 = tuple(((t >> 16) | ((t & 0xFFFF) << 16)) for t in _TD0)
+_TD3 = tuple(((t >> 24) | ((t & 0xFFFFFF) << 8)) for t in _TD0)
+
+
+def _aes_enc_words(key: bytes) -> list[int]:
+    """Flat big-endian u32 round-key words from the byte schedule."""
+    return [
+        int.from_bytes(w[4 * j : 4 * j + 4], "big")
+        for w in _aes_expand_key(key)
+        for j in range(4)
+    ]
+
+
+def _inv_mix_word(w: int) -> int:
+    a0, a1, a2, a3 = w >> 24, (w >> 16) & 255, (w >> 8) & 255, w & 255
+    return (
+        (_M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]) << 24
+        | (_M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]) << 16
+        | (_M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]) << 8
+        | (_M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3])
+    )
+
+
+def _aes_dec_words(key: bytes) -> list[int]:
+    """Round keys for the equivalent inverse cipher: reversed round order,
+    InvMixColumns applied to every middle round key."""
+    enc = _aes_enc_words(key)
+    nr = len(enc) // 4 - 1
+    dk = list(enc[4 * nr : 4 * nr + 4])
+    for r in range(1, nr):
+        dk.extend(_inv_mix_word(w) for w in enc[4 * (nr - r) : 4 * (nr - r) + 4])
+    dk.extend(enc[0:4])
+    return dk
+
+
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
-    w = _aes_expand_key(key)
-    prev = iv
+    rk = _aes_enc_words(key)
+    nr = len(rk) // 4 - 1
+    te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _AES_SBOX
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
     out = bytearray()
     for at in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[at : at + 16], prev))
-        prev = _aes_encrypt_block(w, blk)
-        out += prev
+        s0 = (int.from_bytes(data[at : at + 4], "big") ^ p0) ^ rk[0]
+        s1 = (int.from_bytes(data[at + 4 : at + 8], "big") ^ p1) ^ rk[1]
+        s2 = (int.from_bytes(data[at + 8 : at + 12], "big") ^ p2) ^ rk[2]
+        s3 = (int.from_bytes(data[at + 12 : at + 16], "big") ^ p3) ^ rk[3]
+        i = 4
+        for _ in range(nr - 1):
+            t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 255] ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ rk[i]
+            t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 255] ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ rk[i + 1]
+            t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 255] ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ rk[i + 2]
+            t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 255] ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ rk[i + 3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+            i += 4
+        p0 = (sb[s0 >> 24] << 24 | sb[(s1 >> 16) & 255] << 16 | sb[(s2 >> 8) & 255] << 8 | sb[s3 & 255]) ^ rk[i]
+        p1 = (sb[s1 >> 24] << 24 | sb[(s2 >> 16) & 255] << 16 | sb[(s3 >> 8) & 255] << 8 | sb[s0 & 255]) ^ rk[i + 1]
+        p2 = (sb[s2 >> 24] << 24 | sb[(s3 >> 16) & 255] << 16 | sb[(s0 >> 8) & 255] << 8 | sb[s1 & 255]) ^ rk[i + 2]
+        p3 = (sb[s3 >> 24] << 24 | sb[(s0 >> 16) & 255] << 16 | sb[(s1 >> 8) & 255] << 8 | sb[s2 & 255]) ^ rk[i + 3]
+        out += p0.to_bytes(4, "big") + p1.to_bytes(4, "big") \
+            + p2.to_bytes(4, "big") + p3.to_bytes(4, "big")
     return bytes(out)
 
 
+def _aes_decrypt_block_words(dk: list[int], nr: int, block: bytes) -> tuple[int, int, int, int]:
+    td0, td1, td2, td3, isb = _TD0, _TD1, _TD2, _TD3, _AES_INV_SBOX
+    s0 = int.from_bytes(block[0:4], "big") ^ dk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ dk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ dk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ dk[3]
+    i = 4
+    for _ in range(nr - 1):
+        t0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 255] ^ td2[(s2 >> 8) & 255] ^ td3[s1 & 255] ^ dk[i]
+        t1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 255] ^ td2[(s3 >> 8) & 255] ^ td3[s2 & 255] ^ dk[i + 1]
+        t2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 255] ^ td2[(s0 >> 8) & 255] ^ td3[s3 & 255] ^ dk[i + 2]
+        t3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 255] ^ td2[(s1 >> 8) & 255] ^ td3[s0 & 255] ^ dk[i + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        i += 4
+    o0 = (isb[s0 >> 24] << 24 | isb[(s3 >> 16) & 255] << 16 | isb[(s2 >> 8) & 255] << 8 | isb[s1 & 255]) ^ dk[i]
+    o1 = (isb[s1 >> 24] << 24 | isb[(s0 >> 16) & 255] << 16 | isb[(s3 >> 8) & 255] << 8 | isb[s2 & 255]) ^ dk[i + 1]
+    o2 = (isb[s2 >> 24] << 24 | isb[(s1 >> 16) & 255] << 16 | isb[(s0 >> 8) & 255] << 8 | isb[s3 & 255]) ^ dk[i + 2]
+    o3 = (isb[s3 >> 24] << 24 | isb[(s2 >> 16) & 255] << 16 | isb[(s1 >> 8) & 255] << 8 | isb[s0 & 255]) ^ dk[i + 3]
+    return o0, o1, o2, o3
+
+
 def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
-    w = _aes_expand_key(key)
-    prev = iv
+    dk = _aes_dec_words(key)
+    nr = len(dk) // 4 - 1
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
     out = bytearray()
     for at in range(0, len(data), 16):
         blk = data[at : at + 16]
-        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(w, blk), prev))
-        prev = blk
+        o0, o1, o2, o3 = _aes_decrypt_block_words(dk, nr, blk)
+        out += (o0 ^ p0).to_bytes(4, "big") + (o1 ^ p1).to_bytes(4, "big") \
+            + (o2 ^ p2).to_bytes(4, "big") + (o3 ^ p3).to_bytes(4, "big")
+        p0 = int.from_bytes(blk[0:4], "big")
+        p1 = int.from_bytes(blk[4:8], "big")
+        p2 = int.from_bytes(blk[8:12], "big")
+        p3 = int.from_bytes(blk[12:16], "big")
     return bytes(out)
 
 
@@ -762,14 +867,7 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
     caller bails to the library chain."""
     if len(data) < 32 or len(data) % 16:
         return None
-    w = _aes_expand_key(key)
-    prev = data[:16]
-    out = bytearray()
-    for at in range(16, len(data), 16):
-        block = data[at : at + 16]
-        plain = _aes_decrypt_block(w, block)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    out = bytearray(_aes_cbc_decrypt_nopad(key, data[:16], data[16:]))
     pad = out[-1]
     if not 1 <= pad <= 16 or pad > len(out):
         return None
