@@ -391,7 +391,12 @@ _Q45_RULES = "\n".join(
 
 def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .entry_queries import _spread
-    from .operators.texttables import detect_lattice_tables, pdf_rulings, pdf_runs
+    from .operators.texttables import (
+        detect_lattice_tables,
+        layout_runs_rulings,
+        pdf_layout_elements,
+    )
+    from .plans.cache import tracked_persist
 
     li = _spread(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3),
@@ -429,7 +434,12 @@ def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nBT 60 40 Td (End of report) Tj ET"),
         ).alias("text")
     )
-    return detect_lattice_tables(pdf_runs(doc), pdf_rulings(doc))
+    # ONE parse pass, persisted: the five lattice plan legs (runs placement
+    # + h/v rulings twice each) read the cached narrow elements frame
+    # instead of re-running doc-build + posexplode + regexes per leg
+    # (was 10 source scans in the physical plan — plans/r08)
+    elements = tracked_persist(pdf_layout_elements(doc), serialized=True)
+    return detect_lattice_tables(*layout_runs_rulings(elements))
 
 
 def _q45_sql() -> str:
@@ -582,18 +592,28 @@ def q46_lattice_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("row_idx")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    j = (
-        rows.withColumn(
-            "headers",
-            F.first(
-                F.when(F.col("row_idx") == 0, F.col("cells")), ignorenulls=True
-            ).over(w_hdr),
-        )
-        .filter((F.col("row_idx") > 0) & F.col("headers").isNotNull())
+    # r8: resolve the header indices ON THE HEADER ROW (once per page,
+    # inside the same window that used to carry the whole headers array)
+    # and ship three small ints to the data rows — the find_col_idx_col
+    # candidate scans are interpreted array HOFs, and evaluating them per
+    # DATA row (4x the header rows) was ~1s of the q46 marginal at sf0.1.
+    # Gating is unchanged: hidx is non-null exactly when row_idx==0 exists
+    # for the page (the old headers-isNotNull filter).
+    hdr_struct = F.when(
+        F.col("row_idx") == 0,
+        F.struct(
+            find_col_idx_col(F.col("cells"), ["claim", "claim number"]).alias("i_claim"),
+            find_col_idx_col(F.col("cells"), ["date", "loss date"]).alias("i_date"),
+            find_col_idx_col(F.col("cells"), ["paid", "total paid"]).alias("i_paid"),
+        ),
     )
-    i_claim = find_col_idx_col(F.col("headers"), ["claim", "claim number"])
-    i_date = find_col_idx_col(F.col("headers"), ["date", "loss date"])
-    i_paid = find_col_idx_col(F.col("headers"), ["paid", "total paid"])
+    j = (
+        rows.withColumn("hidx", F.first(hdr_struct, ignorenulls=True).over(w_hdr))
+        .filter((F.col("row_idx") > 0) & F.col("hidx").isNotNull())
+    )
+    i_claim = F.col("hidx.i_claim")
+    i_date = F.col("hidx.i_date")
+    i_paid = F.col("hidx.i_paid")
 
     def cell(idx):
         v = F.when(idx.isNotNull() & (idx <= F.size("cells")),

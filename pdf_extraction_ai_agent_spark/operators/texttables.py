@@ -148,6 +148,73 @@ def pdf_rulings(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") 
     )
 
 
+def pdf_layout_elements(
+    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """ONE posexplode + regex pass yielding BOTH positioned runs and ruling
+    segments, kind-tagged by which columns are non-null:
+    (doc_id, page, line_no, x, y, txt, x1, y1, x2, y2).
+
+    r8: the lattice pipeline consumed ``pdf_runs(doc)`` and
+    ``pdf_rulings(doc)`` as five separate plan legs (runs placement, h/v
+    rulings twice each for the mutual-intersection validation), and each
+    leg re-ran the whole doc aggregation, posexplode, per-line regexes and
+    the page forward-fill window — 10 source scans in q45's physical plan.
+    Parsing once (every line pays PDF_RUN_RE / PDF_RULE_RE / PDF_PAGE_RE a
+    single time) and ``tracked_persist``-ing the result lets every leg read
+    the cached narrow frame instead — the same operator-internal persist
+    discipline as the LSH signature tables (plans/cache.py).  Semantics
+    are EXACTLY pdf_runs ∪ pdf_rulings: filters on the tagged columns
+    reproduce each original frame bit-for-bit."""
+    lines = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    page_m = F.regexp_extract("line", spec.PDF_PAGE_RE, 1)
+    parsed = lines.select(
+        "doc_id", "line_no",
+        F.when(page_m != "", page_m.cast("int")).alias("page_marker"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 1).alias("xs"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 2).alias("ys"),
+        F.regexp_extract("line", spec.PDF_RUN_RE, 3).alias("txt"),
+        *[
+            F.regexp_extract("line", spec.PDF_RULE_RE, i + 1).alias(c)
+            for i, c in enumerate(["x1s", "y1s", "x2s", "y2s"])
+        ],
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parsed.withColumn("page", F.last("page_marker", ignorenulls=True).over(w))
+        .filter(((F.col("xs") != "") | (F.col("x1s") != "")) & F.col("page").isNotNull())
+        .select(
+            "doc_id", "page", "line_no",
+            F.when(F.col("xs") != "", F.col("xs").cast("double")).alias("x"),
+            F.when(F.col("xs") != "", F.col("ys").cast("double")).alias("y"),
+            F.when(F.col("xs") != "", F.col("txt")).alias("txt"),
+            F.when(F.col("x1s") != "", F.col("x1s").cast("double")).alias("x1"),
+            F.when(F.col("x1s") != "", F.col("y1s").cast("double")).alias("y1"),
+            F.when(F.col("x1s") != "", F.col("x2s").cast("double")).alias("x2"),
+            F.when(F.col("x1s") != "", F.col("y2s").cast("double")).alias("y2"),
+        )
+    )
+
+
+def layout_runs_rulings(elements: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a (persisted) pdf_layout_elements frame back into the
+    (runs, rulings) pair detect_lattice_tables consumes."""
+    runs = elements.filter(F.col("x").isNotNull()).select(
+        "doc_id", "page", "line_no", "x", "y", "txt"
+    )
+    rulings = elements.filter(F.col("x1").isNotNull()).select(
+        "doc_id", "page", "x1", "y1", "x2", "y2"
+    )
+    return runs, rulings
+
+
 def real_pdf_runs(df: DataFrame, payload_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
     """(doc_id, page, line_no, x, y, txt) positioned text runs parsed from
     REAL PDF bytes (latin-1 string payloads) by the dependency-free
@@ -247,7 +314,9 @@ def detect_lattice_tables(
             F.least("y1", "y2").alias("vy_lo"), F.greatest("y1", "y2").alias("vy_hi"),
         )
     )
-    cross = h.join(v, ["doc_id", "page"]).filter(
+    # merge hint: h and v are both corpus-sized (see the placed joins
+    # below) — broadcast only looks right under small local cache stats
+    cross = h.join(v.hint("merge"), ["doc_id", "page"]).filter(
         (F.col("hy") >= F.col("vy_lo")) & (F.col("hy") <= F.col("vy_hi"))
         & (F.col("vx") >= F.col("hx_lo")) & (F.col("vx") <= F.col("hx_hi"))
     )
@@ -285,10 +354,19 @@ def detect_lattice_tables(
             F.col("vx").alias("x_lo"), "x_hi",
         )
     )
+    # merge hints (r8): every side of the band-placement joins is
+    # corpus-sized (runs and bands both grow with the corpus), so
+    # sort-merge is the only strategy that survives 100 TB — and when runs
+    # and bands come from one persisted elements frame they are already
+    # co-partitioned on doc_id, so the SMJ plans with NO exchange at all.
+    # Without the hint, the cached frame's small local statistics made the
+    # planner BROADCAST the 1.8M-row runs side (~hundreds of MB built
+    # single-threaded, lingering until GC — measured inflating every
+    # query that ran after the lattice pair in the bench session).
     placed = (
-        runs.join(row_bands, ["doc_id", "page"])
+        runs.join(row_bands.hint("merge"), ["doc_id", "page"])
         .filter((F.col("y") > F.col("y_lo")) & (F.col("y") < F.col("y_hi")))
-        .join(col_bands, ["doc_id", "page"])
+        .join(col_bands.hint("merge"), ["doc_id", "page"])
         .filter((F.col("x") > F.col("x_lo")) & (F.col("x") < F.col("x_hi")))
     )
     return placed.groupBy("doc_id", F.col("page").cast("int").alias("page"),

@@ -23,9 +23,20 @@ from pyspark.sql import DataFrame
 _TRACKED: list[DataFrame] = []
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for deferred release via release_tracked()."""
-    df.persist()
+def tracked_persist(df: DataFrame, serialized: bool = False) -> DataFrame:
+    """persist() + register for deferred release via release_tracked().
+
+    ``serialized=True`` stores MEMORY_AND_DISK (serialized columnar blocks)
+    instead of the DataFrame default deserialized level — the right choice
+    for corpus-sized intermediates (r8: the lattice elements cache held
+    deserialized row objects whose GC pressure measurably slowed every
+    query that ran after it in a shared session)."""
+    if serialized:
+        from pyspark import StorageLevel
+
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        df.persist()
     _TRACKED.append(df)
     return df
 
@@ -38,11 +49,14 @@ def track(df: DataFrame) -> DataFrame:
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked frame (blocking=False); returns the count."""
+    """Unpersist every tracked frame (blocking — r8: the async default left
+    hundreds of MB of cached blocks alive through the NEXT queries' actions
+    in a shared session, showing up as GC drag on every query after a
+    cache-heavy one); returns the count."""
     n = len(_TRACKED)
     for df in _TRACKED:
         try:
-            df.unpersist()
+            df.unpersist(blocking=True)
         except Exception:
             pass  # session already stopped — nothing to release
     _TRACKED.clear()
