@@ -197,7 +197,11 @@ def q50_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-split discipline (r7 verdict nit): mirror _docs' spread so
+    # per-row work above this reader never serializes onto one core
+    from .entry_queries import _spread
+
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
 def _q50_sql() -> str:

@@ -46,7 +46,13 @@ def bpe_merges(
     (word, n_occ, bpe_tokens: space-joined symbols) — and ``merges`` is
     the learned [(round, sym_a, sym_b, pair_count), …] list (driver-side,
     bounded: it IS the tokenizer)."""
-    wf = (
+    from ..plans.cache import tracked_persist
+
+    # persist the bounded word-frequency table (r8, advisor finding): every
+    # merge round's argmax collect re-executed the FULL corpus explode +
+    # groupBy lineage without it (n_merges+1 corpus scans), contradicting
+    # the "only the first step sees the corpus" contract above
+    wf = tracked_persist(
         df.select(F.explode(words_col(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")

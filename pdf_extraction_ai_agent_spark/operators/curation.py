@@ -281,7 +281,8 @@ def temperature_sample(
 
         w_s      = floor(sqrt(n_s) · 10^6)            (exact BIGINT)
         rate_ppm = min(10^6, floor((w_s·10^6/W) · N / n_s))
-        keep     ⇔ md5_long('tsamp:<salt>:'||id) % 10^6 < rate_ppm
+        keep     ⇔ md5_long('<salt>:'||id) % 10^6 < rate_ppm
+                   (default salt 'tsamp' → 'tsamp:', the q87 oracle's key)
 
     α is pinned to 1/2 on purpose: IEEE-754 sqrt / * / / are correctly
     rounded in every engine, so with integer inputs (w_s, W, N, n_s) and a

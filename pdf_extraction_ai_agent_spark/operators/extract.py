@@ -92,21 +92,27 @@ def _extract_html_batch(s: pd.Series) -> pd.Series:
     # C-substring prefilters before the (slow, dotall) realism regexes —
     # corpora without script/style/table markup pay ~nothing (same
     # discipline as pdftext's /ObjStm prefilter)
+    # case=False (r8, advisor finding): the rewrite regexes are (?i) and
+    # the oracle's HTMLParser lowercases tag names, so a case-sensitive
+    # prefilter would skip '<SCRIPT>'/'<BR>'/'</TD>' payloads on the
+    # engine side only — a latent twin-parity break; one lowered copy
+    # keeps the gate a C-level scan
+    low = s.str.lower()
     skip_mask = pd.Series(False, index=s.index)
     for t in spec.HTML_SKIP_TAGS:
-        skip_mask |= s.str.contains("<" + t, regex=False, na=False)
+        skip_mask |= low.str.contains("<" + t, regex=False, na=False)
     if skip_mask.any():
         s = s.copy()
         s[skip_mask] = s[skip_mask].str.replace(_SKIP_SPAN_RE, "", regex=True)
-    br_mask = s.str.contains("<br", regex=False, na=False)
+    br_mask = low.str.contains("<br", regex=False, na=False)
     if br_mask.any():
         s = s.copy()
         s[br_mask] = s[br_mask].str.replace(
             r"(?i)<br\s*/?\s*>", " ", regex=True
         )
-    cell_mask = s.str.contains("</td", regex=False, na=False) | s.str.contains(
+    cell_mask = low.str.contains("</td", regex=False, na=False) | low.str.contains(
         "</th", regex=False, na=False
-    ) | s.str.contains("</tr", regex=False, na=False)
+    ) | low.str.contains("</tr", regex=False, na=False)
     if cell_mask.any():
         s = s.copy()
         s[cell_mask] = s[cell_mask].str.replace(

@@ -186,7 +186,9 @@ def _round6_spark_np(x):
                 )
             )
         r = out.reshape(r.shape)
-    return r
+    # BigDecimal HALF_UP yields +0.0 for values rounding to zero; the
+    # sign() fast path would keep -0.0 — normalize to match
+    return r + 0.0
 
 
 def rh_signatures_exact(
@@ -291,36 +293,71 @@ def embedding_near_dup_pairs(
     the spec and of the DuckDB oracle) — recall vs the all-pairs form is
     pinned in tests/test_dedup_similarity.py.
 
-    Plan: map-only signature kernel → narrow band explode → band-bucket
-    self-equi-join (the only corpus shuffle; AQE splits skewed buckets,
-    ``max_bucket`` drops adversarial mega-buckets) → exact verify on
-    candidates only. No cartesian / BroadcastNestedLoopJoin (pinned in
+    Plan (r8 bucket-local Gram): map-only signature kernel → band explode
+    CARRYING the quantized vector (each vector rides the bucket shuffle
+    once per band — n·n_bands narrow rows) → per-bucket Arrow kernel that
+    computes the bucket's exact int64 Gram matrix with ONE matmul, replays
+    Spark's rounded cosine bit-for-bit (_round6_spark_np) and keeps only
+    pairs ≥ threshold → distinct across buckets.  The previous shape
+    exploded candidate PAIRS first and attached both vectors per pair:
+    2·|candidate pairs| vector transfers through the Python boundary
+    (1.8M pairs ≈ 1.8 GB at sf0.1's demo geometry) and a corpus-wide
+    distinct BEFORE the threshold filter; now vectors move n_bands×
+    (16k rows ≈ 8 MB) and the distinct sees only survivors.  AQE splits
+    skewed buckets; ``max_bucket`` still drops adversarial mega-buckets.
+    No cartesian / BroadcastNestedLoopJoin (pinned in
     tests/test_plan_shapes.py). Defaults are the PRODUCTION geometry
     (64 planes × 8-bit bands) sized for real thresholds (≥0.9); pass the
     demo 16×2 (N_PLANES/BAND_BITS) for low-threshold exploratory runs —
     the oracle-gated q36 does, matching its DuckDB twin.
     """
+    import numpy as np
+    import pandas as pd
+
     base = tracked_persist(rh_signatures_exact(emb, n_planes, dim, id_col, vec_col))
-    bands = _band_explode(base, n_planes, band_bits)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("sig"), band_bits * b).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = base.select("vid", "q", F.explode(band_arr).alias("band")).select(
+        "vid", "q", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
     if max_bucket is not None:
         counts = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
         bands = bands.join(
             counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_idx", "band_key"]
         )
-    l = bands.select(F.col("vid").alias("id_a"), "band_idx", "band_key")
-    r = bands.select(F.col("vid").alias("id_b"), "band_idx", "band_key")
-    cand = (
-        l.join(r, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    thr = float(threshold)
+
+    def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = pdf["vid"].to_numpy().astype(np.int64, copy=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64, copy=False)
+        G = V @ V.T
+        n2 = np.sqrt(np.diagonal(G).astype(np.float64))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = _round6_spark_np(G[iu, ju].astype(np.float64) / (n2[iu] * n2[ju]))
+        keep = cos >= thr
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": cos[keep]}
+        )
+
+    scored = bands.groupBy("band_idx", "band_key").applyInPandas(
+        bucket_kernel, schema="id_a long, id_b long, cosine double"
     )
-    qa = base.select(F.col("vid").alias("id_a"), F.col("q").alias("qa"))
-    qb = base.select(F.col("vid").alias("id_b"), F.col("q").alias("qb"))
-    scored = pair_scores_exact(cand.join(qa, "id_a").join(qb, "id_b"), "id_a", "id_b")
-    return scored.select(
-        "id_a", "id_b", _cosine_from_ints(F.col("dot"), F.col("na2"), F.col("nb2")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return scored.distinct()
 
 
 def embedding_near_dup_pairs_allpairs(

@@ -68,8 +68,18 @@ def cached_exact_dup_losers(
         cached = spark.read.format(fmt).load(sub)
         cached.limit(1).collect()  # existence probe (empty dir → raise)
         return cached
-    except Exception:
-        pass
+    except Exception as e:
+        # only a MISSING cache may fall through to a recompute (advisor
+        # finding: swallowing every read error silently re-scanned the
+        # corpus AND overwrote the stored loser list on e.g. a transient
+        # permission failure or a corrupt file — fail loudly instead)
+        name = type(e).__name__
+        missing = (
+            "AnalysisException" in name
+            and ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e))
+        ) or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        if not missing:
+            raise
     losers = exact_dup_losers(docs, id_col, text_col)
     losers.write.format(fmt).mode("overwrite").save(sub)
     return spark.read.format(fmt).load(sub)

@@ -176,14 +176,17 @@ def streaming_window_dedup_chunks(
         rows = pd.concat(list(pdfs), ignore_index=True)
         if rows.empty:
             return
-        rows = rows.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        # id_col, not a hardcoded 'doc_id' (advisor finding: chunk_hashes
+        # names its id column after id_col, so a non-default caller raised
+        # KeyError here)
+        rows = rows.sort_values([id_col, "pos"]).reset_index(drop=True)
         best = rows.iloc[0]
         if state.exists:
             return  # digest already represented by an earlier trigger
-        state.update((int(best["doc_id"]), int(best["pos"])))
+        state.update((int(best[id_col]), int(best["pos"])))
         yield pd.DataFrame(
             {
-                "doc_id": [int(best["doc_id"])],
+                id_col: [int(best[id_col])],
                 "pos": [int(best["pos"])],
                 "chunk": [best["chunk"]],
             }
@@ -193,7 +196,7 @@ def streaming_window_dedup_chunks(
         hashed.groupBy("h")
         .applyInPandasWithState(
             update,
-            outputStructType="doc_id long, pos int, chunk string",
+            outputStructType=f"{id_col} long, pos int, chunk string",
             stateStructType="d long, p int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
