@@ -392,11 +392,9 @@ _Q45_RULES = "\n".join(
 def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .entry_queries import _spread
     from .operators.texttables import (
-        detect_lattice_tables,
-        layout_runs_rulings,
+        lattice_cells_from_elements,
         pdf_layout_elements,
     )
-    from .plans.cache import tracked_persist
 
     li = _spread(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3),
@@ -434,12 +432,12 @@ def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nBT 60 40 Td (End of report) Tj ET"),
         ).alias("text")
     )
-    # ONE parse pass, persisted: the five lattice plan legs (runs placement
-    # + h/v rulings twice each) read the cached narrow elements frame
-    # instead of re-running doc-build + posexplode + regexes per leg
-    # (was 10 source scans in the physical plan — plans/r08)
-    elements = tracked_persist(pdf_layout_elements(doc), serialized=True)
-    return detect_lattice_tables(*layout_runs_rulings(elements))
+    # ONE linear pass (r8): doc build → combined line parse → one
+    # (doc_id, page) shuffle → per-page grid kernel. The round-start plan
+    # re-ran the doc-build + posexplode + regexes FIVE times (runs
+    # placement + h/v rulings twice each; 10 source scans) and cascaded
+    # 4 sort-merge joins — see plans/r08/q45_* before/after.
+    return lattice_cells_from_elements(pdf_layout_elements(doc))
 
 
 def _q45_sql() -> str:

@@ -279,7 +279,167 @@ def detect_lattice_tables(
     rulings: DataFrame,
     min_cross: int = 2,
 ) -> DataFrame:
-    """True lattice-table extraction from drawn ruling lines (completes S11;
+    """Lattice-table extraction from drawn ruling lines — per-page Arrow
+    kernel (r8 fast path; ``detect_lattice_tables_joins`` below is the
+    declarative reference, equality pinned by
+    tests/test_lattice_kernel_equivalence.py and the q45/q46 oracles).
+
+    The grid decision is page-local: mutual-intersection rule validation,
+    band construction and run placement all touch one page's ~tens of
+    elements.  The join form expressed that locality as 4 sort-merge
+    joins + 2 aggregations + 2 windows (6 shuffles of corpus-sized
+    frames, ~3.2 s at sf0.1 from a cached parse); here runs and rulings
+    are union-tagged, shuffled ONCE on (doc_id, page), and each python
+    task assembles its pages' grids in numpy (same O(rules² + runs·bands)
+    per page — a pathological mega-page is quadratic in either shape).
+    Semantics are byte-identical: same validation counts, strict band
+    containment, and cell text ordered by (x, txt-bytes) — the
+    array_sort-struct / DuckDB ``ORDER BY x, txt`` collation."""
+    tagged = runs.select(
+        "doc_id", F.col("page").cast("int").alias("page"),
+        "x", "y", "txt",
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("y1"),
+        F.lit(None).cast("double").alias("x2"),
+        F.lit(None).cast("double").alias("y2"),
+    ).unionByName(
+        rulings.select(
+            "doc_id", F.col("page").cast("int").alias("page"),
+            F.lit(None).cast("double").alias("x"),
+            F.lit(None).cast("double").alias("y"),
+            F.lit(None).cast("string").alias("txt"),
+            "x1", "y1", "x2", "y2",
+        )
+    )
+    return lattice_cells_from_elements(tagged, min_cross)
+
+
+def lattice_cells_from_elements(
+    elements: DataFrame, min_cross: int = 2
+) -> DataFrame:
+    """detect_lattice_tables over an already kind-tagged elements frame
+    (pdf_layout_elements' shape) — the single-pass q45 entry: the parse
+    feeds the page kernel directly, with no persist and no filter/union
+    split-and-rejoin (each of which re-read or re-derived the same rows)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        pg = pdf["page"].to_numpy(dtype=np.int64)
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        txt = pdf["txt"].to_numpy(dtype=object)
+        x1 = pdf["x1"].to_numpy(dtype=np.float64)
+        y1 = pdf["y1"].to_numpy(dtype=np.float64)
+        x2 = pdf["x2"].to_numpy(dtype=np.float64)
+        y2 = pdf["y2"].to_numpy(dtype=np.float64)
+        order = np.lexsort((pg, doc))
+        doc, pg = doc[order], pg[order]
+        x, y, txt = x[order], y[order], txt[order]
+        x1, y1, x2, y2 = x1[order], y1[order], x2[order], y2[order]
+        brk = np.flatnonzero((np.diff(doc) != 0) | (np.diff(pg) != 0)) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(doc)]))
+        o_doc: list[int] = []
+        o_page: list[int] = []
+        o_row: list[int] = []
+        o_col: list[int] = []
+        o_text: list[str] = []
+        for s, e in zip(starts, ends):
+            gx1, gy1, gx2, gy2 = x1[s:e], y1[s:e], x2[s:e], y2[s:e]
+            rule = ~np.isnan(gx1)
+            hm = rule & (gy1 == gy2) & (gx1 != gx2)
+            vm = rule & (gx1 == gx2) & (gy1 != gy2)
+            if not (hm.any() and vm.any()):
+                continue
+            hy = gy1[hm]
+            hx_lo = np.minimum(gx1[hm], gx2[hm])
+            hx_hi = np.maximum(gx1[hm], gx2[hm])
+            vx = gx1[vm]
+            vy_lo = np.minimum(gy1[vm], gy2[vm])
+            vy_hi = np.maximum(gy1[vm], gy2[vm])
+            # mutual-intersection counts, per RULE pair then summed per
+            # coordinate VALUE (duplicate-y rules pool their counts, as
+            # the (doc, page, hy) groupBy of the join form does)
+            C = (
+                (hy[:, None] >= vy_lo[None, :]) & (hy[:, None] <= vy_hi[None, :])
+                & (vx[None, :] >= hx_lo[:, None]) & (vx[None, :] <= hx_hi[:, None])
+            )
+            h_counts: dict[float, int] = {}
+            for yy, c in zip(hy, C.sum(axis=1)):
+                h_counts[yy] = h_counts.get(yy, 0) + int(c)
+            v_counts: dict[float, int] = {}
+            for xx, c in zip(vx, C.sum(axis=0)):
+                v_counts[xx] = v_counts.get(xx, 0) + int(c)
+            good_h = sorted((yy for yy, c in h_counts.items() if c >= min_cross), reverse=True)
+            good_v = sorted(xx for xx, c in v_counts.items() if c >= min_cross)
+            if len(good_h) < 2 or len(good_v) < 2:
+                continue
+            gm = ~np.isnan(x[s:e])
+            rx, ry, rt = x[s:e][gm], y[s:e][gm], txt[s:e][gm]
+            cells: dict[tuple[int, int], list[tuple[float, bytes, str]]] = {}
+            for xx, yy, tt in zip(rx, ry, rt):
+                ri = ci = -1
+                for i in range(len(good_h) - 1):
+                    if good_h[i + 1] < yy < good_h[i]:
+                        ri = i
+                        break
+                if ri < 0:
+                    continue
+                for j in range(len(good_v) - 1):
+                    if good_v[j] < xx < good_v[j + 1]:
+                        ci = j
+                        break
+                if ci < 0:
+                    continue
+                cells.setdefault((ri, ci), []).append((xx, tt.encode("utf-8"), tt))
+            d, p = int(doc[s]), int(pg[s])
+            for (ri, ci), items in cells.items():
+                items.sort(key=lambda it: (it[0], it[1]))
+                o_doc.append(d)
+                o_page.append(p)
+                o_row.append(ri)
+                o_col.append(ci)
+                o_text.append(" ".join(it[2] for it in items))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(o_doc, dtype="int64"),
+                "page": pd.Series(o_page, dtype="int32"),
+                "row_idx": pd.Series(o_row, dtype="int32"),
+                "col_idx": pd.Series(o_col, dtype="int32"),
+                "cell_text": pd.Series(o_text, dtype=object),
+            }
+        )
+
+    n = elements.sparkSession.sparkContext.defaultParallelism
+    return (
+        elements.select(
+            "doc_id", F.col("page").cast("int").alias("page"),
+            "x", "y", "txt", "x1", "y1", "x2", "y2",
+        )
+        .repartition(n, F.col("doc_id"), F.col("page"))
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, page int, row_idx int, col_idx int, cell_text string",
+        )
+    )
+
+
+def detect_lattice_tables_joins(
+    runs: DataFrame,
+    rulings: DataFrame,
+    min_cross: int = 2,
+) -> DataFrame:
+    """Declarative (join-form) twin of ``detect_lattice_tables`` — kept as
+    the readable reference implementation; equality with the kernel is
+    pinned by tests/test_lattice_kernel_equivalence.py.
+
+    True lattice-table extraction from drawn ruling lines (completes S11;
     reference camelot_extractor.py:11-14, flavor="lattice"): the grid comes
     from horizontal/vertical segment INTERSECTIONS, so text needs no column
     x-alignment at all — the case detect_layout_tables (q44) cannot handle.
@@ -397,8 +557,15 @@ def lattice_cells_to_padded_rows(cells: DataFrame) -> DataFrame:
     parse subtree (ruling intersections + band joins) re-executed per
     branch. The plan is now linear: the parse runs once."""
     w_page = Window.partitionBy("doc_id", "page")
+    # r8: key the exchange to (doc_id, page) up front — that clustering
+    # satisfies BOTH the row aggregate (subset of its grouping key; the
+    # collect-map agg gains nothing from map-side partials anyway) and the
+    # pad-width window, so the plan needs ONE shuffle here instead of two
+    # (hash(doc,page,row) for the agg, then hash(doc,page) for the window).
+    n = cells.sparkSession.sparkContext.defaultParallelism
     return (
-        cells.groupBy("doc_id", "page", "row_idx")
+        cells.repartition(n, F.col("doc_id"), F.col("page"))
+        .groupBy("doc_id", "page", "row_idx")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("col_idx", "cell_text"))
