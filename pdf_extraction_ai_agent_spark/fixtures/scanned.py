@@ -44,6 +44,33 @@ def _font_blocks() -> dict[str, tuple[bool, ...]]:
     return out
 
 
+_NOISE_TABLES = None
+
+
+def _noise_template_tables():
+    """Memoized (template matrix, char -> full-block bytes, cropped-bytes
+    -> char) for add_scan_noise — rebuilt per PAGE before r8 (~15% of the
+    noise cost); all three are pure derivations of spec.OCR_FONT_5X7."""
+    global _NOISE_TABLES
+    if _NOISE_TABLES is None:
+        import numpy as np
+
+        blocks = _font_blocks()
+        tmpl = np.array(list(blocks.values()), dtype=bool)  # (n_templates, 35)
+        blocks_bytes = {
+            ch: np.array(v, dtype=bool).tobytes() for ch, v in blocks.items()
+        }
+        cropped = {}
+        for ch, rows in spec.OCR_FONT_5X7.items():
+            bits = np.array(
+                [[px == "X" for px in row] for row in rows], dtype=bool
+            )
+            ink = np.flatnonzero(bits.any(axis=1))
+            cropped[bits[ink[0]: ink[-1] + 1].tobytes()] = ch
+        _NOISE_TABLES = (tmpl, blocks_bytes, cropped)
+    return _NOISE_TABLES
+
+
 def add_scan_noise(
     width: int, height: int, raw: bytes, seed: int, flips_per_cell: int = 2
 ) -> bytes:
@@ -67,13 +94,7 @@ def add_scan_noise(
     import numpy as np
 
     buf = bytearray(raw)
-    blocks = _font_blocks()
-    tmpl = np.array(list(blocks.values()), dtype=bool)  # (n_templates, 35)
-    cropped = {}
-    for ch, rows in spec.OCR_FONT_5X7.items():
-        bits = [tuple(px == "X" for px in row) for row in rows]
-        ink = [i for i, r in enumerate(bits) if any(r)]
-        cropped[tuple(bits[ink[0]: ink[-1] + 1])] = ch
+    tmpl, blocks_bytes, cropped = _noise_template_tables()
 
     n_lines = (height - 2 * MARGIN - 7) // LINE_PITCH + 1
     n_cells = (width - 2 * MARGIN) // CELL_W
@@ -83,49 +104,116 @@ def add_scan_noise(
         y0, x0 = MARGIN + li * LINE_PITCH, MARGIN + ci * CELL_W
         return [(y0 + r) * width + x0 + c for r in range(7) for c in range(5)]
 
-    in_cell = set()
-    for li in range(n_lines):
+    # --- vectorized common path (r8): all cells' clean patterns, k=2 flip
+    # picks, and the full-block Hamming safety check are computed in a
+    # handful of whole-page numpy ops; only cells whose k=2 set fails
+    # (Hamming or alias guard) fall back to the original per-cell probe
+    # ladder.  Decisions and output bytes are IDENTICAL to the scalar form
+    # (pinned by test_add_scan_noise_vector_path_matches_scalar).
+    fallback_cells: list[tuple[int, int]] = []
+    if flips_per_cell == 2 and n_lines > 0 and n_cells > 0:
+        lis = np.repeat(np.arange(n_lines), n_cells)
+        cis = np.tile(np.arange(n_cells), n_lines)
+        keys = (lis * 4096 + cis).astype(np.uint64)
+        rows_idx = (MARGIN + lis[:, None] * LINE_PITCH
+                    + np.tile(np.arange(7), 5).reshape(5, 7).T.ravel()[None, :])
+        cols_idx = (MARGIN + cis[:, None] * CELL_W
+                    + np.tile(np.arange(5), 7)[None, :])
+        offs_mat = rows_idx * width + cols_idx          # (N, 35) flat offsets
+        C = (page.ravel()[offs_mat] < 128)              # clean patterns
+
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        SEED0 = np.uint64(0x9E3779B97F4A7C15)
+
+        def mix_v(j: int) -> "np.ndarray":
+            h = np.full(len(keys), SEED0, dtype=np.uint64)
+            for p in (np.uint64(seed & 0xFFFFFFFFFFFFFFFF), keys,
+                      np.uint64(j)):
+                h = (h ^ p) * M1
+                h ^= h >> np.uint64(31)
+            return h
+
+        with np.errstate(over="ignore"):
+            probes = np.stack([mix_v(j) % np.uint64(35) for j in range(6)])
+        p0 = probes[0].astype(np.int64)
+        p1 = np.full_like(p0, -1)
+        for j in range(1, 6):
+            cand = probes[j].astype(np.int64)
+            p1 = np.where((p1 < 0) & (cand != p0), cand, p1)
+        # cells whose first 2 distinct picks need j >= 6: scalar path
+        deep = p1 < 0
+
+        noisy = C.copy()
+        rng = np.arange(len(keys))
+        noisy[rng, p0] = ~noisy[rng, p0]
+        ok = ~deep
+        noisy[rng[ok], p1[ok]] = ~noisy[rng[ok], p1[ok]]
+        D = (tmpl[None, :, :] != noisy[:, None, :]).sum(axis=2)   # (N, T)
+        selfm = (tmpl[None, :, :] == C[:, None, :]).all(axis=2)
+        D_others = np.where(selfm, 10_000, D)
+        safe2 = ok & (D_others.min(axis=1) > 2)
+
+        for i in np.flatnonzero(~safe2):
+            fallback_cells.append((int(lis[i]), int(cis[i])))
+        for i in np.flatnonzero(safe2):
+            # exact-alias guard (scalar — only safe cells reach it)
+            ng = noisy[i].reshape(7, 5)
+            inked = np.flatnonzero(ng.any(axis=1))
+            if inked.size:
+                key = ng[inked[0]: inked[-1] + 1].tobytes()
+                hit = cropped.get(key)
+                if hit is not None and blocks_bytes[hit] != C[i].tobytes():
+                    fallback_cells.append((int(lis[i]), int(cis[i])))
+                    continue
+            for p in (int(p0[i]), int(p1[i])):
+                o = int(offs_mat[i, p])
+                buf[o] = 0 if buf[o] >= 128 else 255
+        in_cell = set(offs_mat.ravel().tolist())
+        cell_iter = fallback_cells
+    else:
+        in_cell = set()
+        cell_iter = [(li, ci) for li in range(n_lines) for ci in range(n_cells)]
+
+    for li, ci in cell_iter:
         y0 = MARGIN + li * LINE_PITCH
-        for ci in range(n_cells):
-            offs = cell_offsets(li, ci)
-            in_cell.update(offs)
-            x0 = MARGIN + ci * CELL_W
-            clean = (page[y0:y0 + 7, x0:x0 + 5] < 128).reshape(35)
-            clean_t = tuple(bool(v) for v in clean)
-            not_self = ~(tmpl == clean).all(axis=1)
-            # probe hash-chosen flip sets, largest first, until one is safe
-            for k in range(flips_per_cell, 0, -1):
-                picks: list[int] = []
-                j = 0
-                while len(picks) < k and j < 64:
-                    p = _mix64(seed, li * 4096 + ci, j) % 35
-                    if p not in picks:
-                        picks.append(p)
-                    j += 1
-                noisy = clean.copy()
-                noisy[picks] = ~noisy[picks]
-                # full-block Hamming to every OTHER template must exceed
-                # the distance to the true pattern (= k)
-                d_others = (tmpl != noisy).sum(axis=1)[not_self]
-                safe = bool(d_others.size == 0 or d_others.min() > k)
-                if safe:
-                    # exact-alias guard: the noisy ROW-CROPPED pattern must
-                    # not equal a different template's cropped pattern
-                    grid = [
-                        tuple(bool(v) for v in noisy[r * 5:(r + 1) * 5])
-                        for r in range(7)
-                    ]
-                    inked = [i for i, r in enumerate(grid) if any(r)]
-                    if inked:
-                        key = tuple(grid[inked[0]: inked[-1] + 1])
-                        hit = cropped.get(key)
-                        if hit is not None and blocks[hit] != clean_t:
-                            safe = False
-                if safe:
-                    for p in picks:
-                        o = offs[p]
-                        buf[o] = 0 if buf[o] >= 128 else 255
-                    break
+        offs = cell_offsets(li, ci)
+        in_cell.update(offs)
+        x0 = MARGIN + ci * CELL_W
+        clean = (page[y0:y0 + 7, x0:x0 + 5] < 128).reshape(35)
+        clean_b = clean.tobytes()
+        not_self = ~(tmpl == clean).all(axis=1)
+        # probe hash-chosen flip sets, largest first, until one is safe
+        for k in range(flips_per_cell, 0, -1):
+            picks: list[int] = []
+            j = 0
+            while len(picks) < k and j < 64:
+                p = _mix64(seed, li * 4096 + ci, j) % 35
+                if p not in picks:
+                    picks.append(p)
+                j += 1
+            noisy = clean.copy()
+            noisy[picks] = ~noisy[picks]
+            # full-block Hamming to every OTHER template must exceed
+            # the distance to the true pattern (= k)
+            d_others = (tmpl != noisy).sum(axis=1)[not_self]
+            safe = bool(d_others.size == 0 or d_others.min() > k)
+            if safe:
+                # exact-alias guard: the noisy ROW-CROPPED pattern must
+                # not equal a different template's cropped pattern
+                # (byte-keyed here — same decisions as the tuple form,
+                # ~3x less per-cell Python)
+                ng = noisy.reshape(7, 5)
+                inked = np.flatnonzero(ng.any(axis=1))
+                if inked.size:
+                    key = ng[inked[0]: inked[-1] + 1].tobytes()
+                    hit = cropped.get(key)
+                    if hit is not None and blocks_bytes[hit] != clean_b:
+                        safe = False
+            if safe:
+                for p in picks:
+                    o = offs[p]
+                    buf[o] = 0 if buf[o] >= 128 else 255
+                break
 
     # background salt-and-pepper everywhere the grid matcher never reads:
     # ~0.25% of pixels, drawn as k hash positions (a per-pixel bernoulli
