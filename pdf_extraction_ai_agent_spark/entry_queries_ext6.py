@@ -391,10 +391,7 @@ _Q45_RULES = "\n".join(
 
 def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .entry_queries import _spread
-    from .operators.texttables import (
-        lattice_cells_from_elements,
-        pdf_layout_elements,
-    )
+    from .operators.texttables import lattice_cells_from_docs
 
     li = _spread(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_linenumber") <= 3),
@@ -432,12 +429,14 @@ def q45_lattice_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nBT 60 40 Td (End of report) Tj ET"),
         ).alias("text")
     )
-    # ONE linear pass (r8): doc build → combined line parse → one
-    # (doc_id, page) shuffle → per-page grid kernel. The round-start plan
-    # re-ran the doc-build + posexplode + regexes FIVE times (runs
-    # placement + h/v rulings twice each; 10 source scans) and cascaded
-    # 4 sort-merge joins — see plans/r08/q45_* before/after.
-    return lattice_cells_from_elements(pdf_layout_elements(doc))
+    # Fully fused (r8): doc build → ONE python pass doing line parse AND
+    # per-page grid assembly (a doc carries all its pages, so no shuffle
+    # beyond the doc groupBy). The round-start plan re-ran the doc-build +
+    # posexplode + regexes FIVE times (10 source scans) and cascaded 4
+    # sort-merge joins + 2 windows — see plans/r08/q45_* before/after;
+    # parse parity with pdf_runs/pdf_rulings is pinned by
+    # tests/test_lattice_kernel_equivalence.py.
+    return lattice_cells_from_docs(doc)
 
 
 def _q45_sql() -> str:

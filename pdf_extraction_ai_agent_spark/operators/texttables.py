@@ -148,73 +148,6 @@ def pdf_rulings(df: DataFrame, text_col: str = "text", doc_col: str = "doc_id") 
     )
 
 
-def pdf_layout_elements(
-    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
-) -> DataFrame:
-    """ONE posexplode + regex pass yielding BOTH positioned runs and ruling
-    segments, kind-tagged by which columns are non-null:
-    (doc_id, page, line_no, x, y, txt, x1, y1, x2, y2).
-
-    r8: the lattice pipeline consumed ``pdf_runs(doc)`` and
-    ``pdf_rulings(doc)`` as five separate plan legs (runs placement, h/v
-    rulings twice each for the mutual-intersection validation), and each
-    leg re-ran the whole doc aggregation, posexplode, per-line regexes and
-    the page forward-fill window — 10 source scans in q45's physical plan.
-    Parsing once (every line pays PDF_RUN_RE / PDF_RULE_RE / PDF_PAGE_RE a
-    single time) and ``tracked_persist``-ing the result lets every leg read
-    the cached narrow frame instead — the same operator-internal persist
-    discipline as the LSH signature tables (plans/cache.py).  Semantics
-    are EXACTLY pdf_runs ∪ pdf_rulings: filters on the tagged columns
-    reproduce each original frame bit-for-bit."""
-    lines = df.select(
-        F.col(doc_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    )
-    page_m = F.regexp_extract("line", spec.PDF_PAGE_RE, 1)
-    parsed = lines.select(
-        "doc_id", "line_no",
-        F.when(page_m != "", page_m.cast("int")).alias("page_marker"),
-        F.regexp_extract("line", spec.PDF_RUN_RE, 1).alias("xs"),
-        F.regexp_extract("line", spec.PDF_RUN_RE, 2).alias("ys"),
-        F.regexp_extract("line", spec.PDF_RUN_RE, 3).alias("txt"),
-        *[
-            F.regexp_extract("line", spec.PDF_RULE_RE, i + 1).alias(c)
-            for i, c in enumerate(["x1s", "y1s", "x2s", "y2s"])
-        ],
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        parsed.withColumn("page", F.last("page_marker", ignorenulls=True).over(w))
-        .filter(((F.col("xs") != "") | (F.col("x1s") != "")) & F.col("page").isNotNull())
-        .select(
-            "doc_id", "page", "line_no",
-            F.when(F.col("xs") != "", F.col("xs").cast("double")).alias("x"),
-            F.when(F.col("xs") != "", F.col("ys").cast("double")).alias("y"),
-            F.when(F.col("xs") != "", F.col("txt")).alias("txt"),
-            F.when(F.col("x1s") != "", F.col("x1s").cast("double")).alias("x1"),
-            F.when(F.col("x1s") != "", F.col("y1s").cast("double")).alias("y1"),
-            F.when(F.col("x1s") != "", F.col("x2s").cast("double")).alias("x2"),
-            F.when(F.col("x1s") != "", F.col("y2s").cast("double")).alias("y2"),
-        )
-    )
-
-
-def layout_runs_rulings(elements: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a (persisted) pdf_layout_elements frame back into the
-    (runs, rulings) pair detect_lattice_tables consumes."""
-    runs = elements.filter(F.col("x").isNotNull()).select(
-        "doc_id", "page", "line_no", "x", "y", "txt"
-    )
-    rulings = elements.filter(F.col("x1").isNotNull()).select(
-        "doc_id", "page", "x1", "y1", "x2", "y2"
-    )
-    return runs, rulings
-
-
 def real_pdf_runs(df: DataFrame, payload_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
     """(doc_id, page, line_no, x, y, txt) positioned text runs parsed from
     REAL PDF bytes (latin-1 string payloads) by the dependency-free
@@ -314,13 +247,65 @@ def detect_lattice_tables(
     return lattice_cells_from_elements(tagged, min_cross)
 
 
+def _page_grid(rules, runs, min_cross):
+    """One page's grid assembly — the shared core of both lattice kernels
+    (tagged-frame and fused-doc), pure python over per-page lists.
+
+    ``rules``: [(x1, y1, x2, y2)], ``runs``: [(x, y, txt)].  Exactly the
+    join-form semantics: h/v classification, mutual-intersection counts
+    POOLED per coordinate value (duplicate-y rules add up, as the
+    (doc, page, hy) groupBy did), bands between adjacent surviving
+    coordinates, STRICT open-interval run containment, and cell text
+    ordered by (x, utf-8 bytes of txt) — the array_sort-struct / DuckDB
+    ``ORDER BY x, txt`` collation.  Returns [(row_idx, col_idx, text)]."""
+    h = [(y1, x1 if x1 < x2 else x2, x2 if x1 < x2 else x1)
+         for x1, y1, x2, y2 in rules if y1 == y2 and x1 != x2]
+    v = [(x1, y1 if y1 < y2 else y2, y2 if y1 < y2 else y1)
+         for x1, y1, x2, y2 in rules if x1 == x2 and y1 != y2]
+    if not h or not v:
+        return []
+    h_counts: dict = {}
+    v_counts: dict = {}
+    for hy, xlo, xhi in h:
+        for vx, ylo, yhi in v:
+            if ylo <= hy <= yhi and xlo <= vx <= xhi:
+                h_counts[hy] = h_counts.get(hy, 0) + 1
+                v_counts[vx] = v_counts.get(vx, 0) + 1
+    good_h = sorted((yy for yy, c in h_counts.items() if c >= min_cross),
+                    reverse=True)
+    good_v = sorted(xx for xx, c in v_counts.items() if c >= min_cross)
+    if len(good_h) < 2 or len(good_v) < 2:
+        return []
+    cells: dict = {}
+    nh, nv = len(good_h) - 1, len(good_v) - 1
+    for x, y, txt in runs:
+        ri = ci = -1
+        for i in range(nh):
+            if good_h[i + 1] < y < good_h[i]:
+                ri = i
+                break
+        if ri < 0:
+            continue
+        for j in range(nv):
+            if good_v[j] < x < good_v[j + 1]:
+                ci = j
+                break
+        if ci < 0:
+            continue
+        cells.setdefault((ri, ci), []).append((x, txt.encode("utf-8"), txt))
+    out = []
+    for (ri, ci), items in cells.items():
+        items.sort(key=lambda it: (it[0], it[1]))
+        out.append((ri, ci, " ".join(it[2] for it in items)))
+    return out
+
+
 def lattice_cells_from_elements(
     elements: DataFrame, min_cross: int = 2
 ) -> DataFrame:
     """detect_lattice_tables over an already kind-tagged elements frame
-    (pdf_layout_elements' shape) — the single-pass q45 entry: the parse
-    feeds the page kernel directly, with no persist and no filter/union
-    split-and-rejoin (each of which re-read or re-derived the same rows)."""
+    (pdf_runs-shape run columns + pdf_rulings-shape segment columns,
+    null-tagged) — one (doc_id, page) shuffle, then the per-page kernel."""
     import numpy as np
     import pandas as pd
 
@@ -350,62 +335,22 @@ def lattice_cells_from_elements(
         o_row: list[int] = []
         o_col: list[int] = []
         o_text: list[str] = []
-        for s, e in zip(starts, ends):
-            gx1, gy1, gx2, gy2 = x1[s:e], y1[s:e], x2[s:e], y2[s:e]
-            rule = ~np.isnan(gx1)
-            hm = rule & (gy1 == gy2) & (gx1 != gx2)
-            vm = rule & (gx1 == gx2) & (gy1 != gy2)
-            if not (hm.any() and vm.any()):
+        for st, en in zip(starts, ends):
+            rm = ~np.isnan(x1[st:en])
+            rules = list(zip(x1[st:en][rm], y1[st:en][rm],
+                             x2[st:en][rm], y2[st:en][rm]))
+            gm = ~np.isnan(x[st:en])
+            runs = list(zip(x[st:en][gm], y[st:en][gm], txt[st:en][gm]))
+            grid = _page_grid(rules, runs, min_cross)
+            if not grid:
                 continue
-            hy = gy1[hm]
-            hx_lo = np.minimum(gx1[hm], gx2[hm])
-            hx_hi = np.maximum(gx1[hm], gx2[hm])
-            vx = gx1[vm]
-            vy_lo = np.minimum(gy1[vm], gy2[vm])
-            vy_hi = np.maximum(gy1[vm], gy2[vm])
-            # mutual-intersection counts, per RULE pair then summed per
-            # coordinate VALUE (duplicate-y rules pool their counts, as
-            # the (doc, page, hy) groupBy of the join form does)
-            C = (
-                (hy[:, None] >= vy_lo[None, :]) & (hy[:, None] <= vy_hi[None, :])
-                & (vx[None, :] >= hx_lo[:, None]) & (vx[None, :] <= hx_hi[:, None])
-            )
-            h_counts: dict[float, int] = {}
-            for yy, c in zip(hy, C.sum(axis=1)):
-                h_counts[yy] = h_counts.get(yy, 0) + int(c)
-            v_counts: dict[float, int] = {}
-            for xx, c in zip(vx, C.sum(axis=0)):
-                v_counts[xx] = v_counts.get(xx, 0) + int(c)
-            good_h = sorted((yy for yy, c in h_counts.items() if c >= min_cross), reverse=True)
-            good_v = sorted(xx for xx, c in v_counts.items() if c >= min_cross)
-            if len(good_h) < 2 or len(good_v) < 2:
-                continue
-            gm = ~np.isnan(x[s:e])
-            rx, ry, rt = x[s:e][gm], y[s:e][gm], txt[s:e][gm]
-            cells: dict[tuple[int, int], list[tuple[float, bytes, str]]] = {}
-            for xx, yy, tt in zip(rx, ry, rt):
-                ri = ci = -1
-                for i in range(len(good_h) - 1):
-                    if good_h[i + 1] < yy < good_h[i]:
-                        ri = i
-                        break
-                if ri < 0:
-                    continue
-                for j in range(len(good_v) - 1):
-                    if good_v[j] < xx < good_v[j + 1]:
-                        ci = j
-                        break
-                if ci < 0:
-                    continue
-                cells.setdefault((ri, ci), []).append((xx, tt.encode("utf-8"), tt))
-            d, p = int(doc[s]), int(pg[s])
-            for (ri, ci), items in cells.items():
-                items.sort(key=lambda it: (it[0], it[1]))
+            d, p = int(doc[st]), int(pg[st])
+            for ri, ci, text in grid:
                 o_doc.append(d)
                 o_page.append(p)
                 o_row.append(ri)
                 o_col.append(ci)
-                o_text.append(" ".join(it[2] for it in items))
+                o_text.append(text)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(o_doc, dtype="int64"),
@@ -427,6 +372,103 @@ def lattice_cells_from_elements(
             kernel,
             schema="doc_id long, page int, row_idx int, col_idx int, cell_text string",
         )
+    )
+
+
+def lattice_cells_from_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_cross: int = 2,
+) -> DataFrame:
+    """The fully-fused q45 path: pseudo-PDF docs → lattice cells in ONE
+    python pass, no shuffle beyond whatever produced the doc frame (a doc
+    carries all of its pages, so per-page grouping happens inside the
+    kernel).  Replaces: posexplode + 8 regexp_extracts/line + the page
+    forward-fill window + the (doc_id, page) repartition (~1.7 s of the
+    warm q45 at sf0.1).
+
+    Line semantics replicate pdf_runs/pdf_rulings exactly (pinned by
+    tests/test_lattice_kernel_equivalence.py::test_fused_doc_kernel_
+    matches_spark_parse): split on \n; the ^-anchored PDF_PAGE_RE /
+    PDF_RUN_RE / PDF_RULE_RE match identically under java.util.regex and
+    python re for \n-free lines; runs/rules before the first %%PAGE
+    marker are dropped (the forward-fill null page); numeric strings that
+    [0-9.]+ admits but a double cannot parse ("1..2") are skipped — the
+    declarative form THROWS there under ANSI casts, so the fused kernel
+    is defined on strictly more inputs and equal wherever both run.
+    startswith prefilters are sound because every pattern is ^-anchored."""
+    import re
+
+    import pandas as pd
+
+    pat_page = re.compile(spec.PDF_PAGE_RE)
+    pat_run = re.compile(spec.PDF_RUN_RE)
+    pat_rule = re.compile(spec.PDF_RULE_RE)
+    rule_heads = set("0123456789.")
+
+    def kernel(batches):
+        for pdf in batches:
+            o_doc: list[int] = []
+            o_page: list[int] = []
+            o_row: list[int] = []
+            o_col: list[int] = []
+            o_text: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                doc_id = int(doc_id)
+                page = None
+                pages: dict = {}
+                for line in str(text).split("\n"):
+                    if not line:
+                        continue
+                    c0 = line[0]
+                    if c0 == "%":
+                        m = pat_page.match(line)
+                        if m:
+                            page = int(m.group(1))
+                            if page not in pages:
+                                pages[page] = ([], [])
+                        continue
+                    if page is None:
+                        continue
+                    if c0 == "B":
+                        m = pat_run.match(line)
+                        if m:
+                            try:
+                                xv, yv = float(m.group(1)), float(m.group(2))
+                            except ValueError:
+                                continue
+                            pages[page][1].append((xv, yv, m.group(3)))
+                    elif c0 in rule_heads:
+                        m = pat_rule.match(line)
+                        if m:
+                            try:
+                                seg = tuple(float(m.group(g)) for g in range(1, 5))
+                            except ValueError:
+                                continue
+                            pages[page][0].append(seg)
+                for p, (rules, runs) in pages.items():
+                    for ri, ci, cell in _page_grid(rules, runs, min_cross):
+                        o_doc.append(doc_id)
+                        o_page.append(p)
+                        o_row.append(ri)
+                        o_col.append(ci)
+                        o_text.append(cell)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(o_doc, dtype="int64"),
+                    "page": pd.Series(o_page, dtype="int32"),
+                    "row_idx": pd.Series(o_row, dtype="int32"),
+                    "col_idx": pd.Series(o_col, dtype="int32"),
+                    "cell_text": pd.Series(o_text, dtype=object),
+                }
+            )
+
+    return df.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(
+        kernel,
+        schema="doc_id long, page int, row_idx int, col_idx int, cell_text string",
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pdf_extraction_ai_agent_spark.operators.texttables import (
     detect_lattice_tables,
     detect_lattice_tables_joins,
+    lattice_cells_from_docs,
     pdf_rulings,
     pdf_runs,
 )
@@ -55,3 +56,38 @@ def test_lattice_kernel_matches_join_form(spark):
     assert kernel, "fixture produced no cells — test would be vacuous"
     # the duplicate-y pooling case must actually produce doc 2's band
     assert any(r[0] == 2 for r in kernel)
+
+
+def test_fused_doc_kernel_matches_spark_parse(spark):
+    """lattice_cells_from_docs (python line parse + grid in one pass) must
+    equal detect_lattice_tables over the Spark-regex pdf_runs/pdf_rulings
+    parse — including page forward-fill (elements before the first %%PAGE
+    dropped, repeated markers pooled), anchored-pattern rejection of
+    near-miss lines, and number-format edges the regex admits."""
+    grid_body = "\n".join(
+        [f"45 {y} m 495 {y} l S" for y in (258, 226, 194)]
+        + [f"{x} 194 m {x} 258 l S" for x in (45, 270, 495)]
+    )
+    docs = [
+        # pre-page elements dropped; near-miss lines (trailing space, extra
+        # token after the page number, missing ET) must parse as NOTHING
+        (1, "BT 50 240 Td (dropme) Tj ET\n10 194 m 10 258 l S\n"
+            "%%PAGE 1 extra\n%%PAGE 1\n" + grid_body
+            + "\nBT 50 240 Td (kept) Tj ET \nBT 50 240 Td (kept) Tj ET"
+            + "\nBT 60 200 Td (b) Tj\nBT 300. 240.5 Td (dot) Tj ET"),
+        # repeated %%PAGE markers pool elements into one page grid
+        (2, "%%PAGE 1\n" + grid_body + "\n%%PAGE 2\nBT 1 1 Td (p2) Tj ET\n"
+            "%%PAGE 1\nBT 60 200 Td (late) Tj ET"),
+        # parens content with regex-special chars; empty text run
+        (3, "%%PAGE 1\n" + grid_body
+            + "\nBT 60 240 Td (a(b)c$^.*) Tj ET\nBT 70 240 Td () Tj ET"),
+        (4, ""),  # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fused = {tuple(r) for r in lattice_cells_from_docs(df).collect()}
+    declarative = {
+        tuple(r)
+        for r in detect_lattice_tables(pdf_runs(df), pdf_rulings(df)).collect()
+    }
+    assert fused == declarative
+    assert fused, "fixture produced no cells — test would be vacuous"
