@@ -543,14 +543,17 @@ def _q58_kdf_seeds(
     spark: SparkSession, owner_pwd: bytes, pages_count: int = 1,
     user_pwd: bytes = b"",
 ) -> tuple[dict, dict]:
-    """Distributed 2-wave Algorithm 2.B derivation for ONE R6 encrypt
-    dict: wave 1 runs the user-password hashes (writer-side and
-    engine-side — each side's OWN impl, twin independence intact) as
-    parallel tasks; wave 2 the two owner hashes (they need wave 1's
-    u_value). ~2 × one-call wall instead of serial calls on the driver.
-    With a non-empty ``user_pwd`` (q60) the engine side also gets the
-    (empty, vsalt) probe it tries first. Results are plain dicts seeded
-    into workers by the kernel — a pure cache, misses re-derive."""
+    """Distributed ONE-wave Algorithm 2.B derivation for ONE R6 encrypt
+    dict (r8: was two sequential jobs — user hashes, then owner hashes
+    that need u_value): every hash is one parallel task, and each OWNER
+    task derives its own u_value prerequisite in-task (one duplicated
+    user-hash computation per owner task buys removing a whole job +
+    barrier — wall is max(1, 2) calls instead of 1 + 1 plus two job
+    overheads). Writer-side and engine-side values run through each
+    side's OWN impl (twin independence intact). With a non-empty
+    ``user_pwd`` (q60) the engine side also gets the (empty, vsalt)
+    probe it tries first. Results are plain dicts seeded into workers by
+    the kernel — a pure cache, misses re-derive."""
     from .fixtures import minipdf
     from .operators import pdftext
 
@@ -562,23 +565,26 @@ def _q58_kdf_seeds(
 
     # the tasks go through each side's memoized entry point, so reused
     # python workers answer repeat derivations from cache (~0s)
-    def _w1(t):
+    def _run(t):
         side, pwd, salt = t
         if side == "w":
             return t, minipdf.hash_2b(pwd, salt)
-        return t, pdftext._hash_2b_compute(pwd, salt)
+        if side == "e":
+            return t, pdftext._hash_2b_compute(pwd, salt)
+        # side == "o": owner hash — derive the u_value dependency locally
+        # (lru-answered if this worker already computed it)
+        u = minipdf.hash_2b(user_pwd, vsalt) + vsalt + ksalt
+        return t, minipdf.hash_2b(owner_pwd, salt, u)
 
     tasks = [("w", user_pwd, vsalt), ("w", user_pwd, ksalt),
-             ("e", user_pwd, vsalt), ("e", user_pwd, ksalt)]
+             ("e", user_pwd, vsalt), ("e", user_pwd, ksalt),
+             ("o", owner_pwd, ovs), ("o", owner_pwd, oks)]
     if user_pwd != b"":
         tasks.append(("e", b"", vsalt))  # the empty-password probe
-    w1 = dict(sc.parallelize(tasks, len(tasks)).map(_w1).collect())
+    res = dict(sc.parallelize(tasks, len(tasks)).map(_run).collect())
+    w1 = {k: v for k, v in res.items() if k[0] in ("w", "e")}
     u_value = w1[("w", user_pwd, vsalt)] + vsalt + ksalt
-    w2 = dict(
-        sc.parallelize([ovs, oks], 2)
-        .map(lambda s: (s, minipdf.hash_2b(owner_pwd, s, u_value)))
-        .collect()
-    )
+    w2 = {ovs: res[("o", owner_pwd, ovs)], oks: res[("o", owner_pwd, oks)]}
     writer_seed = {
         (user_pwd, vsalt, b""): w1[("w", user_pwd, vsalt)],
         (user_pwd, ksalt, b""): w1[("w", user_pwd, ksalt)],
