@@ -337,21 +337,45 @@ def embedding_near_dup_pairs(
     thr = float(threshold)
 
     def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+            return empty
         ids = pdf["vid"].to_numpy().astype(np.int64, copy=False)
         order = np.argsort(ids)
         ids = ids[order]
         V = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64, copy=False)
-        G = V @ V.T
-        n2 = np.sqrt(np.diagonal(G).astype(np.float64))
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cos = _round6_spark_np(G[iu, ju].astype(np.float64) / (n2[iu] * n2[ju]))
-        keep = cos >= thr
+        n2 = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        # row-blocked Gram: bounds kernel memory to B·m per bucket, so an
+        # adversarial mega-bucket (huge m at production scale) degrades to
+        # more blocks instead of an m×m allocation; identical values
+        m = len(ids)
+        B = 2048
+        outs = []
+        idx = np.arange(m)
+        for i0 in range(0, m - 1, B):
+            i1 = min(i0 + B, m)
+            Gb = V[i0:i1] @ V.T                      # (i1-i0, m) int64
+            rows = idx[i0:i1][:, None]
+            cols = idx[None, :]
+            mask = cols > rows                       # strict upper triangle
+            iu = np.broadcast_to(rows, Gb.shape)[mask]
+            ju = np.broadcast_to(cols, Gb.shape)[mask]
+            cos = _round6_spark_np(
+                Gb[mask].astype(np.float64) / (n2[iu] * n2[ju])
+            )
+            keep = cos >= thr
+            if keep.any():
+                outs.append((ids[iu[keep]], ids[ju[keep]], cos[keep]))
+        if not outs:
+            return empty
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": cos[keep]}
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "cosine": np.concatenate([o[2] for o in outs]),
+            }
         )
 
     scored = bands.groupBy("band_idx", "band_key").applyInPandas(
