@@ -305,15 +305,17 @@ def lattice_cells_from_elements(
 ) -> DataFrame:
     """detect_lattice_tables over an already kind-tagged elements frame
     (pdf_runs-shape run columns + pdf_rulings-shape segment columns,
-    null-tagged) — one (doc_id, page) shuffle, then the per-page kernel."""
+    null-tagged) — one (doc_id, page) shuffle + within-partition sort,
+    then the per-page kernel.  The kernel STREAMS arrow batches with a
+    carry-over of the trailing (doc_id, page) group instead of
+    concatenating the whole partition, so task memory is bounded by the
+    batch size plus one page's elements (only a single pathological
+    mega-page can grow the carry — the same page that is quadratic in
+    every formulation of the grid)."""
     import numpy as np
     import pandas as pd
 
-    def kernel(batches):
-        chunks = [b for b in batches if len(b)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    def _emit(pdf):
         doc = pdf["doc_id"].to_numpy(dtype=np.int64)
         pg = pdf["page"].to_numpy(dtype=np.int64)
         x = pdf["x"].to_numpy(dtype=np.float64)
@@ -351,7 +353,7 @@ def lattice_cells_from_elements(
                 o_row.append(ri)
                 o_col.append(ci)
                 o_text.append(text)
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_id": pd.Series(o_doc, dtype="int64"),
                 "page": pd.Series(o_page, dtype="int32"),
@@ -361,6 +363,31 @@ def lattice_cells_from_elements(
             }
         )
 
+    def kernel(batches):
+        carry = None
+        for b in batches:
+            if not len(b):
+                continue
+            pdf = (
+                pd.concat([carry, b], ignore_index=True)
+                if carry is not None and len(carry)
+                else b
+            )
+            doc = pdf["doc_id"].to_numpy()
+            pg = pdf["page"].to_numpy()
+            # input is sorted within the partition, so the trailing
+            # (doc, page) group — possibly continuing in the next batch —
+            # is a suffix: hold it back
+            changes = (doc != doc[-1]) | (pg != pg[-1])
+            if changes.any():
+                cut = int(np.flatnonzero(changes)[-1]) + 1
+                yield _emit(pdf.iloc[:cut])
+                carry = pdf.iloc[cut:].reset_index(drop=True)
+            else:
+                carry = pdf
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
     n = elements.sparkSession.sparkContext.defaultParallelism
     return (
         elements.select(
@@ -368,6 +395,7 @@ def lattice_cells_from_elements(
             "x", "y", "txt", "x1", "y1", "x2", "y2",
         )
         .repartition(n, F.col("doc_id"), F.col("page"))
+        .sortWithinPartitions("doc_id", "page")
         .mapInPandas(
             kernel,
             schema="doc_id long, page int, row_idx int, col_idx int, cell_text string",

@@ -91,3 +91,29 @@ def test_fused_doc_kernel_matches_spark_parse(spark):
     }
     assert fused == declarative
     assert fused, "fixture produced no cells — test would be vacuous"
+
+
+def test_streaming_kernel_carry_over_across_arrow_batches(spark):
+    """The tagged-frame kernel streams arrow batches with a carry-over of
+    the trailing (doc_id, page) group; with thousands of pages hashed into
+    each partition the per-partition row count exceeds the arrow batch
+    size (2048), so groups straddle batch boundaries — output must still
+    equal the join form row-for-row."""
+    body = (
+        "\n".join(
+            [f"45 {y} m 495 {y} l S" for y in (258, 226, 194)]
+            + [f"{x} 194 m {x} 258 l S" for x in (45, 270, 495)]
+        )
+        + "\nBT 50 240 Td (a{i}) Tj ET\nBT 300 240 Td (b{i}) Tj ET"
+        + "\nBT 60 200 Td (c{i}) Tj ET"
+    )
+    docs = [
+        (i, "%PDF-SIM 1.0\n%%PAGE 1\n" + body.replace("{i}", str(i)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    runs, rulings = pdf_runs(df), pdf_rulings(df)
+    kernel = {tuple(r) for r in detect_lattice_tables(runs, rulings).collect()}
+    joins = {tuple(r) for r in detect_lattice_tables_joins(runs, rulings).collect()}
+    assert kernel == joins
+    assert len(kernel) == 4000 * 3  # 2x2 grid, three occupied cells per doc
