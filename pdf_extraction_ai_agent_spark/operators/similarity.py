@@ -336,20 +336,15 @@ def embedding_near_dup_pairs(
         )
     thr = float(threshold)
 
-    def bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
-                              "cosine": pd.Series(dtype="float64")})
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["vid"].to_numpy().astype(np.int64, copy=False)
+    def _bucket_pairs(ids, V):
+        """One bucket: sorted ids, blocked exact Gram, rounded cosine,
+        threshold — returns (id_a, id_b, cosine) arrays. Row-blocking
+        bounds memory to B·m so an adversarial mega-bucket degrades to
+        more blocks instead of an m×m allocation."""
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64, copy=False)
+        V = V[order]
         n2 = np.sqrt((V * V).sum(axis=1).astype(np.float64))
-        # row-blocked Gram: bounds kernel memory to B·m per bucket, so an
-        # adversarial mega-bucket (huge m at production scale) degrades to
-        # more blocks instead of an m×m allocation; identical values
         m = len(ids)
         B = 2048
         outs = []
@@ -359,18 +354,66 @@ def embedding_near_dup_pairs(
             Gb = V[i0:i1] @ V.T                      # (i1-i0, m) int64
             rows = idx[i0:i1][:, None]
             cols = idx[None, :]
-            mask = cols > rows                       # strict upper triangle
-            iu = np.broadcast_to(rows, Gb.shape)[mask]
-            ju = np.broadcast_to(cols, Gb.shape)[mask]
+            keepm = cols > rows                      # strict upper triangle
+            iu = np.broadcast_to(rows, Gb.shape)[keepm]
+            ju = np.broadcast_to(cols, Gb.shape)[keepm]
             cos = _round6_spark_np(
-                Gb[mask].astype(np.float64) / (n2[iu] * n2[ju])
+                Gb[keepm].astype(np.float64) / (n2[iu] * n2[ju])
             )
             keep = cos >= thr
             if keep.any():
                 outs.append((ids[iu[keep]], ids[ju[keep]], cos[keep]))
+        return outs
+
+    def kernel(batches):
+        # partition-streaming (r8.2): one kernel invocation per TASK, not
+        # per bucket — selective geometries (64×8 prod bands → thousands
+        # of tiny buckets) paid ~0.5 ms of applyInPandas group dispatch
+        # per bucket, tripling the prod-geometry arm; here buckets are
+        # contiguous slices of sorted batches, with a carry-over of the
+        # trailing bucket across batch boundaries (same pattern as the
+        # lattice kernel).
+        carry = None
+        for b in batches:
+            if not len(b):
+                continue
+            pdf = (
+                pd.concat([carry, b], ignore_index=True)
+                if carry is not None and len(carry)
+                else b
+            )
+            bi = pdf["band_idx"].to_numpy()
+            bk = pdf["band_key"].to_numpy()
+            changes = (bi != bi[-1]) | (bk != bk[-1])
+            if not changes.any():
+                carry = pdf
+                continue
+            cut = int(np.flatnonzero(changes)[-1]) + 1
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            pdf = pdf.iloc[:cut]
+            yield from _emit_slices(pdf)
+        if carry is not None and len(carry):
+            yield from _emit_slices(carry)
+
+    def _emit_slices(pdf):
+        bi = pdf["band_idx"].to_numpy(dtype=np.int64)
+        bk = pdf["band_key"].to_numpy(dtype=np.int64)
+        vid = pdf["vid"].to_numpy(dtype=np.int64)
+        qs = pdf["q"].to_numpy()
+        order = np.lexsort((bk, bi))
+        bi, bk, vid, qs = bi[order], bk[order], vid[order], qs[order]
+        brk = np.flatnonzero((np.diff(bi) != 0) | (np.diff(bk) != 0)) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(bi)]))
+        outs = []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            V = np.stack(qs[st:en]).astype(np.int64, copy=False)
+            outs.extend(_bucket_pairs(vid[st:en], V))
         if not outs:
-            return empty
-        return pd.DataFrame(
+            return
+        yield pd.DataFrame(
             {
                 "id_a": np.concatenate([o[0] for o in outs]),
                 "id_b": np.concatenate([o[1] for o in outs]),
@@ -378,8 +421,11 @@ def embedding_near_dup_pairs(
             }
         )
 
-    scored = bands.groupBy("band_idx", "band_key").applyInPandas(
-        bucket_kernel, schema="id_a long, id_b long, cosine double"
+    n = bands.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        bands.repartition(n, F.col("band_idx"), F.col("band_key"))
+        .sortWithinPartitions("band_idx", "band_key")
+        .mapInPandas(kernel, schema="id_a long, id_b long, cosine double")
     )
     return scored.distinct()
 
