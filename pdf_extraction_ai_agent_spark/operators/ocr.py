@@ -107,18 +107,50 @@ def _scan_images(data: bytes):
     return out
 
 
+_CROPPED_CACHE: dict | None = None
+_PACKED_CACHE: dict | None = None
+
+
 def _cropped_templates():
     """char ← row-cropped 5-column ink pattern (rows as 5-bool tuples).
     Cropping makes the match invariant to the observed line band's
-    vertical extent; spec pins that cropped patterns are unique."""
-    from .. import spec
+    vertical extent; spec pins that cropped patterns are unique. Built
+    once per worker (r8: the rebuild was ~0.2 ms of every per-image
+    call)."""
+    global _CROPPED_CACHE
+    if _CROPPED_CACHE is None:
+        from .. import spec
 
-    table = {}
-    for ch, rows in spec.OCR_FONT_5X7.items():
-        bits = [tuple(px == "X" for px in row) for row in rows]
-        ink = [i for i, r in enumerate(bits) if any(r)]
-        table[tuple(bits[ink[0] : ink[-1] + 1])] = ch
-    return table
+        table = {}
+        for ch, rows in spec.OCR_FONT_5X7.items():
+            bits = [tuple(px == "X" for px in row) for row in rows]
+            ink = [i for i, r in enumerate(bits) if any(r)]
+            table[tuple(bits[ink[0] : ink[-1] + 1])] = ch
+        _CROPPED_CACHE = table
+    return _CROPPED_CACHE
+
+
+def _packed_templates() -> dict:
+    """``_cropped_templates`` keyed by a canonical integer instead of the
+    tuple-of-tuples: rows packed top→bottom as 5-bit digits
+    (``val = Σ row_bits << 5*(H-1-i)``, column 0 the high bit). The first
+    cropped row always carries ink (nonzero high digit), so distinct
+    cropped patterns pack to distinct ints; an observed cell packs to the
+    same canonical form by dropping leading zero rows for free (zero high
+    digits) and right-shifting trailing zero rows out (see
+    ``ocr_bitmap``). 0 is the empty cell."""
+    global _PACKED_CACHE
+    if _PACKED_CACHE is None:
+        table = {}
+        for key, ch in _cropped_templates().items():
+            val = 0
+            for row in key:
+                val = (val << 5) | sum(
+                    16 >> j for j, b in enumerate(row) if b
+                )
+            table[val] = ch
+        _PACKED_CACHE = table
+    return _PACKED_CACHE
 
 
 def ocr_bitmap(width: int, height: int, raw: bytes) -> str:
@@ -127,42 +159,57 @@ def ocr_bitmap(width: int, height: int, raw: bytes) -> str:
     cells from its first ink column (every font glyph carries column-0
     ink — a spec constraint), and look each cell's row-cropped pattern up
     in the font. Unknown glyphs raise — wrong text must never beat no
-    text."""
+    text.
+
+    r8: the per-cell walk (a Python tuple-of-tuples key per glyph,
+    ~1.2 ms/page — the top per-doc CPU term of the q69/q71 roundtrips) is
+    one numpy pass per band: every cell's rows pack into a 5-bit-per-row
+    int64, trailing blank rows shift out (crop ≡ strip trailing zero
+    digits; leading blanks are zero high digits for free), one dict probe
+    per cell resolves the glyph. Bands taller than 12 rows would overflow
+    the packing and take the original scalar walk; equality against that
+    walk is pinned by tests/test_ocr_bitmap_vector.py."""
     import numpy as np
 
-    templates = _cropped_templates()
+    templates = _packed_templates()
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
     ink = arr < 128
     row_any = ink.any(axis=1)
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([False], row_any, [False])))
+    )
     lines: list[str] = []
-    r = 0
-    while r < height:
-        if not row_any[r]:
-            r += 1
-            continue
-        r1 = r
-        while r1 < height and row_any[r1]:
-            r1 += 1
+    colw = np.array([16, 8, 4, 2, 1], dtype=np.int64)
+    for r, r1 in zip(edges[::2], edges[1::2]):
         band = ink[r:r1]
+        h = int(band.shape[0])
+        if h > 12:  # 5*h bits would overflow the int64 packing
+            lines.append(_ocr_band_scalar(band, width))
+            continue
         cols = band.any(axis=0)
         c0 = int(np.argmax(cols))
         c_last = width - 1 - int(np.argmax(cols[::-1]))
+        n_cells = (c_last - c0) // 6 + 1
+        need = c0 + n_cells * 6
+        if need > band.shape[1]:  # right-edge pad
+            band = np.pad(band, ((0, 0), (0, need - band.shape[1])))
+        cells = band[:, c0:need].reshape(h, n_cells, 6)[:, :, :5]
+        row_vals = cells @ colw  # (h, n_cells): one 5-bit digit per row
+        roww = np.left_shift(
+            np.int64(1), 5 * np.arange(h - 1, -1, -1, dtype=np.int64)
+        )
+        vals = roww @ row_vals  # (n_cells,) packed top→bottom
+        while True:  # strip trailing blank rows: drop low zero digits
+            m = (vals > 0) & (vals & 31 == 0)
+            if not m.any():
+                break
+            vals[m] >>= 5
         chars = []
-        for cell in range(c0, c_last + 1, 6):
-            block = band[:, cell : cell + 5]
-            if block.shape[1] < 5:  # right-edge pad
-                import numpy as _np
-
-                block = _np.pad(block, ((0, 0), (0, 5 - block.shape[1])))
-            rows_ink = [i for i in range(block.shape[0]) if block[i].any()]
-            if not rows_ink:
+        for v in vals.tolist():
+            if v == 0:
                 chars.append(" ")
                 continue
-            key = tuple(
-                tuple(bool(v) for v in block[i]) for i in
-                range(rows_ink[0], rows_ink[-1] + 1)
-            )
-            ch = templates.get(key)
+            ch = templates.get(v)
             if ch is None:
                 raise RuntimeError(
                     "unrecognized glyph — not a generated scan (real scans "
@@ -170,22 +217,60 @@ def ocr_bitmap(width: int, height: int, raw: bytes) -> str:
                 )
             chars.append(ch)
         lines.append("".join(chars).rstrip())
-        r = r1
     return "\n".join(lines)
 
 
-def _nearest_templates():
-    """(chars, (n,35) bool matrix) of full-cell patterns incl. space."""
+def _ocr_band_scalar(band, width: int) -> str:
+    """The original per-cell walk, kept verbatim for bands too tall for
+    the int64 packing (cannot occur on fixture scans — 7 px glyphs)."""
     import numpy as np
 
-    from .. import spec
-
-    chars = [" "]
-    rows = [[False] * 35]
-    for ch, glyph in spec.OCR_FONT_5X7.items():
+    templates = _cropped_templates()
+    cols = band.any(axis=0)
+    c0 = int(np.argmax(cols))
+    c_last = width - 1 - int(np.argmax(cols[::-1]))
+    chars = []
+    for cell in range(c0, c_last + 1, 6):
+        block = band[:, cell : cell + 5]
+        if block.shape[1] < 5:  # right-edge pad
+            block = np.pad(block, ((0, 0), (0, 5 - block.shape[1])))
+        rows_ink = [i for i in range(block.shape[0]) if block[i].any()]
+        if not rows_ink:
+            chars.append(" ")
+            continue
+        key = tuple(
+            tuple(bool(v) for v in block[i]) for i in
+            range(rows_ink[0], rows_ink[-1] + 1)
+        )
+        ch = templates.get(key)
+        if ch is None:
+            raise RuntimeError(
+                "unrecognized glyph — not a generated scan (real scans "
+                "need the cluster OCR stack)"
+            )
         chars.append(ch)
-        rows.append([px == "X" for row in glyph for px in row])
-    return chars, np.array(rows, dtype=bool)
+    return "".join(chars).rstrip()
+
+
+_NEAREST_CACHE = None
+
+
+def _nearest_templates():
+    """(chars, (n,35) bool matrix) of full-cell patterns incl. space.
+    Built once per worker (r8: was rebuilt on every per-image call)."""
+    global _NEAREST_CACHE
+    if _NEAREST_CACHE is None:
+        import numpy as np
+
+        from .. import spec
+
+        chars = [" "]
+        rows = [[False] * 35]
+        for ch, glyph in spec.OCR_FONT_5X7.items():
+            chars.append(ch)
+            rows.append([px == "X" for row in glyph for px in row])
+        _NEAREST_CACHE = (chars, np.array(rows, dtype=bool))
+    return _NEAREST_CACHE
 
 
 def ocr_bitmap_nearest(width: int, height: int, raw: bytes) -> str:
