@@ -71,6 +71,40 @@ def _noise_template_tables():
     return _NOISE_TABLES
 
 
+_PACKED_NOISE = None
+
+
+def _packed_noise_tables():
+    """(sorted int64 keys, parallel int64 full-block packs) for the
+    vectorized exact-alias guard: key = the template's ROW-CROPPED
+    pattern packed as 5-bit row digits (top row most significant — the
+    canonical form a full-block pack reaches after its trailing zero
+    digits are shifted out), value = the same template's FULL 7-row
+    pack (35 bits, bijective with the 35-bool block)."""
+    global _PACKED_NOISE
+    if _PACKED_NOISE is None:
+        import numpy as np
+
+        def pack(rows2d) -> int:
+            v = 0
+            for row in rows2d:
+                v = (v << 5) | sum(16 >> j for j, b in enumerate(row) if b)
+            return v
+
+        keys, fulls = [], []
+        for ch, rows in spec.OCR_FONT_5X7.items():
+            bits = [[px == "X" for px in row] for row in rows]
+            ink = [i for i, r in enumerate(bits) if any(r)]
+            keys.append(pack(bits[ink[0]: ink[-1] + 1]))
+            fulls.append(pack(bits))
+        order = np.argsort(np.array(keys, dtype=np.int64))
+        _PACKED_NOISE = (
+            np.array(keys, dtype=np.int64)[order],
+            np.array(fulls, dtype=np.int64)[order],
+        )
+    return _PACKED_NOISE
+
+
 def add_scan_noise(
     width: int, height: int, raw: bytes, seed: int, flips_per_cell: int = 2
 ) -> bytes:
@@ -153,21 +187,41 @@ def add_scan_noise(
         D_others = np.where(selfm, 10_000, D)
         safe2 = ok & (D_others.min(axis=1) > 2)
 
-        for i in np.flatnonzero(~safe2):
+        # exact-alias guard, vectorized (r8.2): pack each noisy cell's
+        # rows as 5-bit int64 digits and strip trailing blank rows —
+        # the canonical form of the ROW-CROPPED pattern (leading blanks
+        # are zero high digits; first cropped row is nonzero, so the
+        # packing is injective, same argument as operators/ocr.py). One
+        # searchsorted against the packed template table replaces the
+        # per-cell reshape/flatnonzero/tobytes/dict walk, and the safe
+        # cells' flips apply through one writable numpy view.
+        crop_keys, crop_full = _packed_noise_tables()
+        colw = np.array([16, 8, 4, 2, 1], dtype=np.int64)
+        roww = np.left_shift(
+            np.int64(1), 5 * np.arange(6, -1, -1, dtype=np.int64)
+        )
+        row_vals = noisy.reshape(-1, 7, 5) @ colw        # (N, 7)
+        vals = row_vals @ roww                           # full-block pack
+        full_c = (C.reshape(-1, 7, 5) @ colw) @ roww     # clean full pack
+        cvals = vals.copy()
+        while True:                                      # crop: drop low zero digits
+            mtrail = (cvals > 0) & (cvals & 31 == 0)
+            if not mtrail.any():
+                break
+            cvals[mtrail] >>= 5
+        pos = np.searchsorted(crop_keys, cvals)
+        pos_c = np.clip(pos, 0, len(crop_keys) - 1)
+        hit = (crop_keys[pos_c] == cvals) & (cvals > 0)
+        alias = hit & (crop_full[pos_c] != full_c)
+        for i in np.flatnonzero(~safe2 | (safe2 & alias)):
             fallback_cells.append((int(lis[i]), int(cis[i])))
-        for i in np.flatnonzero(safe2):
-            # exact-alias guard (scalar — only safe cells reach it)
-            ng = noisy[i].reshape(7, 5)
-            inked = np.flatnonzero(ng.any(axis=1))
-            if inked.size:
-                key = ng[inked[0]: inked[-1] + 1].tobytes()
-                hit = cropped.get(key)
-                if hit is not None and blocks_bytes[hit] != C[i].tobytes():
-                    fallback_cells.append((int(lis[i]), int(cis[i])))
-                    continue
-            for p in (int(p0[i]), int(p1[i])):
-                o = int(offs_mat[i, p])
-                buf[o] = 0 if buf[o] >= 128 else 255
+        apply = np.flatnonzero(safe2 & ~alias)
+        if apply.size:
+            flips = np.concatenate(
+                [offs_mat[apply, p0[apply]], offs_mat[apply, p1[apply]]]
+            )
+            view = np.frombuffer(buf, dtype=np.uint8)
+            view[flips] = np.where(view[flips] >= 128, 0, 255)
         in_cell = set(offs_mat.ravel().tolist())
         cell_iter = fallback_cells
     else:
