@@ -767,6 +767,21 @@ def _aes_words_le(rks: list[bytes]) -> list[int]:
     ]
 
 
+_RKW_LE_CACHE: dict[bytes, tuple[int, ...]] = {}
+
+
+def _rkw_le(key: bytes) -> tuple[int, ...]:
+    """Memoized LE round-key words (r8): the schedule is a pure function
+    of the key and was re-derived on every per-stream encrypt call."""
+    cached = _RKW_LE_CACHE.get(key)
+    if cached is None:
+        cached = tuple(_aes_words_le(_aes_round_keys(key)))
+        if len(_RKW_LE_CACHE) > 256:
+            _RKW_LE_CACHE.clear()
+        _RKW_LE_CACHE[key] = cached
+    return cached
+
+
 def _aes_encrypt_block_le(rkw: list[int], nr: int, s0: int, s1: int, s2: int, s3: int):
     """One block over little-endian column words; inputs pre-xored with
     nothing (round-0 AddRoundKey happens here)."""
@@ -792,7 +807,7 @@ def _aes_encrypt_block_le(rkw: list[int], nr: int, s0: int, s1: int, s2: int, s3
 
 def _aes_cbc_core(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC over whole blocks with the LE word cipher (no padding)."""
-    rkw = _aes_words_le(_aes_round_keys(key))
+    rkw = _rkw_le(key)
     nr = len(rkw) // 4 - 1
     p0 = int.from_bytes(iv[0:4], "little")
     p1 = int.from_bytes(iv[4:8], "little")

@@ -711,13 +711,26 @@ _TD2 = tuple(((t >> 16) | ((t & 0xFFFF) << 16)) for t in _TD0)
 _TD3 = tuple(((t >> 24) | ((t & 0xFFFFFF) << 8)) for t in _TD0)
 
 
-def _aes_enc_words(key: bytes) -> list[int]:
-    """Flat big-endian u32 round-key words from the byte schedule."""
-    return [
-        int.from_bytes(w[4 * j : 4 * j + 4], "big")
-        for w in _aes_expand_key(key)
-        for j in range(4)
-    ]
+def _aes_enc_words(key: bytes) -> tuple[int, ...]:
+    """Flat big-endian u32 round-key words from the byte schedule.
+    Memoized (r8): the schedule is a pure function of the key and was
+    re-derived on every per-stream decrypt call (~13% of the q58
+    per-doc extract); tuples keep the shared value immutable."""
+    cached = _RK_CACHE.get(key)
+    if cached is None:
+        cached = tuple(
+            int.from_bytes(w[4 * j : 4 * j + 4], "big")
+            for w in _aes_expand_key(key)
+            for j in range(4)
+        )
+        if len(_RK_CACHE) > 256:
+            _RK_CACHE.clear()
+        _RK_CACHE[key] = cached
+    return cached
+
+
+_RK_CACHE: dict[bytes, tuple[int, ...]] = {}
+_DK_CACHE: dict[bytes, tuple[int, ...]] = {}
 
 
 def _inv_mix_word(w: int) -> int:
@@ -730,16 +743,25 @@ def _inv_mix_word(w: int) -> int:
     )
 
 
-def _aes_dec_words(key: bytes) -> list[int]:
+def _aes_dec_words(key: bytes) -> tuple[int, ...]:
     """Round keys for the equivalent inverse cipher: reversed round order,
-    InvMixColumns applied to every middle round key."""
-    enc = _aes_enc_words(key)
-    nr = len(enc) // 4 - 1
-    dk = list(enc[4 * nr : 4 * nr + 4])
-    for r in range(1, nr):
-        dk.extend(_inv_mix_word(w) for w in enc[4 * (nr - r) : 4 * (nr - r) + 4])
-    dk.extend(enc[0:4])
-    return dk
+    InvMixColumns applied to every middle round key. Memoized like
+    ``_aes_enc_words``."""
+    cached = _DK_CACHE.get(key)
+    if cached is None:
+        enc = _aes_enc_words(key)
+        nr = len(enc) // 4 - 1
+        dk = list(enc[4 * nr : 4 * nr + 4])
+        for r in range(1, nr):
+            dk.extend(
+                _inv_mix_word(w) for w in enc[4 * (nr - r) : 4 * (nr - r) + 4]
+            )
+        dk.extend(enc[0:4])
+        cached = tuple(dk)
+        if len(_DK_CACHE) > 256:
+            _DK_CACHE.clear()
+        _DK_CACHE[key] = cached
+    return cached
 
 
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
