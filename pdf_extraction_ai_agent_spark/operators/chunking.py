@@ -17,7 +17,6 @@ array<struct<chunk_idx,start,end,text>> → posexplode.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -68,8 +67,11 @@ def chunk_text(df: DataFrame, text_col: str = "extracted_text",
     """One row per overlapping chunk (chunk_idx preserves document order —
     the A7 merge key)."""
     keep_cols = keep_cols if keep_cols is not None else ["conv_id", "turn_idx"]
+    import pandas as pd
 
-    def batch(texts: pd.Series) -> pd.Series:
+    def batch(texts):  # unannotated: pandas UDF (pd.Series hints would
+        # resolve against MODULE globals under future-annotations — ocr.py
+        # precedent; keeps pandas off the registry import path)
         return pd.Series(
             [_chunk_one(t or "", max_chars, overlap_chars) for t in texts],
             index=texts.index, dtype=object,

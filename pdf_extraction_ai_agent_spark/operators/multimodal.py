@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas stays out of module import: this module is on
+    import pandas as pd  # the registry import path (fresh-JVM weight, r8)
 
 MEDIA_META_SCHEMA = (
     "media_id long, kind string, payload_bytes long, digest string, "
@@ -51,6 +54,7 @@ def decode_stub(payload: bytes, kind: str) -> dict:
 def extract_media_meta(df: DataFrame, id_col: str = "media_id",
                        payload_col: str = "payload", kind_col: str = "kind") -> DataFrame:
     """mapInPandas over binary payloads → typed metadata rows."""
+    import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -165,6 +169,7 @@ def with_rendered_pages(df: DataFrame, payload_col: str = "payload",
     """(media_id, page_no, png: binary, error) — one row per rendered page;
     render failures (incl. missing fitz on impl='real') land in the error
     channel, one row per failed document, never a job abort."""
+    import pandas as pd
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

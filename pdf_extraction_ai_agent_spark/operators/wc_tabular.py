@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -123,8 +122,12 @@ def _extract_wc(text: str) -> dict:
 
 def with_wc_extraction(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
     """Appends a `wc` struct column (evaluation_date, carrier, claims[])."""
+    import pandas as pd
 
-    def batch(texts: pd.Series) -> pd.DataFrame:
+    def batch(texts):  # unannotated: struct-returning pandas UDF (the
+        # pd.Series hints would be resolved against MODULE globals under
+        # future-annotations — ocr.py precedent; keeps pandas off the
+        # registry import path)
         out = [_extract_wc(t or "") for t in texts]
         return pd.DataFrame(out)
 
