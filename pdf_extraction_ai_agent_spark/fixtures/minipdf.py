@@ -312,8 +312,41 @@ PDF_PAD = bytes([
 ])
 
 
+_W_OPENSSL = None  # writer-side probe: (aes_cbc_encrypt, arc4) | False
+
+
+def _w_openssl():
+    """Writer-side OpenSSL delegation (same policy as the engine's, probed
+    and wired independently — the twin invariant covers the PDF-layer
+    crypto logic, which stays this module's own; the block primitives are
+    standard-pinned by FIPS vectors and the parity test, and the
+    pure-Python ciphers below remain the fallback on bare images)."""
+    global _W_OPENSSL
+    if _W_OPENSSL is None:
+        try:
+            from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+            from cryptography.hazmat.primitives.ciphers import (
+                Cipher, algorithms, modes,
+            )
+
+            def aes_enc(key, iv, data):
+                op = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+                return op.update(data) + op.finalize()
+
+            def arc4(key, data):
+                return Cipher(ARC4(key), mode=None).encryptor().update(data)
+
+            _W_OPENSSL = (aes_enc, arc4)
+        except Exception:
+            _W_OPENSSL = False
+    return _W_OPENSSL
+
+
 def rc4(key: bytes, data: bytes) -> bytes:
     """Plain RC4 (symmetric) — stdlib-only, fixture-scale throughput."""
+    fast = _w_openssl()
+    if fast:
+        return fast[1](key, data)
     S = list(range(256))
     j = 0
     for i in range(256):
@@ -807,6 +840,9 @@ def _aes_encrypt_block_le(rkw: list[int], nr: int, s0: int, s1: int, s2: int, s3
 
 def _aes_cbc_core(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC over whole blocks with the LE word cipher (no padding)."""
+    fast = _w_openssl()
+    if fast:
+        return fast[0](key, iv, data)
     rkw = _rkw_le(key)
     nr = len(rkw) // 4 - 1
     p0 = int.from_bytes(iv[0:4], "little")

@@ -542,7 +542,44 @@ class _UnsupportedEncryption(Exception):
     None and the library chain / error channel takes over."""
 
 
+_OPENSSL = None  # (AES_cipher_factory, ARC4_factory) | False
+
+
+def _openssl():
+    """OpenSSL-backed cipher primitives when the public `cryptography`
+    wheel is importable (the reference's own PDF stack depends on it;
+    cluster images carry it). Only the standardized BLOCK PRIMITIVES are
+    delegated — every PDF-layer derivation (KDF structure, key wrapping,
+    object-key mixing, padding) stays this module's own code, and the
+    pure-Python ciphers below remain the in-tree reference: FIPS-197
+    vectors plus tests/test_openssl_cipher_parity.py pin both paths
+    equal, and an image without the wheel falls back transparently."""
+    global _OPENSSL
+    if _OPENSSL is None:
+        try:
+            from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+            from cryptography.hazmat.primitives.ciphers import (
+                Cipher, algorithms, modes,
+            )
+
+            def aes_cbc(key, iv, data, encrypt):
+                c = Cipher(algorithms.AES(key), modes.CBC(iv))
+                op = c.encryptor() if encrypt else c.decryptor()
+                return op.update(data) + op.finalize()
+
+            def arc4(key, data):
+                return Cipher(ARC4(key), mode=None).encryptor().update(data)
+
+            _OPENSSL = (aes_cbc, arc4)
+        except Exception:
+            _OPENSSL = False
+    return _OPENSSL
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
+    fast = _openssl()
+    if fast:
+        return fast[1](key, data)
     S = list(range(256))
     j = 0
     for i in range(256):
@@ -765,6 +802,9 @@ def _aes_dec_words(key: bytes) -> tuple[int, ...]:
 
 
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    fast = _openssl()
+    if fast:
+        return fast[0](key, iv, data, True)
     rk = _aes_enc_words(key)
     nr = len(rk) // 4 - 1
     te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _AES_SBOX
@@ -817,6 +857,9 @@ def _aes_decrypt_block_words(dk: list[int], nr: int, block: bytes) -> tuple[int,
 
 
 def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    fast = _openssl()
+    if fast:
+        return fast[0](key, iv, data, False)
     dk = _aes_dec_words(key)
     nr = len(dk) // 4 - 1
     p0 = int.from_bytes(iv[0:4], "big")
